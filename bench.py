@@ -1,0 +1,59 @@
+"""Benchmark runner — per-query wall-clock at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "suite_wall_clock", "value": <total sec>, "unit": "sec",
+     "queries": {key: sec, ...}, "sf": <dir>}
+
+Protocol (BASELINE.md): local[$SPARK_GRAFT_CPUS], AQE on, one warm-up of the
+flagship, then one timed run per registered query (action = collect()).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sparkstreamingstateful_spark import registry
+from sparkstreamingstateful_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    queries, _ = registry.collect()
+    spark = get_spark(app_name="sss-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm-up: JVM / codegen / parquet footer caches.
+    queries["agg_hash_q1"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for key in sorted(queries):
+        t0 = time.perf_counter()
+        try:
+            queries[key](spark, sf_dir).collect()
+            timings[key] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # record, don't abort the suite
+            timings[key] = -1.0
+            print(f"# bench error {key}: {exc}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

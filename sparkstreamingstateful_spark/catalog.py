@@ -1,0 +1,216 @@
+"""Table catalog: explicit schemas + loaders for the ten test tables.
+
+Schemas are declared explicitly (FIXTURES.md, measured from the driver
+parquet) because streaming file sources reject schema inference, and because
+an explicit ``ReadSchema`` is what lets Catalyst prune columns at the scan.
+
+``events.ts`` is parquet ``timestamp[ns]``; Spark 4 cannot represent nanos,
+so it is read as long nanos (``spark.sql.legacy.parquet.nanosAsLong``) and
+converted with ``timestamp_micros(ts div 1000)`` — integer floor-division,
+which matches DuckDB's own ns→µs truncation bit-for-bit, so oracle
+comparisons on ``ts`` are exact at µs precision.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .session import configure
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
+# Logical schemas (what queries see). events.ts is TimestampType here even
+# though the physical file stores int64 nanos — load_table handles the cast.
+SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            # parquet TIMESTAMP(MILLIS) is not UTC-adjusted → NTZ, matching
+            # both Spark's own inference and DuckDB's naive timestamps.
+            T.StructField("o_orderdate", T.TimestampNTZType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampNTZType()),
+        ]
+    ),
+    "events": T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    ),
+}
+
+# Physical schema of the events parquet (ts is int64 nanos on disk) — used
+# by streaming file sources, which must declare the on-disk schema.
+EVENTS_PHYSICAL_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def physical_schema(name: str) -> T.StructType:
+    return EVENTS_PHYSICAL_SCHEMA if name == "events" else SCHEMAS[name]
+
+
+def _normalize_events(df: DataFrame) -> DataFrame:
+    """long-nanos ts → timestamp_ntz (µs, floor-div — matches DuckDB's own
+    ns→µs truncation bit-for-bit under the UTC session timezone)."""
+    return df.withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)").cast(T.TimestampNTZType())
+    )
+
+
+# DataFrame handles are cheap logical plans, but each spark.read.parquet()
+# builds a fresh file index (a driver-side listing + footer RPC that measures
+# in seconds on slow metadata stores, and in minutes on a 100 TB lake) —
+# cache the handle per (session, sf_dir, table).
+_df_cache: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table as a DataFrame with its declared (logical) schema.
+
+    The schema is passed to the reader explicitly: no inference job runs,
+    and the scan's ReadSchema starts from the declared types.
+    """
+    key = (id(spark._jsparkSession), sf_dir, name)
+    cached = _df_cache.get(key)
+    if cached is not None:
+        return cached
+    configure(spark)
+    df = spark.read.schema(physical_schema(name)).parquet(table_path(sf_dir, name))
+    if name == "events":
+        df = _normalize_events(df)
+    _df_cache[key] = df
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register all tables as temp views (the spark.sql entry path)."""
+    dfs = load_all(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
+
+
+def read_stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Streaming file source over event parquet chunks (explicit physical
+    schema — streaming sources cannot infer), normalized to the logical
+    schema. ``events_dir`` is a directory of parquet files (the test
+    harness chunks events.parquet into simulated micro-batches there)."""
+    configure(spark)
+    raw = (
+        spark.readStream.schema(EVENTS_PHYSICAL_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    return _normalize_events(raw)
