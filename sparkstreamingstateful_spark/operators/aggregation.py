@@ -61,3 +61,211 @@ def agg_hash_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           round(sum(DISTINCT l_quantity), 2) AS sum_distinct_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.round(F.sum_distinct(F.col("l_quantity")), 2).alias("sum_distinct_qty"),
+    )
+
+
+@query("agg_approx")  # rows-only: HLL++ sketch differs from DuckDB's sketch
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate count-distinct (HyperLogLog++). Accuracy asserted ±5%
+    against the exact count in tests/test_aggregation.py (no cross-engine
+    hash check — sketches differ by construction)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts")
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT r_name, n_name, count(*) AS n_cust,
+           round(sum(c_acctbal), 2) AS sum_bal,
+           CAST(grouping(r_name) AS INTEGER) AS g_region,
+           CAST(grouping(n_name) AS INTEGER) AS g_nation
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        F.grouping("r_name").cast("int").alias("g_region"),
+        F.grouping("n_name").cast("int").alias("g_nation"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT c_mktsegment, o_orderstatus, count(*) AS n,
+           CAST(grouping(c_mktsegment) AS INTEGER) AS g_seg,
+           CAST(grouping(o_orderstatus) AS INTEGER) AS g_status
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY CUBE (c_mktsegment, o_orderstatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .cube("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("c_mktsegment").cast("int").alias("g_seg"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        )
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey,
+           round(avg(c_acctbal), 4) AS avg_bal, count(*) AS n
+    FROM customer
+    GROUP BY c_mktsegment, c_nationkey
+    HAVING avg(c_acctbal) > 4500 AND count(*) >= 2
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment", "c_nationkey")
+        .agg(
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            F.count(F.lit(1)).alias("n"),
+            F.avg("c_acctbal").alias("_raw_avg"),
+        )
+        .filter((F.col("_raw_avg") > 4500) & (F.col("n") >= 2))
+        .drop("_raw_avg")
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 2) AS sd_price,
+           round(var_samp(l_quantity), 2) AS var_qty,
+           round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+           round(covar_samp(l_extendedprice, l_quantity), 2) AS covar_pq,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 2).alias("var_qty"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias("covar_pq"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+@query(
+    "agg_collect",
+    oracle="""
+    SELECT c_mktsegment, list(c_nationkey ORDER BY c_nationkey) AS nations
+    FROM (SELECT DISTINCT c_mktsegment, c_nationkey FROM customer)
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select("c_mktsegment", "c_nationkey")
+        .distinct()
+        .groupBy("c_mktsegment")
+        .agg(F.sort_array(F.collect_list("c_nationkey")).alias("nations"))
+    )
+
+
+@query(
+    "agg_conditional_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS F,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS O,
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2) AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum("o_totalprice"))
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("F"),
+        F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("O"),
+        F.round(F.coalesce(F.col("P"), F.lit(0.0)), 2).alias("P"),
+    )
+
+
+@query(
+    "distinct_rows",
+    oracle="""
+    SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+    """,
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select("c_mktsegment", "c_nationkey").distinct()

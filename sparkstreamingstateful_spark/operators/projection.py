@@ -1,0 +1,234 @@
+"""Projection / filter / scalar-expression operators (SURVEY.md §2.2, P1–P8).
+
+Everything here is a narrow (no-shuffle) transformation: Catalyst collapses
+the projections into the scan, pushes every predicate to the parquet reader
+(row-group + page-level skipping), and prunes unread columns — the plan for
+each query is a single WholeStageCodegen span over a pruned scan, which is
+exactly the shape that survives a 100× scale-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+@query(
+    "project_compute",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue,
+           l_quantity + 1 AS qty_plus1,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+    FROM lineitem
+    """,
+)
+def project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # raw IEEE doubles: per-row arithmetic is bit-identical across
+        # engines, while per-row round() disagrees at .xx5 boundaries.
+        disc_price.alias("revenue"),
+        (F.col("l_quantity") + 1).alias("qty_plus1"),
+        (disc_price * (1 + F.col("l_tax"))).alias("charge"),
+    )
+
+
+@query(
+    "filter_basic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+    FROM lineitem
+    WHERE l_returnflag IN ('A', 'R')
+      AND l_quantity BETWEEN 10 AND 20
+      AND l_linestatus = 'F'
+      AND NOT (l_discount > 0.05)
+      AND l_shipdate IS NOT NULL
+      AND (l_tax < 0.03 OR l_tax > 0.06)
+    """,
+)
+def filter_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_returnflag").isin("A", "R")
+        & F.col("l_quantity").between(10, 20)
+        & (F.col("l_linestatus") == "F")
+        & ~(F.col("l_discount") > 0.05)
+        & F.col("l_shipdate").isNotNull()
+        & ((F.col("l_tax") < 0.03) | (F.col("l_tax") > 0.06))
+    ).select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+
+
+@query(
+    "filter_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           coalesce(nullif(o_orderstatus, 'P'), 'pending') AS status_or_pending,
+           greatest(year(o_orderdate), 1996) AS year_floor,
+           least(CAST(floor(o_totalprice) AS BIGINT), 200000) AS price_cap
+    FROM orders
+    """,
+)
+def filter_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("pending")).alias(
+            "status_or_pending"
+        ),
+        F.greatest(F.year("o_orderdate"), F.lit(1996)).alias("year_floor"),
+        # floor first: DuckDB CAST(double AS BIGINT) rounds, Spark truncates
+        F.least(F.floor("o_totalprice").cast("bigint"), F.lit(200000)).alias("price_cap"),
+    )
+
+
+@query(
+    "scalar_string",
+    oracle="""
+    SELECT p_partkey,
+           concat(p_brand, '#', p_type) AS brand_type,
+           upper(p_name) AS name_upper,
+           substr(p_name, 1, 5) AS name_pfx,
+           length(p_name) AS name_len,
+           replace(p_type, ' ', '_') AS type_snake,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+           regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+           (p_name LIKE '%a%') AS has_a
+    FROM part
+    """,
+)
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_pfx"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.regexp_extract("p_name", r"^([a-z]+)", 1).alias("first_word"),
+        F.col("p_name").like("%a%").alias("has_a"),
+    )
+
+
+@query(
+    "scalar_date",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS y,
+           month(o_orderdate) AS m,
+           day(o_orderdate) AS d,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch_start,
+           CAST(o_orderdate AS DATE) + 30 AS plus_30d,
+           dayofweek(o_orderdate) AS dow,
+           quarter(o_orderdate) AS q
+    FROM orders
+    """,
+)
+def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DuckDB dayofweek: Sunday=0; Spark: Sunday=1 → normalize to DuckDB's.
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("plus_30d"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        F.quarter("o_orderdate").alias("q"),
+    )
+
+
+@query(
+    "scalar_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_discount - 0.05), 6) AS abs_off,
+           ceil(l_quantity / 7) AS ceil7,
+           floor(l_quantity / 7) AS floor7,
+           round(sqrt(l_extendedprice), 6) AS root_price,
+           round(ln(l_extendedprice), 6) AS ln_price,
+           round(log10(l_extendedprice), 6) AS log10_price,
+           l_partkey % 7 AS key_mod7,
+           sign(l_discount - 0.05) AS disc_sign,
+           round(pow(1 + l_tax, 2), 6) AS tax_sq
+    FROM lineitem
+    """,
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("abs_off"),
+        F.ceil(F.col("l_quantity") / 7).alias("ceil7"),
+        F.floor(F.col("l_quantity") / 7).alias("floor7"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("root_price"),
+        F.round(F.log("l_extendedprice"), 6).alias("ln_price"),
+        F.round(F.log10("l_extendedprice"), 6).alias("log10_price"),
+        (F.col("l_partkey") % 7).alias("key_mod7"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.round(F.pow(1 + F.col("l_tax"), 2), 6).alias("tax_sq"),
+    )
+
+
+@query(
+    "scalar_cast",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(floor(o_totalprice) AS DECIMAL(14,2)) AS price_dec,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(o_orderkey AS INTEGER) AS key_int,
+           CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+           CAST(o_totalprice > 150000 AS INTEGER) AS is_big
+    FROM orders
+    """,
+)
+def scalar_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # double→decimal goes through an explicit round so both engines make the
+    # same tie decisions; double→string is deliberately absent (formats
+    # differ irreconcilably between engines).
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.floor("o_totalprice").cast("decimal(14,2)").alias("price_dec"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.col("o_orderkey").cast("int").alias("key_int"),
+        F.col("o_orderkey").cast("string").cast("bigint").alias("key_roundtrip"),
+        (F.col("o_totalprice") > 150000).cast("int").alias("is_big"),
+    )
+
+
+@query(
+    "scalar_hash",
+    oracle="""
+    SELECT doc_id, md5(text) AS text_md5, sha256(text) AS text_sha256
+    FROM documents
+    """,
+)
+def scalar_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+    )
