@@ -48,7 +48,8 @@ def test_q1_whole_stage_codegen(spark):
     df = QUERIES["agg_hash_q1"](spark, SF_UNIT)
     df.collect()  # AQE: codegen spans only appear in the finalized plan
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "WholeStageCodegen" in plan
+    # codegen'd operators carry the "*(n)" stage marker in the plan string
+    assert "*(" in plan
     assert "HashAggregate" in plan
     # partial+final aggregation: the shuffle carries pre-aggregated rows
     assert "partial_sum" in plan
