@@ -1,0 +1,168 @@
+"""Nested-type operators: array / map / struct / JSON / vector
+(SURVEY.md §2.7, N1–N6).
+
+All array work uses Spark's higher-order functions (``transform`` /
+``aggregate`` / ``zip_with``) — these execute inside codegen on the JVM, no
+Python boundary, so per-row vector math over 100 TB of embeddings stays in
+the scan pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+@query(
+    "array_ops",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           list_contains(string_split(text, ' '), 'spark') AS has_spark,
+           list_slice(string_split(text, ' '), 1, 5) AS first5,
+           list_sort(list_distinct(string_split(text, ' '))) AS vocab
+    FROM documents
+    """,
+)
+def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.slice(toks, 1, 5).alias("first5"),
+        F.sort_array(F.array_distinct(toks)).alias("vocab"),
+    )
+
+
+@query(
+    "array_explode",
+    oracle="""
+    SELECT token, count(*) AS n, min(pos) AS min_pos
+    FROM (SELECT unnest(string_split(text, ' ')) AS token,
+                 unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+          FROM documents)
+    GROUP BY token
+    """,
+)
+def array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count via posexplode (1-based positions to match SQL)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "token"))
+        .select("token", (F.col("pos0") + 1).alias("pos"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("pos").alias("min_pos"))
+    )
+
+
+@query(
+    "map_ops",
+    oracle="""
+    SELECT doc_id,
+           ['lang', 'source'] AS meta_keys,
+           lang AS lang_val,
+           2 AS n_entries
+    FROM documents
+    """,
+)
+def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a map, list its keys, look up a value, count entries. The
+    oracle states the expected *outputs* directly (DuckDB's MAP extract
+    returns LIST, not scalar — not portably comparable), so the H-check
+    still validates every map operation's result."""
+    d = load_table(spark, sf_dir, "documents")
+    m = F.create_map(
+        F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+    )
+    return d.select(
+        "doc_id",
+        F.map_keys(m).alias("meta_keys"),
+        m.getItem("lang").alias("lang_val"),
+        F.size(m).alias("n_entries"),
+    )
+
+
+@query(
+    "struct_ops",
+    oracle="""
+    SELECT doc_id, s.lang AS s_lang, s.source AS s_source, s.n AS s_n
+    FROM (SELECT doc_id,
+                 struct_pack(lang := lang, source := source, n := n_chars) AS s
+          FROM documents)
+    """,
+)
+def struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    nested = d.select(
+        "doc_id",
+        F.struct(
+            F.col("lang").alias("lang"),
+            F.col("source").alias("source"),
+            F.col("n_chars").alias("n"),
+        ).alias("s"),
+    )
+    # field access + star-expansion
+    return nested.select(
+        "doc_id",
+        F.col("s.lang").alias("s_lang"),
+        F.col("s.source").alias("s_source"),
+        F.col("s.n").alias("s_n"),
+    )
+
+
+@query(
+    "json_extract",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@query(
+    "vector_ops",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           round(sqrt(list_dot_product(embedding, embedding)), 4) AS l2_norm,
+           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS el_sum,
+           CAST(list_max(embedding) AS DOUBLE) AS el_max
+    FROM embeddings
+    """,
+)
+def vector_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elementwise vector math via higher-order functions (JVM-side)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot_self = F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x)
+    el_sum = F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x)
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(dot_self), 4).alias("l2_norm"),
+        F.round(el_sum, 4).alias("el_sum"),
+        F.array_max(vec).alias("el_max"),
+    )
