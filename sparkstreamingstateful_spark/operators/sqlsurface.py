@@ -1,0 +1,130 @@
+"""SQL-surface operators (SURVEY.md §2.8, Q1–Q7): queries entering through
+``spark.sql`` over registered temp views — exercising the ANTLR parser,
+analyzer catalog lookup, and Catalyst's subquery decorrelation
+(RewriteCorrelatedScalarSubquery / RewritePredicateSubquery → semi joins).
+
+The SQL here is deliberately ANSI-portable: the same text runs on DuckDB as
+its own oracle, so Spark-vs-oracle divergence isolates engine semantics, not
+query-authoring differences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import register_views
+from ..registry import query
+
+_REGISTERED: set[tuple[int, str]] = set()
+
+
+def _views(spark: SparkSession, sf_dir: str) -> None:
+    key = (id(spark._jsparkSession), sf_dir)
+    if key not in _REGISTERED:
+        register_views(spark, sf_dir)
+        _REGISTERED.add(key)
+
+
+def _sql_query(name: str, sql: str, oracle: str | None = None):
+    """Register a spark.sql-path query; oracle defaults to the same text."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _views(spark, sf_dir)
+        return spark.sql(sql)
+
+    fn.__name__ = name
+    fn.__doc__ = f"SQL-path query (§2.8):\n{sql}"
+    query(name, oracle if oracle is not None else sql)(fn)
+    return fn
+
+
+subquery_scalar = _sql_query(
+    "subquery_scalar",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+    """,
+)
+
+subquery_in = _sql_query(
+    "subquery_in",
+    """
+    SELECT o_orderkey, o_custkey
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    """,
+)
+
+subquery_correlated_exists = _sql_query(
+    "subquery_correlated_exists",
+    """
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000)
+    """,
+)
+
+cte_query = _sql_query(
+    "cte_query",
+    """
+    WITH seg_stats AS (
+        SELECT c_mktsegment, count(*) AS n_cust,
+               round(avg(c_acctbal), 4) AS avg_bal
+        FROM customer
+        GROUP BY c_mktsegment
+    ),
+    big_segs AS (
+        SELECT c_mktsegment, n_cust, avg_bal FROM seg_stats WHERE n_cust >= 10
+    )
+    SELECT b.c_mktsegment, b.n_cust, b.avg_bal
+    FROM big_segs b
+    """,
+)
+
+sql_tpch_q3like = _sql_query(
+    "sql_tpch_q3like",
+    """
+    SELECT o_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(o_orderdate AS DATE) AS order_date
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+
+sql_tpch_q5like = _sql_query(
+    "sql_tpch_q5like",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name IN ('AMERICA', 'ASIA')
+    GROUP BY n_name
+    """,
+)
+
+values_inline = _sql_query(
+    "values_inline",
+    """
+    SELECT v.status_code, v.status_name, count(o_orderkey) AS n
+    FROM (VALUES ('F', 'finished'), ('O', 'open'), ('P', 'pending'))
+         AS v(status_code, status_name)
+    LEFT JOIN orders ON o_orderstatus = v.status_code
+    GROUP BY v.status_code, v.status_name
+    """,
+)
