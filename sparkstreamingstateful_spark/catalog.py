@@ -204,13 +204,20 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 def read_stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
     """Streaming file source over event parquet chunks (explicit physical
-    schema — streaming sources cannot infer), normalized to the logical
-    schema. ``events_dir`` is a directory of parquet files (the test
-    harness chunks events.parquet into simulated micro-batches there)."""
+    schema — streaming sources cannot infer). ``events_dir`` is a directory
+    of parquet files (the feeder chunks events.parquet into simulated
+    micro-batches there).
+
+    ``ts`` becomes TimestampType (not NTZ): event-time watermarks require
+    it (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise). Under the UTC
+    session timezone the µs instants are identical to the batch NTZ values;
+    streaming queries cast their event-time outputs back to NTZ (an
+    identity cast under UTC) so results compare exactly with batch/oracle.
+    """
     configure(spark)
     raw = (
         spark.readStream.schema(EVENTS_PHYSICAL_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(events_dir)
     )
-    return _normalize_events(raw)
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))

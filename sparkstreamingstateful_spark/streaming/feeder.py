@@ -1,0 +1,91 @@
+"""Micro-batch feeder: chunks ``events.parquet`` into K parquet files so a
+streaming file source replays them as K micro-batches
+(``maxFilesPerTrigger=1``), preserving global event-time order.
+
+Variants:
+
+* ``sentinels=True`` appends two far-future marker events (user_id=-1).
+  In append mode, windows/sessions only emit once the watermark passes
+  them; end-of-stream alone never closes the final windows. The first
+  sentinel advances the watermark past all real event time; the second
+  triggers one more micro-batch in which that watermark evicts/times-out
+  all remaining real state. Queries must NOT filter sentinels inside the
+  streaming plan — Catalyst pushes such filters below the
+  EventTimeWatermark node and the watermark never advances (measured);
+  filter the materialized result instead.
+* ``replay=(i, ...)`` re-appends chunks after the originals — duplicate
+  delivery for dedup tests (at-least-once source simulation).
+* ``late_chunk=i`` holds chunk i back until the end — out-of-order arrival
+  for watermark late-drop tests.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SENTINEL_DAYS = (30, 31)
+_cache: dict[tuple, str] = {}
+
+
+def _sentinel_table(max_ts_ns: int, day_offset: int, idx: int) -> pa.Table:
+    ns = max_ts_ns + day_offset * 86_400 * 1_000_000_000
+    return pa.table(
+        {
+            "event_id": pa.array([-1 - idx], pa.int64()),
+            "ts": pa.array([ns], pa.timestamp("ns")),
+            "user_id": pa.array([-1], pa.int64()),
+            "event_type": pa.array(["__sentinel__"]),
+            "value": pa.array([0.0], pa.float64()),
+            "props": pa.array(["{}"]),
+        }
+    )
+
+
+def chunked_events_dir(
+    sf_dir: str,
+    n_chunks: int = 4,
+    *,
+    sentinels: bool = True,
+    replay: tuple[int, ...] = (),
+    late_chunk: int | None = None,
+) -> str:
+    """Build (or reuse) a chunk directory for the given variant."""
+    key = (sf_dir, n_chunks, sentinels, replay, late_chunk)
+    if key in _cache and os.path.isdir(_cache[key]):
+        return _cache[key]
+
+    table = pq.read_table(f"{sf_dir}/events.parquet")
+    n = table.num_rows
+    chunks = []
+    for i in range(n_chunks):
+        lo, hi = i * n // n_chunks, (i + 1) * n // n_chunks
+        chunks.append(table.slice(lo, hi - lo))
+
+    order: list[pa.Table] = []
+    held = None
+    for i, c in enumerate(chunks):
+        if i == late_chunk:
+            held = c
+            continue
+        order.append(c)
+    for i in replay:
+        order.append(chunks[i])
+    if held is not None:
+        order.append(held)  # arrives last → late vs the advanced watermark
+    if sentinels:
+        max_ns = pa.compute.max(table.column("ts")).cast(pa.int64()).as_py()
+        for j, days in enumerate(SENTINEL_DAYS):
+            order.append(_sentinel_table(max_ns, days, j))
+
+    out = tempfile.mkdtemp(prefix="sss_feed_")
+    base = 1_600_000_000
+    for i, c in enumerate(order):
+        path = os.path.join(out, f"{i:04d}.parquet")
+        pq.write_table(c, path)
+        os.utime(path, (base + i, base + i))  # file source processes in mtime order
+    _cache[key] = out
+    return out

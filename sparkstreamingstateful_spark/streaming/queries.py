@@ -1,0 +1,330 @@
+"""Streaming & stateful registered queries (SURVEY.md §2.9, ST1–ST10).
+
+Each query executes a real Structured Streaming pipeline (chunked feed →
+availableNow → memory sink; see package docstring) and returns the
+materialized result. Sentinel rows (user_id < 0, far-future event time —
+see feeder.py) flow through the streaming plan to drive watermark
+progression and are filtered from the *materialized* result, never inside
+the streaming plan (a plan-level filter gets pushed below the watermark
+node and stalls it — measured in M5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table, read_stream_events
+from ..registry import query
+from . import stateful
+from .feeder import chunked_events_dir
+from .runner import run_stream
+
+WATERMARK = "10 minutes"
+
+
+def _stream(spark: SparkSession, sf_dir: str, **feed_kwargs) -> DataFrame:
+    feed = chunked_events_dir(sf_dir, **feed_kwargs)
+    return read_stream_events(spark, feed)
+
+
+def _ntz(col):
+    # LTZ→NTZ is an identity cast under the UTC session timezone
+    return col.cast("timestamp_ntz")
+
+
+@query(
+    "stream_window_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS win_start, event_type,
+           count(*) AS n, round(sum(value), 2) AS sum_v
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_v_raw"))
+    )
+    res = run_stream(agg, output_mode="append")
+    return res.filter(F.col("event_type") != "__sentinel__").select(
+        _ntz(F.col("w.start")).alias("win_start"),
+        "event_type",
+        "n",
+        F.round("sum_v_raw", 2).alias("sum_v"),
+    )
+
+
+@query(
+    "stream_window_sliding",
+    oracle="""
+    SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k.k * INTERVAL 15 MINUTE AS win_start,
+           count(*) AS n
+    FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS k(k)
+    GROUP BY 1
+    """,
+)
+def stream_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 min: each event lands in 4 windows.
+    Oracle: the 4 phase-shifted 15-min bucketings, unioned via cross join."""
+    ev = _stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_raw"))
+    )
+    res = run_stream(agg, output_mode="append")
+    # sentinel windows: two isolated far-future events → windows with n=1
+    # at event time beyond all real data; strip by time bound
+    max_real = load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    return res.filter(_ntz(F.col("w.start")) <= F.lit(max_real)).select(
+        _ntz(F.col("w.start")).alias("win_start"), F.col("n_raw").alias("n")
+    )
+
+
+@query(
+    "stream_window_session",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM flagged
+    )
+    SELECT user_id, min(ts) AS sess_start,
+           count(*) AS n_events, round(sum(value), 2) AS sum_v
+    FROM numbered
+    GROUP BY user_id, sess_id
+    """,
+)
+def stream_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user via
+    ``F.session_window``; oracle is the batch gaps-and-islands rewrite."""
+    ev = _stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_v_raw"))
+    )
+    res = run_stream(agg, output_mode="append")
+    return res.filter(F.col("user_id") >= 0).select(
+        "user_id",
+        _ntz(F.col("w.start")).alias("sess_start"),
+        "n_events",
+        F.round("sum_v_raw", 2).alias("sum_v"),
+    )
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once-style dedup of an at-least-once feed: chunks 1 and 2
+    are delivered twice (feeder replay); keyed dropDuplicates restores
+    exactly-once output = the original unique events."""
+    ev = _stream(spark, sf_dir, replay=(1, 2), sentinels=False)
+    deduped = ev.dropDuplicates(["event_id"])
+    res = run_stream(deduped, output_mode="append")
+    return res.select("event_id", "user_id", "event_type", "value")
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT event_id, c_custkey, c_mktsegment, value
+    FROM events JOIN customer ON user_id = c_custkey
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream enriched against a static dim — the static side is planned as
+    a broadcast per micro-batch (stateless, no watermark needed)."""
+    ev = _stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    joined = ev.join(cust, ev.user_id == cust.c_custkey).select(
+        "event_id", "c_custkey", "c_mktsegment", "value"
+    )
+    return run_stream(joined, output_mode="append")
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 10 MINUTE
+     AND c.ts <= p.ts
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval self-join (click→purchase correlation within
+    10 minutes). Watermarks on both sides + the time-bound condition let
+    Spark evict join state (StreamingSymmetricHashJoin) — without them
+    state grows unboundedly (SURVEY §7.2)."""
+    feed = chunked_events_dir(sf_dir)
+    purchases = (
+        read_stream_events(spark, feed)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", WATERMARK)
+    )
+    clicks = (
+        read_stream_events(spark, feed)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", WATERMARK)
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select("purchase_id", "click_id")
+    return run_stream(joined, output_mode="append")
+
+
+@query(
+    "stateful_running_agg",
+    oracle="""
+    SELECT user_id, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """updateStateByKey-equivalent (ST7): per-user count+sum in keyed state,
+    updated every micro-batch. The memory sink holds one update row per
+    (user, batch); the final state per user must equal the batch GROUP BY —
+    the H-check asserts exactly that."""
+    ev = _stream(spark, sf_dir)
+    updates = ev.groupBy("user_id").applyInPandasWithState(
+        stateful.running_agg_fn,
+        stateful.RUNNING_AGG_OUTPUT,
+        stateful.RUNNING_AGG_STATE,
+        "update",
+        "NoTimeout",
+    )
+    res = run_stream(updates, output_mode="update")
+    final = (
+        res.filter(F.col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n", "sum_value")).alias("s"))
+    )
+    return final.select(
+        "user_id",
+        F.col("s.n").alias("n"),
+        F.round(F.col("s.sum_value"), 2).alias("sum_value"),
+    )
+
+
+@query(
+    "stateful_sessionize",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM flagged
+    )
+    SELECT user_id, min(ts) AS sess_start,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM numbered
+    GROUP BY user_id, sess_id
+    """,
+)
+def stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapWithState+timeout-equivalent (ST8): custom sessionization in
+    applyInPandasWithState with an event-time timeout at last_ts + 30min.
+    Sessions close either inline (next event ≥ gap away) or via timeout
+    when the watermark passes; the sentinels close the tail sessions, so
+    the emitted set equals the batch gaps-and-islands oracle."""
+    ev = _stream(spark, sf_dir)
+    sessions = (
+        ev.withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            stateful.sessionize_fn,
+            stateful.SESSION_OUTPUT,
+            stateful.SESSION_STATE,
+            "append",
+            "EventTimeTimeout",
+        )
+    )
+    res = run_stream(sessions, output_mode="append")
+    return res.filter(F.col("user_id") >= 0).select(
+        "user_id",
+        _ntz(F.expr("timestamp_micros(sess_start_us)")).alias("sess_start"),
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
+@query(
+    "stateful_dedup_keyed",
+    oracle="""
+    SELECT event_id, user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                               ORDER BY ts, event_id) = 1
+    """,
+)
+def stateful_dedup_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed first-seen filter (ST9): first event per user per day, the
+    seen-day set carried in keyed state across micro-batches."""
+    ev = _stream(spark, sf_dir)
+    firsts = ev.groupBy("user_id").applyInPandasWithState(
+        stateful.first_seen_fn,
+        stateful.FIRST_SEEN_OUTPUT,
+        stateful.FIRST_SEEN_STATE,
+        "append",
+        "NoTimeout",
+    )
+    res = run_stream(firsts, output_mode="append")
+    return res.filter(F.col("user_id") >= 0).select("event_id", "user_id", "day")
+
+
+@query("stream_window_late_drop")  # rows-only: streaming-exclusive semantics
+def stream_window_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data drop (ST10): chunk 1 arrives last, after the
+    watermark has advanced past it → its rows are dropped from append-mode
+    windows. No batch oracle exists by construction (the result is
+    *deliberately* missing data); tests assert the drop happened."""
+    ev = _stream(spark, sf_dir, late_chunk=1)
+    agg = (
+        ev.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    res = run_stream(agg, output_mode="append")
+    return res.filter(F.col("event_type") != "__sentinel__").select(
+        _ntz(F.col("w.start")).alias("win_start"), "event_type", "n"
+    )

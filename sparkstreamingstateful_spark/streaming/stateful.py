@@ -1,0 +1,138 @@
+"""Custom per-key stateful processors (SURVEY.md §2.9, ST7–ST9) — the
+``updateStateByKey`` / ``mapWithState``-equivalents of the reference domain,
+built on ``applyInPandasWithState`` (PySpark ≥3.4; present in 4.1.2,
+verified at M0).
+
+Each processor is a plain ``(key, pdf_iter, state) -> iterator[pdf]``
+function plus its output/state schemas, so batch twins and streaming tests
+share one definition. State crosses micro-batch boundaries via the state
+store (RocksDB provider configured in session.py); Arrow moves the
+per-group pandas frames across the JVM↔Python boundary.
+
+Scale notes: state is partitioned by the grouping key across executors —
+per-key state is O(1) here (counters, current-session accumulator, day
+set), so total state is O(distinct keys), the same bound the reference
+domain's ``mapWithState`` carries. Event-time timeouts (ST8) piggyback on
+the watermark, so idle-session cleanup is driven by data progress, not
+wall-clock.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import types as T
+
+GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap, microseconds
+GAP_MS = GAP_US // 1000
+
+# ---------------------------------------------------------------- ST7
+RUNNING_AGG_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+RUNNING_AGG_STATE = T.StructType(
+    [T.StructField("n", T.LongType()), T.StructField("sum_value", T.DoubleType())]
+)
+
+
+def running_agg_fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+    """Running per-user count+sum, maintained across micro-batches
+    (updateStateByKey-equivalent). Emits the updated state each batch."""
+    n, s = state.get if state.exists else (0, 0.0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+    state.update((n, s))
+    yield pd.DataFrame({"user_id": [key[0]], "n": [n], "sum_value": [s]})
+
+
+# ---------------------------------------------------------------- ST8
+SESSION_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("sess_start_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+SESSION_STATE = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+
+def sessionize_fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+    """Sessionization with 30-min idle timeout (mapWithState+timeout
+    equivalent): closed sessions emit (start, n_events, total value); the
+    open session lives in keyed state with an event-time timeout at
+    last_ts + gap, so the watermark closes idle sessions."""
+    if state.hasTimedOut:
+        start_us, last_us, n, s = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "sess_start_us": [start_us],
+                "n_events": [n],
+                "sum_value": [s],
+            }
+        )
+        return
+
+    rows = pd.concat(list(pdf_iter), ignore_index=True)
+    rows = rows.sort_values(["ts", "event_id"])
+    closed: list[tuple] = []
+    if state.exists:
+        start_us, last_us, n, s = state.get
+    else:
+        start_us = None
+    for r in rows.itertuples():
+        ts_us = r.ts.value // 1000  # pandas ns → µs
+        if start_us is None:
+            start_us, last_us, n, s = ts_us, ts_us, 1, float(r.value)
+        elif ts_us - last_us >= GAP_US:
+            closed.append((key[0], start_us, n, s))
+            start_us, last_us, n, s = ts_us, ts_us, 1, float(r.value)
+        else:
+            last_us, n, s = ts_us, n + 1, s + float(r.value)
+    state.update((int(start_us), int(last_us), int(n), float(s)))
+    state.setTimeoutTimestamp(last_us // 1000 + GAP_MS)
+    yield pd.DataFrame(
+        closed, columns=["user_id", "sess_start_us", "n_events", "sum_value"]
+    )
+
+
+# ---------------------------------------------------------------- ST9
+FIRST_SEEN_OUTPUT = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("day", T.StringType()),
+    ]
+)
+FIRST_SEEN_STATE = T.StructType([T.StructField("days_csv", T.StringType())])
+
+
+def first_seen_fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+    """Keyed first-seen filter: emit the first event per user per day,
+    remembering seen days in state (seen-set dedup with state)."""
+    seen = set((state.get[0] or "").split(",")) - {""} if state.exists else set()
+    rows = pd.concat(list(pdf_iter), ignore_index=True)
+    rows = rows.sort_values(["ts", "event_id"])
+    out: list[tuple] = []
+    for r in rows.itertuples():
+        day = str(r.ts.date())
+        if day not in seen:
+            seen.add(day)
+            out.append((int(r.event_id), int(key[0]), day))
+    state.update((",".join(sorted(seen)),))
+    yield pd.DataFrame(out, columns=["event_id", "user_id", "day"])
