@@ -1,0 +1,513 @@
+"""LLM-data-pipeline text operators (SURVEY.md §2.11 + north star):
+text statistics, tokenization, language-ID, quality scoring, token
+counting, document fingerprinting, and the deduplication family (exact,
+token-set Jaccard, n-gram Jaccard, SimHash, MinHash+LSH).
+
+Dedup scale posture (100 TB):
+
+* exact dedup is a hash-groupBy — one shuffle on the 128-bit content hash,
+  no pairwise work, linear in corpus size;
+* pairwise similarity ops are always *blocked* (here by ``lang``; at scale
+  by lang × length-band × LSH bucket) so the quadratic term is per-block;
+* MinHash+LSH (``dedup_minhash_lsh``) is the scale path: signature is
+  linear per doc, banding turns near-dup search into an equi-join on
+  (band, band-hash) — exactly the shuffle shape Spark loves — and exact
+  Jaccard runs only on bucket-collision candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import SCHEMAS, load_table
+from ..registry import query
+
+
+def _tokens(col="text"):
+    return F.split(F.col(col), " ")
+
+
+# --------------------------------------------------------------- L1
+@query(
+    "text_stats",
+    oracle="""
+    SELECT lang, source, count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           sum(n_chars) AS total_chars,
+           sum(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END) AS n_len_ok
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum((F.length("text") == F.col("n_chars")).cast("long")).alias("n_len_ok"),
+    )
+
+
+# --------------------------------------------------------------- L2
+@query(
+    "text_tokenize_wordcount",
+    oracle="""
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+)
+def text_tokenize_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------- language-ID
+# Fixed token-lexicon profiles (n-gram-heuristic scoring machinery; the
+# corpus vocabulary is deliberately synthetic, so the lexicon is a fixture).
+_LEXICON = [  # (token, lang, weight)
+    ("the", "en", 3), ("a", "en", 1), ("data", "en", 2), ("fast", "en", 1),
+    ("query", "es", 2), ("table", "es", 2), ("column", "es", 1),
+    ("group", "de", 2), ("order", "de", 2), ("filter", "de", 1),
+    ("merge", "fr", 2), ("sort", "fr", 2), ("scan", "fr", 1),
+    ("hash", "zh", 2), ("join", "zh", 2), ("spark", "zh", 1),
+]
+_LEX_VALUES = ", ".join(f"('{t}', '{l}', {w})" for t, l, w in _LEXICON)
+
+
+@query(
+    "text_language_id",
+    oracle=f"""
+    WITH lex(token, lang, weight) AS (VALUES {_LEX_VALUES}),
+    scores AS (
+        SELECT d.doc_id, lex.lang AS cand_lang, sum(lex.weight) AS score
+        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+              FROM documents) d
+        JOIN lex ON d.token = lex.token
+        GROUP BY d.doc_id, lex.lang
+    )
+    SELECT doc_id, cand_lang AS pred_lang, score
+    FROM scores
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, cand_lang) = 1
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by lexicon profile scoring: tokens join a broadcast
+    (token, lang, weight) profile table; argmax score per doc wins. At 100
+    TB the profile stays a broadcast (KBs) and scoring is one map-side
+    join + partial agg — no extra shuffle beyond the per-doc combine."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(_LEXICON, "token string, cand_lang string, weight int")
+    toks = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    scores = (
+        toks.join(F.broadcast(lex), "token")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.sum("weight").alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "cand_lang")
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cand_lang").alias("pred_lang"), "score")
+    )
+
+
+# --------------------------------------------------------------- quality
+@query(
+    "text_quality_score",
+    oracle="""
+    SELECT doc_id,
+           n_tokens,
+           round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+           round(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS avg_token_len,
+           (n_tokens BETWEEN 20 AND 200 AND n_stop * 2 < n_tokens) AS quality_ok
+    FROM (SELECT doc_id, n_chars,
+                 len(string_split(text, ' ')) AS n_tokens,
+                 len(list_filter(string_split(text, ' '),
+                                 t -> t IN ('a', 'the'))) AS n_stop
+          FROM documents)
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: token count, stopword ratio, mean token
+    length, and a composite keep/drop flag — the standard pre-training
+    corpus filters, all as codegen'd expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin("a", "the")))
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(n_stop.cast("double") / n_tokens, 6).alias("stopword_ratio"),
+        F.round(F.col("n_chars").cast("double") / n_tokens, 6).alias("avg_token_len"),
+        (n_tokens.between(20, 200) & (n_stop * 2 < n_tokens)).alias("quality_ok"),
+    )
+
+
+# --------------------------------------------------------------- token count
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (letter runs / digit runs / single other-chars) — the cheap token-budget
+    estimators for corpus sizing."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(_tokens()).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)).alias(
+            "bpe_ish_tokens"
+        ),
+    )
+
+
+# --------------------------------------------------------------- fingerprint
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS set_fingerprint,
+           min(md5(shingle)) AS min_shingle_hash
+    FROM (SELECT doc_id, text,
+                 unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                        i -> string_split(text, ' ')[i] || ' ' ||
+                             string_split(text, ' ')[i + 1] || ' ' ||
+                             string_split(text, ' ')[i + 2])) AS shingle
+          FROM documents)
+    GROUP BY doc_id, text
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two content fingerprints per doc: an order-insensitive token-set
+    hash (canonicalized-content identity) and the min 3-gram-shingle hash
+    (a 1-permutation MinHash — the building block the LSH dedup scales
+    up)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    set_fp = F.md5(F.array_join(F.sort_array(F.array_distinct(toks)), " "))
+    shingled = d.select(
+        "doc_id",
+        set_fp.alias("set_fingerprint"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 3),
+                lambda i: F.concat_ws(
+                    " ", toks[i], toks[i + 1], toks[i + 2]
+                ),
+            )
+        ).alias("shingle"),
+    )
+    return shingled.groupBy("doc_id", "set_fingerprint").agg(
+        F.min(F.md5("shingle")).alias("min_shingle_hash")
+    )
+
+
+# --------------------------------------------------------------- L3
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT h, count(*) AS n_docs, min(doc_id) AS keeper
+    FROM (SELECT doc_id, md5(text) AS h FROM documents)
+    GROUP BY h
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: hash-groupBy, keeper = min doc_id.
+    (The corpus has no exact dups — every group has n_docs=1, which the
+    hash check proves.)"""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper"))
+    )
+
+
+# --------------------------------------------------------------- L4 + variants
+def _topk_similar_pairs(d: DataFrame, item_col, k: int = 3) -> DataFrame:
+    """Blocked pairwise Jaccard → top-k most-similar per left doc.
+    ``item_col`` builds the comparison set (distinct tokens or shingles)."""
+    from pyspark.sql import Window
+
+    left = d.select(
+        "lang", F.col("doc_id").alias("a_id"), item_col.alias("a_items")
+    )
+    right = d.select(
+        "lang", F.col("doc_id").alias("b_id"), item_col.alias("b_items")
+    )
+    pairs = left.join(right, "lang").filter(F.col("a_id") < F.col("b_id"))
+    inter = F.size(F.array_intersect("a_items", "b_items"))
+    union = F.size(F.array_union("a_items", "b_items"))
+    sim = pairs.select(
+        "lang",
+        "a_id",
+        "b_id",
+        (inter.cast("double") / union.cast("double")).alias("jaccard"),
+    )
+    w = Window.partitionBy("a_id").orderBy(F.col("jaccard").desc(), "b_id")
+    return (
+        sim.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("lang", "a_id", "b_id", F.round("jaccard", 6).alias("jaccard"), "rn")
+    )
+
+
+_PAIR_ORACLE = """
+    WITH items AS (SELECT lang, doc_id, {items_expr} AS items FROM documents),
+    pairs AS (
+        SELECT a.lang, a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(len(list_intersect(a.items, b.items)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.items, b.items))) AS jaccard
+        FROM items a JOIN items b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    )
+    SELECT lang, a_id, b_id, round(jaccard, 6) AS jaccard,
+           row_number() OVER (PARTITION BY a_id
+                              ORDER BY jaccard DESC, b_id) AS rn
+    FROM pairs
+    QUALIFY rn <= 3
+"""
+
+
+@query(
+    "dedup_near",
+    oracle=_PAIR_ORACLE.format(
+        items_expr="list_distinct(string_split(text, ' '))"
+    ),
+)
+def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection: token-set Jaccard within ``lang`` blocks,
+    top-3 most-similar per doc. Jaccard is a ratio of exact integers →
+    bit-identical across engines, so ranking is deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    return _topk_similar_pairs(d, F.array_distinct(_tokens()))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_PAIR_ORACLE.format(
+        items_expr="""list_distinct(list_transform(
+            range(1, len(string_split(text, ' ')) - 1),
+            i -> string_split(text, ' ')[i] || ' ' ||
+                 string_split(text, ' ')[i + 1] || ' ' ||
+                 string_split(text, ' ')[i + 2]))"""
+    ),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup via 3-gram shingle Jaccard (order-sensitive variant of
+    dedup_near: shingles see phrasing, token sets only vocabulary)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]),
+        )
+    )
+    return _topk_similar_pairs(d, shingles)
+
+
+# --------------------------------------------------------------- SimHash
+@query(
+    "dedup_simhash",
+    oracle="""
+    WITH bits AS (
+        SELECT d.doc_id, p.p,
+               CASE WHEN sum(CASE WHEN strpos('0123456789abcdef',
+                                             substr(md5(d.token), p.p, 1)) >= 9
+                                  THEN 1 ELSE -1 END) > 0
+                    THEN '1' ELSE '0' END AS bit
+        FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+              FROM documents) d
+        CROSS JOIN (SELECT unnest(range(1, 33)) AS p) p
+        GROUP BY d.doc_id, p.p
+    )
+    SELECT doc_id, string_agg(bit, '' ORDER BY p) AS simhash
+    FROM bits
+    GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document: for each md5 nibble position, the
+    majority vote of the nibble's top bit across the doc's distinct tokens.
+    Near-dups have small Hamming distance (asserted in tests); the H-check
+    pins the signature itself."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(_tokens())).alias("token")
+    ).withColumn("h", F.md5("token"))
+    positions = spark.range(1, 33).select(F.col("id").cast("int").alias("p"))
+    contrib = tok.crossJoin(F.broadcast(positions)).select(
+        "doc_id",
+        "p",
+        F.when(F.conv(F.substring("h", F.col("p"), F.lit(1)), 16, 10).cast("int") >= 8, 1)
+        .otherwise(-1)
+        .alias("c"),
+    )
+    bits = contrib.groupBy("doc_id", "p").agg(
+        F.when(F.sum("c") > 0, "1").otherwise("0").alias("bit")
+    )
+    return bits.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "bit"))), lambda s: s["bit"]
+            ),
+            "",
+        ).alias("simhash")
+    )
+
+
+# --------------------------------------------------------------- MinHash+LSH
+@query("dedup_minhash_lsh")  # rows-only: signature hashing is engine-specific
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding — the 100 TB near-dup path.
+
+    shingle → k=12 minhashes (xxhash64 with per-function seeds) → 4 bands
+    of 3 → candidate pairs = equi-join on (band, band signature) → exact
+    Jaccard verification on candidates only. Tests assert the candidate
+    stage recovers the exhaustive top pairs (recall vs dedup_near).
+    Rows-only check: xxhash64 has no DuckDB equivalent.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(_tokens())
+    sh = d.select("lang", "doc_id", F.col("text"), F.explode(toks).alias("token"))
+    K, BANDS = 12, 4
+    mins = sh.groupBy("lang", "doc_id").agg(
+        *[F.min(F.xxhash64("token", F.lit(i))).alias(f"mh{i}") for i in range(K)]
+    )
+    per_band = K // BANDS
+    band_rows = None
+    for b in range(BANDS):
+        cols = [F.col(f"mh{b * per_band + j}") for j in range(per_band)]
+        row = mins.select(
+            "lang",
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.xxhash64(*cols).alias("sig"),
+        )
+        band_rows = row if band_rows is None else band_rows.unionByName(row)
+    cand = (
+        band_rows.alias("x")
+        .join(band_rows.alias("y"), ["lang", "band", "sig"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select("lang", F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
+        .distinct()
+    )
+    items = d.select("doc_id", toks.alias("items"))
+    verified = (
+        cand.join(items.select(F.col("doc_id").alias("a_id"), F.col("items").alias("a_items")), "a_id")
+        .join(items.select(F.col("doc_id").alias("b_id"), F.col("items").alias("b_items")), "b_id")
+        .select(
+            "lang",
+            "a_id",
+            "b_id",
+            (
+                F.size(F.array_intersect("a_items", "b_items")).cast("double")
+                / F.size(F.array_union("a_items", "b_items"))
+            ).alias("jaccard"),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= 0.7).select(
+        "lang", "a_id", "b_id", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+# --------------------------------------------------------------- L9
+@query(
+    "stream_text_analysis",
+    oracle="""
+    SELECT lang, token, count(*) AS n
+    FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS token
+          FROM documents)
+    GROUP BY lang, token
+    """,
+)
+def stream_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming text analysis (ST1×L2 composition): documents arrive as a
+    stream; per-lang token counts aggregate across micro-batches (complete
+    mode — no event-time column on documents)."""
+    from ..streaming.feeder import chunked_table_dir
+    from ..streaming.runner import run_stream
+
+    feed = chunked_table_dir(sf_dir, "documents", n_chunks=3)
+    docs = spark.readStream.schema(SCHEMAS["documents"]).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(feed)
+    agg = (
+        docs.select("lang", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return run_stream(agg, output_mode="complete")
+
+
+# --------------------------------------------------------------- L8
+@query(
+    "multimodal_binary",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           lower(hex(encode(substr(text, 1, 4)))) AS head_hex,
+           (octet_length(encode(text)) > 300) AS is_large
+    FROM documents
+    """,
+)
+def multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column handling: bytes + size + head-bytes sniff +
+    size filter flag (documents' text doubles as the blob fixture; real
+    media plumbing lives in functions/multimodal.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.length(blob).alias("n_bytes"),
+        F.lower(F.hex(F.encode(F.substring("text", 1, 4), "UTF-8"))).alias("head_hex"),
+        (F.length(blob) > 300).alias("is_large"),
+    )
+
+
+@query("multimodal_features")  # rows-only: stand-in decoder is Spark-side only
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode/feature-extract pipeline (stubbed codecs): binary
+    blobs + modality metadata → format sniff + feature vectors via
+    Arrow-batched mapInPandas (see functions/multimodal.py for the scale
+    notes; codec stub documented there)."""
+    from ..functions.multimodal import extract_features
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("modality"),
+        # synthesized blob with a real PNG magic prefix for doc_id%3==0
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(b"\x89PNG"), F.encode("text", "UTF-8")),
+        )
+        .otherwise(F.encode("text", "UTF-8"))
+        .alias("media"),
+    )
+    return extract_features(media, fake_decode=True)

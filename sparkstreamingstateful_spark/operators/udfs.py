@@ -1,0 +1,164 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.10, U1–U5).
+
+UDF discipline for 100 TB (SURVEY §4.2 / guide): row-at-a-time Python UDFs
+(U1) exist to prove the API, not for hot paths — they serialize row-by-row
+through Py4J pickling. Everything performance-relevant uses Arrow-vectorized
+pandas UDFs (U2) or whole-partition Arrow transforms (U3/U5), which batch
+10-100× faster; and where a built-in ``F.*`` expression can express the
+logic, that always wins (it stays in codegen and never crosses to Python).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load_table
+from ..registry import query
+
+
+@query(
+    "udf_python",
+    oracle="""
+    SELECT doc_id, lower(trim(text)) AS norm_text FROM documents
+    """,
+)
+def udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Python UDF (text normalizer). Deliberately the slow path —
+    kept tiny; see module docstring."""
+
+    @F.udf(T.StringType())
+    def normalize(s: str) -> str:
+        return s.strip().lower() if s is not None else None
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", normalize("text").alias("norm_text"))
+
+
+@query(
+    "udf_pandas",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                       list_transform(embedding, x -> CAST(x AS DOUBLE)))),
+                 4) AS l2_norm
+    FROM embeddings
+    """,
+)
+def udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized pandas UDF: per-row vector L2 norm via numpy over
+    whole Arrow batches."""
+
+    @F.pandas_udf(T.DoubleType())
+    def l2_norm(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return vecs.map(lambda v: float(np.sqrt(np.dot(np.asarray(v, dtype="float64"),
+                                                       np.asarray(v, dtype="float64")))))
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select("vec_id", F.round(l2_norm("embedding"), 4).alias("l2_norm"))
+
+
+@query(
+    "udaf_applyInPandas",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n,
+           round(CAST(quantile_cont(c_acctbal, 0.5) AS DOUBLE), 4) AS median_bal,
+           round(avg(c_acctbal), 4) AS mean_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def udaf_applyInPandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-map UDAF: per-group pandas aggregation (median — linear
+    interpolation, identical to quantile_cont)."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("c_mktsegment", T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("median_bal", T.DoubleType()),
+            T.StructField("mean_bal", T.DoubleType()),
+        ]
+    )
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_mktsegment": [pdf["c_mktsegment"].iloc[0]],
+                "n": [len(pdf)],
+                "median_bal": [round(float(pdf["c_acctbal"].median()), 4)],
+                "mean_bal": [round(float(pdf["c_acctbal"].mean()), 4)],
+            }
+        )
+
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").applyInPandas(stats, out_schema)
+
+
+@query(
+    "udtf_python",
+    oracle="""
+    SELECT bigram, count(*) AS n
+    FROM (SELECT unnest(list_transform(range(1, len(l)),
+                                       i -> l[i] || ' ' || l[i + 1])) AS bigram
+          FROM (SELECT string_split(text, ' ') AS l FROM documents))
+    GROUP BY bigram
+    """,
+)
+def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF: one row in → many out (word bigrams), then frequency
+    count over the exploded rows."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="bigram: string")
+    class Bigrams:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for a, b in zip(toks, toks[1:]):
+                yield (f"{a} {b}",)
+
+    spark.udtf.register("sss_bigrams", Bigrams)
+    d = load_table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("udtf_documents")
+    return spark.sql(
+        """
+        SELECT t.bigram, count(*) AS n
+        FROM udtf_documents, LATERAL sss_bigrams(text) t
+        GROUP BY t.bigram
+        """
+    )
+
+
+@query(
+    "map_in_pandas",
+    oracle="""
+    SELECT doc_id, length(text) AS calc_len,
+           (length(text) = n_chars) AS len_ok
+    FROM documents
+    """,
+)
+def map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-partition Arrow transform (mapInPandas): each partition streams
+    through Python as an iterator of Arrow batches — constant memory per
+    executor regardless of partition size."""
+
+    def check_lengths(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            calc = pdf["text"].str.len().astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "calc_len": calc,
+                    "len_ok": calc == pdf["n_chars"],
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.mapInPandas(check_lengths, "doc_id long, calc_len long, len_ok boolean")

@@ -89,3 +89,22 @@ def chunked_events_dir(
         os.utime(path, (base + i, base + i))  # file source processes in mtime order
     _cache[key] = out
     return out
+
+
+def chunked_table_dir(sf_dir: str, table: str, n_chunks: int = 3) -> str:
+    """Chunk an arbitrary table into K parquet files (generic micro-batch
+    feed for streams without event time — no sentinels needed)."""
+    key = (sf_dir, table, n_chunks)
+    if key in _cache and os.path.isdir(_cache[key]):
+        return _cache[key]
+    t = pq.read_table(f"{sf_dir}/{table}.parquet")
+    n = t.num_rows
+    out = tempfile.mkdtemp(prefix=f"sss_feed_{table}_")
+    base = 1_600_000_000
+    for i in range(n_chunks):
+        lo, hi = i * n // n_chunks, (i + 1) * n // n_chunks
+        path = os.path.join(out, f"{i:04d}.parquet")
+        pq.write_table(t.slice(lo, hi - lo), path)
+        os.utime(path, (base + i, base + i))
+    _cache[key] = out
+    return out
