@@ -1,0 +1,139 @@
+"""Accuracy/recall assertions for approximate operators (no cross-engine
+oracle exists for these by construction) + determinism checks + property
+tests (SURVEY.md §5.2.4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkstreamingstateful_spark import registry
+from sparkstreamingstateful_spark.catalog import load_table
+
+from .conftest import SF_UNIT
+
+QUERIES, _ = registry.collect()
+
+
+def test_approx_count_distinct_accuracy(spark):
+    """A3: HLL++ within ±5% of exact."""
+    approx = {
+        r["l_returnflag"]: r["approx_parts"]
+        for r in QUERIES["agg_approx"](spark, SF_UNIT).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in load_table(spark, SF_UNIT, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    for flag, n in exact.items():
+        assert abs(approx[flag] - n) <= max(2, 0.05 * n), (flag, approx[flag], n)
+
+
+def test_sample_seeded_deterministic(spark):
+    a = {r["o_orderkey"] for r in QUERIES["sample_seeded"](spark, SF_UNIT).collect()}
+    b = {r["o_orderkey"] for r in QUERIES["sample_seeded"](spark, SF_UNIT).collect()}
+    assert a == b
+    n = load_table(spark, SF_UNIT, "orders").count()
+    assert 0.03 * n < len(a) < 0.25 * n
+
+
+def test_minhash_lsh_recall(spark):
+    """LSH candidates must recover the genuinely-similar pairs: every pair
+    with exact Jaccard ≥ 0.8 (well above the banding threshold) appears."""
+    lsh = {
+        (r["a_id"], r["b_id"])
+        for r in QUERIES["dedup_minhash_lsh"](spark, SF_UNIT).collect()
+    }
+    exhaustive = {
+        (r["a_id"], r["b_id"])
+        for r in QUERIES["dedup_near"](spark, SF_UNIT).collect()
+        if r["jaccard"] >= 0.8
+    }
+    missed = exhaustive - lsh
+    assert len(missed) <= max(1, len(exhaustive) // 10), (
+        f"LSH missed {len(missed)}/{len(exhaustive)} high-sim pairs"
+    )
+
+
+def test_ivf_cell_restricted_exactness(spark):
+    """IVF correctness property: per probe, the IVF result must equal the
+    exact top-5 *within the probe's assigned cell*. (Absolute recall vs
+    global brute force is a property of the data's clusterability — this
+    corpus's labels are not geometric clusters, so cell-restricted
+    exactness is the implementation invariant to pin.)"""
+    import numpy as np
+
+    emb = {
+        r["vec_id"]: (np.asarray(r["embedding"], dtype="float64"), r["label"])
+        for r in load_table(spark, SF_UNIT, "embeddings").collect()
+    }
+    ivf = {}
+    for r in QUERIES["embed_ann_ivf"](spark, SF_UNIT).collect():
+        ivf.setdefault(r["probe_id"], []).append((r["rank"], r["neighbor_id"]))
+    assert ivf, "IVF returned nothing"
+    for probe_id, neighbors in ivf.items():
+        neighbors = [n for _, n in sorted(neighbors)]
+        cell = emb[neighbors[0]][1]
+        assert all(emb[n][1] == cell for n in neighbors), "neighbors span cells"
+        p = emb[probe_id][0]
+
+        def cos(v):
+            return float(np.dot(p, v) / (np.linalg.norm(p) * np.linalg.norm(v)))
+
+        in_cell = [
+            (cos(v), vid)
+            for vid, (v, lab) in emb.items()
+            if lab == cell and vid != probe_id
+        ]
+        expected = [vid for _, vid in sorted(in_cell, key=lambda t: (-t[0], t[1]))[:5]]
+        assert neighbors == expected, (probe_id, neighbors, expected)
+
+
+def test_simhash_near_dups_close(spark):
+    """Near-dup pairs (high Jaccard) should have small SimHash Hamming
+    distance relative to random pairs."""
+    sims = {r["doc_id"]: r["simhash"] for r in QUERIES["dedup_simhash"](spark, SF_UNIT).collect()}
+    near = [
+        (r["a_id"], r["b_id"])
+        for r in QUERIES["dedup_near"](spark, SF_UNIT).collect()
+        if r["jaccard"] >= 0.8
+    ]
+
+    def ham(a, b):
+        return sum(x != y for x, y in zip(a, b))
+
+    if near:
+        avg_near = sum(ham(sims[a], sims[b]) for a, b in near) / len(near)
+        ids = sorted(sims)[:40]
+        rand_pairs = [(ids[i], ids[i + 1]) for i in range(0, len(ids) - 1, 2)]
+        avg_rand = sum(ham(sims[a], sims[b]) for a, b in rand_pairs) / len(rand_pairs)
+        assert avg_near <= avg_rand, (avg_near, avg_rand)
+
+
+def test_filter_pushdown_invariance(spark):
+    """Property: filter∘join ≡ join∘filter (Catalyst pushdown soundness)."""
+    o = load_table(spark, SF_UNIT, "orders")
+    c = load_table(spark, SF_UNIT, "customer")
+    pred = F.col("o_totalprice") > 200000
+    a = o.join(c, o.o_custkey == c.c_custkey).filter(pred)
+    b = o.filter(pred).join(c, o.o_custkey == c.c_custkey)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_write_roundtrip_csv_json(spark, tmp_path):
+    """S6: CSV and JSON round-trips preserve exact integer/string columns."""
+    c = load_table(spark, SF_UNIT, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    for fmt in ("csv", "json"):
+        out = str(tmp_path / f"rt_{fmt}")
+        writer = c.write.mode("overwrite")
+        if fmt == "csv":
+            writer.option("header", "true").csv(out)
+            back = spark.read.schema(c.schema).option("header", "true").csv(out)
+        else:
+            writer.json(out)
+            back = spark.read.schema(c.schema).json(out)
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, c.collect()))
