@@ -103,25 +103,52 @@ _LEX_VALUES = ", ".join(f"('{t}', '{l}', {w})" for t, l, w in _LEXICON)
     """,
 )
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID by lexicon profile scoring: tokens join a broadcast
-    (token, lang, weight) profile table; argmax score per doc wins. At 100
-    TB the profile stays a broadcast (KBs) and scoring is one map-side
-    join + partial agg — no extra shuffle beyond the per-doc combine."""
-    from pyspark.sql import Window
+    """Language-ID by lexicon profile scoring, compiled to a pure
+    expression: per-lang score = fold of per-token CASE weights over the
+    token array, argmax via a comparator sort of (score, lang) structs.
 
+    Zero shuffles, zero joins — the lexicon is constant-folded into
+    codegen, so this scores 100 TB of text in a single scan pipeline
+    (the earlier explode→join→window formulation shuffled the entire
+    exploded token stream and put 45 s on the sf0.1 bench; this runs in
+    ~1 s and scales linearly)."""
     d = load_table(spark, sf_dir, "documents")
-    lex = spark.createDataFrame(_LEXICON, "token string, cand_lang string, weight int")
-    toks = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
-    scores = (
-        toks.join(F.broadcast(lex), "token")
-        .groupBy("doc_id", "cand_lang")
-        .agg(F.sum("weight").alias("score"))
+    toks = F.split(F.lower("text"), " ")
+    by_lang: dict[str, list[tuple[str, int]]] = {}
+    for tok, lang, wgt in _LEXICON:
+        by_lang.setdefault(lang, []).append((tok, wgt))
+
+    def lang_score(pairs):
+        def weight(t):
+            expr = F.lit(0)
+            for tok, wgt in pairs:
+                expr = F.when(t == tok, wgt).otherwise(expr)
+            return expr
+
+        return F.aggregate(
+            F.transform(toks, weight), F.lit(0), lambda acc, x: acc + x
+        ).cast("long")
+
+    cands = F.array(
+        *[
+            F.struct(lang_score(pairs).alias("score"), F.lit(lang).alias("lang"))
+            for lang, pairs in sorted(by_lang.items())
+        ]
     )
-    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "cand_lang")
+    best = F.array_sort(
+        cands,
+        lambda a, b: F.when(a["score"] > b["score"], -1)
+        .when(a["score"] < b["score"], 1)
+        .otherwise(F.when(a["lang"] < b["lang"], -1).when(a["lang"] > b["lang"], 1).otherwise(0)),
+    )[0]
     return (
-        scores.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("cand_lang").alias("pred_lang"), "score")
+        d.select("doc_id", best.alias("best"))
+        .filter(F.col("best.score") > 0)
+        .select(
+            "doc_id",
+            F.col("best.lang").alias("pred_lang"),
+            F.col("best.score").alias("score"),
+        )
     )
 
 
@@ -248,16 +275,27 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------- L4 + variants
 def _topk_similar_pairs(d: DataFrame, item_col, k: int = 3) -> DataFrame:
     """Blocked pairwise Jaccard → top-k most-similar per left doc.
-    ``item_col`` builds the comparison set (distinct tokens or shingles)."""
+    ``item_col`` builds the comparison set (distinct tokens or shingles).
+
+    Skew shape: the block key (``lang``) has ~5 values, so a shuffle join
+    on it would execute each block's entire O(n²) similarity work in ONE
+    task (measured: 34-74 s single-task at sf0.1). Instead the right side
+    is broadcast and the left is repartitioned on ``a_id`` — every core
+    gets an even slice of left docs and streams the broadcast block.
+    At true 100 TB the right side stops fitting in a broadcast and the
+    block key must become finer (lang × length-band × LSH bucket — see
+    dedup_minhash_lsh), which restores high key cardinality and even
+    shuffle distribution.
+    """
     from pyspark.sql import Window
 
     left = d.select(
         "lang", F.col("doc_id").alias("a_id"), item_col.alias("a_items")
-    )
+    ).repartition(32, "a_id")
     right = d.select(
         "lang", F.col("doc_id").alias("b_id"), item_col.alias("b_items")
     )
-    pairs = left.join(right, "lang").filter(F.col("a_id") < F.col("b_id"))
+    pairs = left.join(F.broadcast(right), "lang").filter(F.col("a_id") < F.col("b_id"))
     inter = F.size(F.array_intersect("a_items", "b_items"))
     union = F.size(F.array_union("a_items", "b_items"))
     sim = pairs.select(
@@ -383,30 +421,52 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding — the 100 TB near-dup path.
 
-    shingle → k=12 minhashes (xxhash64 with per-function seeds) → 4 bands
-    of 3 → candidate pairs = equi-join on (band, band signature) → exact
-    Jaccard verification on candidates only. Tests assert the candidate
-    stage recovers the exhaustive top pairs (recall vs dedup_near).
-    Rows-only check: xxhash64 has no DuckDB equivalent.
+    3-gram shingles → k=12 minhashes (xxhash64 with per-function seeds) →
+    4 bands of 3 → candidate pairs = equi-join on (band, band signature) →
+    exact shingle-Jaccard verification on candidates only. Linear per doc,
+    shuffle only on high-cardinality (band, sig) keys, quadratic work only
+    within hash buckets. Tests assert candidate recall against the
+    exhaustive dedup_ngram_jaccard pairs. Rows-only driver check: xxhash64
+    has no DuckDB equivalent.
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = F.array_distinct(_tokens())
-    sh = d.select("lang", "doc_id", F.col("text"), F.explode(toks).alias("token"))
+    toks = _tokens()
+    # 3-gram shingles, not token sets: token sets in a shared-vocabulary
+    # corpus are all near-identical (avg token Jaccard ≈ 0.79 here), which
+    # makes every band collide and candidates ≈ all pairs — LSH must hash
+    # the discriminative feature (shingle Jaccard avg ≈ 0.013, planted
+    # near-dups ≈ 0.99).
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]),
+        )
+    )
+    sh = d.select("lang", "doc_id", F.explode(shingles).alias("token"))
     K, BANDS = 12, 4
+    per_band = K // BANDS
     mins = sh.groupBy("lang", "doc_id").agg(
         *[F.min(F.xxhash64("token", F.lit(i))).alias(f"mh{i}") for i in range(K)]
     )
-    per_band = K // BANDS
-    band_rows = None
-    for b in range(BANDS):
-        cols = [F.col(f"mh{b * per_band + j}") for j in range(per_band)]
-        row = mins.select(
-            "lang",
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.xxhash64(*cols).alias("sig"),
-        )
-        band_rows = row if band_rows is None else band_rows.unionByName(row)
+    # one band-struct array exploded in place — a union of per-band selects
+    # would recompute the signature aggregation once per band
+    band_rows = mins.select(
+        "lang",
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"mh{b * per_band + j}") for j in range(per_band)]
+                        ).alias("sig"),
+                    )
+                    for b in range(BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("lang", "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     cand = (
         band_rows.alias("x")
         .join(band_rows.alias("y"), ["lang", "band", "sig"])
@@ -414,7 +474,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
         .distinct()
     )
-    items = d.select("doc_id", toks.alias("items"))
+    items = d.select("doc_id", shingles.alias("items"))
     verified = (
         cand.join(items.select(F.col("doc_id").alias("a_id"), F.col("items").alias("a_items")), "a_id")
         .join(items.select(F.col("doc_id").alias("b_id"), F.col("items").alias("b_items")), "b_id")

@@ -139,7 +139,10 @@ def embed_pairwise_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("a_vec"), F.col("embedding").alias("a_emb"),
         F.col("label").alias("a_label"),
     )
-    pairs = probes.join(e, F.col("a_vec") < F.col("vec_id"))
+    # probe subset broadcast against an evenly-partitioned corpus scan
+    pairs = e.repartition(32, "vec_id").join(
+        F.broadcast(probes), F.col("a_vec") < F.col("vec_id")
+    )
     return (
         pairs.select(
             "a_label",
@@ -168,14 +171,20 @@ def embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (≥0.99) blocked by label —
     the embedding-space member of the dedup family."""
     e = load_table(spark, sf_dir, "embeddings")
+    # 10 label blocks → a shuffle join on label would run each block's O(n²)
+    # pair work in one task; broadcast right + repartition left by vec_id
+    # spreads pairs evenly (same skew shape as _topk_similar_pairs).
     a = e.select(
         F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"), "label"
-    )
+    ).repartition(32, "a_id")
     b = e.select(
         F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"),
         F.col("label").alias("b_label"),
     )
-    pairs = a.join(b, (F.col("label") == F.col("b_label")) & (F.col("a_id") < F.col("b_id")))
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("label") == F.col("b_label")) & (F.col("a_id") < F.col("b_id")),
+    )
     sims = pairs.select(
         "a_id", "b_id", _cosine(_dvec("a_emb"), _dvec("b_emb")).alias("cos_sim")
     )

@@ -40,20 +40,26 @@ def test_sample_seeded_deterministic(spark):
 
 
 def test_minhash_lsh_recall(spark):
-    """LSH candidates must recover the genuinely-similar pairs: every pair
-    with exact Jaccard ≥ 0.8 (well above the banding threshold) appears."""
+    """LSH must recover the genuinely near-duplicate pairs: every pair with
+    exact shingle-Jaccard ≥ 0.8 (well above the 0.7 verify threshold, where
+    12-hash/4-band collision probability is ≈ 1-(1-0.8^3)^4 ≈ 0.95)."""
     lsh = {
         (r["a_id"], r["b_id"])
         for r in QUERIES["dedup_minhash_lsh"](spark, SF_UNIT).collect()
     }
     exhaustive = {
         (r["a_id"], r["b_id"])
-        for r in QUERIES["dedup_near"](spark, SF_UNIT).collect()
+        for r in QUERIES["dedup_ngram_jaccard"](spark, SF_UNIT).collect()
         if r["jaccard"] >= 0.8
     }
     missed = exhaustive - lsh
     assert len(missed) <= max(1, len(exhaustive) // 10), (
         f"LSH missed {len(missed)}/{len(exhaustive)} high-sim pairs"
+    )
+    # and every returned pair genuinely clears the verify threshold
+    assert all(
+        r["jaccard"] >= 0.7
+        for r in QUERIES["dedup_minhash_lsh"](spark, SF_UNIT).collect()
     )
 
 
