@@ -31,6 +31,12 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # Arrow transfer for pandas UDF / applyInPandas boundaries.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # RocksDB state store: required by transformWithStateInPandas and the
+    # right backend for large streaming state; must reach driver-owned
+    # sessions too, hence runtime.
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
 }
 
 

@@ -328,3 +328,61 @@ def stream_window_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.filter(F.col("event_type") != "__sentinel__").select(
         _ntz(F.col("w.start")).alias("win_start"), "event_type", "n"
     )
+
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas needs a working google.protobuf (its
+    state-server protocol is protobuf-based); this container ships a broken
+    protobuf install (`cannot import name 'descriptor'`), so the TWS path
+    is gated and falls back to applyInPandasWithState — identical
+    semantics, same oracle (SURVEY §7.2.1 facade)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@query(
+    "stateful_running_agg_tws",
+    oracle="""
+    SELECT user_id, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stateful_running_agg_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user agg on the Spark-4 ``transformWithStateInPandas``
+    API (StatefulProcessor + typed value state, RocksDB provider) — same
+    semantics and oracle as ``stateful_running_agg``, covering both
+    generations of the Python stateful API. Falls back to
+    ``applyInPandasWithState`` where TWS's protobuf dependency is broken
+    (see _tws_available)."""
+    ev = _stream(spark, sf_dir)
+    if _tws_available():
+        updates = ev.groupBy("user_id").transformWithStateInPandas(
+            stateful.make_running_agg_processor(),
+            outputStructType=stateful.RUNNING_AGG_OUTPUT,
+            outputMode="Update",
+            timeMode="None",
+        )
+    else:
+        updates = ev.groupBy("user_id").applyInPandasWithState(
+            stateful.running_agg_fn,
+            stateful.RUNNING_AGG_OUTPUT,
+            stateful.RUNNING_AGG_STATE,
+            "update",
+            "NoTimeout",
+        )
+    res = run_stream(updates, output_mode="update")
+    final = (
+        res.filter(F.col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n", "sum_value")).alias("s"))
+    )
+    return final.select(
+        "user_id",
+        F.col("s.n").alias("n"),
+        F.round(F.col("s.sum_value"), 2).alias("sum_value"),
+    )

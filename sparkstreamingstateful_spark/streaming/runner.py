@@ -15,16 +15,33 @@ import uuid
 from pyspark.sql import DataFrame
 
 
-def run_stream(df: DataFrame, *, output_mode: str = "append") -> DataFrame:
-    """Run a streaming DataFrame to completion; return the memory table."""
+def run_stream(
+    df: DataFrame, *, output_mode: str = "append", state_partitions: int = 8
+) -> DataFrame:
+    """Run a streaming DataFrame to completion; return the memory table.
+
+    ``state_partitions`` caps the stateful-operator partition count for
+    this query (picked up from the session conf at query start and then
+    pinned in the checkpoint). Stateful micro-batches pay a
+    Python-worker/state-store round-trip per partition per batch, so at
+    test scale fewer, fuller partitions win; a production deployment with
+    real key cardinality would raise this to O(cores) and keep it fixed
+    for the checkpoint's lifetime.
+    """
+    spark = df.sparkSession
     name = "sss_mem_" + uuid.uuid4().hex[:12]
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sss_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return df.sparkSession.table(name)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="sss_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)

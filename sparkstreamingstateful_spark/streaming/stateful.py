@@ -136,3 +136,35 @@ def first_seen_fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.D
             out.append((int(r.event_id), int(key[0]), day))
     state.update((",".join(sorted(seen)),))
     yield pd.DataFrame(out, columns=["event_id", "user_id", "day"])
+
+
+# ---------------------------------------------------------------- ST7 (TWS)
+def make_running_agg_processor():
+    """Spark-4 ``transformWithStateInPandas`` flavor of the running agg —
+    the modern StatefulProcessor API (typed value state via a handle,
+    RocksDB-backed). Same semantics as running_agg_fn; registered as its
+    own query so both stateful APIs stay covered.
+
+    Built lazily so importing this module never requires the TWS API.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningAgg(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("agg", RUNNING_AGG_STATE)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._state.update((n, s))
+            yield pd.DataFrame({"user_id": [key[0]], "n": [n], "sum_value": [s]})
+
+        def close(self) -> None:
+            pass
+
+    return RunningAgg()

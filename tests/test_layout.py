@@ -1,0 +1,64 @@
+"""Layout-primitive tests (sources/layout.py): partition pruning actually
+prunes, bucketed joins actually skip the shuffle — the two storage-side
+claims of the 100 TB posture, asserted on real plans."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkstreamingstateful_spark.catalog import load_table
+from sparkstreamingstateful_spark.plans import executed_plan, shuffle_count
+from sparkstreamingstateful_spark.sources import (
+    write_bucketed,
+    write_partitioned_by_date,
+)
+
+from .conftest import SF_UNIT
+
+
+def test_partition_pruning(spark, tmp_path):
+    orders = load_table(spark, SF_UNIT, "orders")
+    path = str(tmp_path / "orders_part")
+    write_partitioned_by_date(orders, path, "o_orderdate")
+
+    scan = spark.read.parquet(path).filter(
+        (F.col("year") == 1996) & (F.col("month") == 3)
+    )
+    plan = executed_plan(scan)
+    assert "PartitionFilters" in plan
+    # pruned scan reads only the matching directory's rows
+    expected = orders.filter(
+        (F.year("o_orderdate") == 1996) & (F.month("o_orderdate") == 3)
+    ).count()
+    assert scan.count() == expected
+    # and values survive the layout round-trip
+    assert (
+        scan.agg(F.round(F.sum("o_totalprice"), 2)).collect()[0][0]
+        == orders.filter(
+            (F.year("o_orderdate") == 1996) & (F.month("o_orderdate") == 3)
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2))
+        .collect()[0][0]
+    )
+
+
+def test_bucketed_join_no_shuffle(spark):
+    """Two tables bucketed on the join key → sort-merge join with zero
+    Exchange operators."""
+    orders = load_table(spark, SF_UNIT, "orders")
+    lineitem = load_table(spark, SF_UNIT, "lineitem")
+    write_bucketed(orders.select("o_orderkey", "o_totalprice"), "b_orders", "o_orderkey")
+    write_bucketed(
+        lineitem.select("l_orderkey", "l_quantity"), "b_lineitem", "l_orderkey"
+    )
+    a = spark.table("b_orders")
+    b = spark.table("b_lineitem")
+    # disable broadcast so the join exercises the bucketed sort-merge path
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, a.o_orderkey == b.l_orderkey)
+        n_shuffles = shuffle_count(joined)
+        assert n_shuffles == 0, executed_plan(joined)
+        assert joined.count() == lineitem.count()  # FK: every line has its order
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
