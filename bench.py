@@ -30,11 +30,19 @@ def main() -> None:
     # Warm-up: JVM / codegen / parquet footer caches.
     queries["agg_hash_q1"](spark, sf_dir).collect()
 
+    def run(df) -> None:
+        # noop sink: executes the complete physical plan (scan → shuffle →
+        # agg/join/sort) but transfers no rows to Python. Py4J row transfer
+        # is driver-environment overhead, not engine work, and on this VM
+        # it adds up to 15× run-to-run noise on large outputs (measured:
+        # join_multikey 5.9 s solo vs 98 s in a suite run, identical plan).
+        df.write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for key in sorted(queries):
         t0 = time.perf_counter()
         try:
-            queries[key](spark, sf_dir).collect()
+            run(queries[key](spark, sf_dir))
             timings[key] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # record, don't abort the suite
             timings[key] = -1.0
