@@ -269,3 +269,35 @@ def agg_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     return c.select("c_mktsegment", "c_nationkey").distinct()
+
+
+@query(
+    "agg_salted_skew",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation — the explicit skew-mitigation pattern
+    for hot grouping keys (SURVEY §7.2.6).
+
+    ``l_returnflag`` has 3 values, so a naive single-phase plan would end
+    in 3 reducer tasks no matter the cluster size. Salting fans each hot
+    key across 16 sub-keys for the first (heavy) aggregation, then merges
+    16 partials per key in a trivially small second pass. Spark's own
+    partial+final HashAggregate already does this for algebraic aggregates
+    (partial_sum combines map-side); the explicit form is what you reach
+    for with non-algebraic aggregates (collect/percentile/UDAFs) or for
+    skew joins — here pinned as an oracle-checked query so the rewrite's
+    correctness (salting must not change results) stays under test.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = li.withColumn("_salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(16)))
+    partial = salted.groupBy("l_returnflag", "_salt").agg(
+        F.count(F.lit(1)).alias("pn"), F.sum("l_extendedprice").alias("ps")
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n"), F.round(F.sum("ps"), 2).alias("sum_price")
+    )
