@@ -45,14 +45,19 @@ def test_partition_pruning(spark, tmp_path):
 def test_bucketed_join_no_shuffle(spark):
     """Two tables bucketed on the join key → sort-merge join with zero
     Exchange operators."""
+    import uuid
+
+    sfx = uuid.uuid4().hex[:8]  # warehouse dirs outlive the in-memory catalog
     orders = load_table(spark, SF_UNIT, "orders")
     lineitem = load_table(spark, SF_UNIT, "lineitem")
-    write_bucketed(orders.select("o_orderkey", "o_totalprice"), "b_orders", "o_orderkey")
     write_bucketed(
-        lineitem.select("l_orderkey", "l_quantity"), "b_lineitem", "l_orderkey"
+        orders.select("o_orderkey", "o_totalprice"), f"b_orders_{sfx}", "o_orderkey"
     )
-    a = spark.table("b_orders")
-    b = spark.table("b_lineitem")
+    write_bucketed(
+        lineitem.select("l_orderkey", "l_quantity"), f"b_lineitem_{sfx}", "l_orderkey"
+    )
+    a = spark.table(f"b_orders_{sfx}")
+    b = spark.table(f"b_lineitem_{sfx}")
     # disable broadcast so the join exercises the bucketed sort-merge path
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
