@@ -35,8 +35,11 @@ def read_schema(df: DataFrame) -> list[str]:
 
 
 def shuffle_count(df: DataFrame) -> int:
-    """Number of Exchange operators — the metric to minimize (SURVEY §4)."""
-    return executed_plan(df).count("Exchange ")
+    """Number of shuffle Exchange operators — the metric to minimize
+    (SURVEY §4). BroadcastExchange is excluded: a broadcast is the cheap
+    alternative to a shuffle, not a shuffle."""
+    plan = executed_plan(df)
+    return plan.count("Exchange ") - plan.count("BroadcastExchange ")
 
 
 def has_broadcast_join(df: DataFrame) -> bool:

@@ -312,12 +312,23 @@ def stateful_dedup_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.filter(F.col("user_id") >= 0).select("event_id", "user_id", "day")
 
 
-@query("stream_window_late_drop")  # rows-only: streaming-exclusive semantics
+@query(
+    "stream_window_late_drop",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n
+    FROM events
+    WHERE NOT (event_id >= (SELECT count(*) // 4 FROM events)
+               AND event_id < (SELECT count(*) // 2 FROM events))
+    GROUP BY 1, 2
+    """,
+)
 def stream_window_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermark late-data drop (ST10): chunk 1 arrives last, after the
-    watermark has advanced past it → its rows are dropped from append-mode
-    windows. No batch oracle exists by construction (the result is
-    *deliberately* missing data); tests assert the drop happened."""
+    """Watermark late-data drop (ST10): chunk 1 (rows n/4..n/2, event_id
+    aligns with row order) arrives after chunks 0/2/3, whose max event time
+    has already pushed the watermark past chunk 1 entirely → every chunk-1
+    row is dropped. The oracle is the batch aggregation over the surviving
+    rows — late-drop semantics are deterministic here because the feed
+    order and watermark delay are fixed."""
     ev = _stream(spark, sf_dir, late_chunk=1)
     agg = (
         ev.withWatermark("ts", WATERMARK)
