@@ -1,0 +1,64 @@
+"""Regenerate PLANS.md: executed physical plans for flagship operators —
+the plan-quality evidence behind the 100 TB posture claims (pushdown,
+pruning, broadcast selection, partial+final aggregation, shuffle counts).
+
+Run: python scripts/dump_plans.py   (writes PLANS.md at the repo root)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sparkstreamingstateful_spark import registry
+from sparkstreamingstateful_spark.plans import executed_plan, shuffle_count
+from sparkstreamingstateful_spark.session import get_spark
+
+SF = "/root/testdata/sf0.01"
+
+SHOWCASE = [
+    ("agg_hash_q1", "flagship aggregation: pushed timestamp filter, 7-column "
+     "pruned scan, partial+final HashAggregate — shuffle carries ≤6 rows/partition"),
+    ("scan_projection_pushdown", "column pruning: 2-of-11-column ReadSchema"),
+    ("join_broadcast", "dim joins planned as BroadcastHashJoin (zero shuffle)"),
+    ("join_theta_range", "interval join keeps its equi key: hash join + range "
+     "residual, no nested loop over the fact table"),
+    ("topk_per_group", "per-group top-k: single shuffle on the partition key"),
+    ("limit_topk", "global top-k: TakeOrderedAndProject, no global sort"),
+    ("text_language_id", "lexicon scoring constant-folded into the scan "
+     "pipeline: zero shuffles"),
+    ("dedup_minhash_lsh", "LSH banding: shuffles only on high-cardinality "
+     "(band, sig) keys; exact Jaccard only on candidates"),
+    ("embed_similarity_topk", "brute-force ANN baseline: broadcast probes, "
+     "single corpus scan"),
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="sss-plan-dump")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries, _ = registry.collect()
+    out = [
+        "# PLANS — executed physical plans for flagship operators",
+        "",
+        "Regenerate with `python scripts/dump_plans.py` (sf0.01, AQE final",
+        "plans — codegen stages show as `*(n)`). What to look for per plan is",
+        "noted above it; `shuffles` counts Exchange operators excluding",
+        "broadcasts.",
+        "",
+    ]
+    for key, note in SHOWCASE:
+        df = queries[key](spark, SF)
+        plan = executed_plan(df, execute=True)
+        out.append(f"## {key}\n\n*{note}* — shuffles: {shuffle_count(df)}\n")
+        out.append("```\n" + plan.strip()[:4000] + "\n```\n")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print("wrote PLANS.md")
+
+
+if __name__ == "__main__":
+    main()

@@ -38,7 +38,9 @@ def shuffle_count(df: DataFrame) -> int:
     """Number of shuffle Exchange operators — the metric to minimize
     (SURVEY §4). BroadcastExchange is excluded: a broadcast is the cheap
     alternative to a shuffle, not a shuffle."""
-    plan = executed_plan(df)
+    # an AQE plan string carries "== Final Plan ==" AND "== Initial Plan =="
+    # sections — count only the final one or every Exchange doubles
+    plan = executed_plan(df).split("== Initial Plan ==")[0]
     return plan.count("Exchange ") - plan.count("BroadcastExchange ")
 
 
