@@ -193,7 +193,53 @@ def embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("embed_ann_ivf")  # rows-only: IVF recall vs brute force asserted in tests
+_IVF_ORACLE = f"""
+    WITH dvecs AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    centroids AS (
+        SELECT label AS cell, list(avg_x ORDER BY pos) AS centroid
+        FROM (SELECT label, pos, avg(x) AS avg_x
+              FROM (SELECT label,
+                           unnest(range(1, len(v) + 1)) AS pos,
+                           unnest(v) AS x
+                    FROM dvecs)
+              GROUP BY label, pos)
+        GROUP BY label
+    ),
+    probes AS (SELECT vec_id AS probe_id, v AS p_v
+               FROM dvecs WHERE vec_id IN ({_PROBES_SQL})),
+    probe_cells AS (
+        SELECT probe_id, p_v, cell
+        FROM (SELECT p.probe_id, p.p_v, c.cell,
+                     row_number() OVER (
+                         PARTITION BY p.probe_id
+                         ORDER BY list_dot_product(p.p_v, c.centroid)
+                                  / (sqrt(list_dot_product(p.p_v, p.p_v))
+                                     * sqrt(list_dot_product(c.centroid, c.centroid)))
+                                  DESC, c.cell) AS rn
+              FROM probes p CROSS JOIN centroids c)
+        WHERE rn = 1
+    ),
+    sims AS (
+        SELECT pc.probe_id, e.vec_id AS neighbor_id,
+               list_dot_product(pc.p_v, e.v)
+               / (sqrt(list_dot_product(pc.p_v, pc.p_v))
+                  * sqrt(list_dot_product(e.v, e.v))) AS cos_sim
+        FROM probe_cells pc
+        JOIN dvecs e ON e.label = pc.cell AND e.vec_id <> pc.probe_id
+    )
+    SELECT probe_id, neighbor_id, round(cos_sim, 6) AS cos_sim,
+           row_number() OVER (PARTITION BY probe_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM sims
+    QUALIFY rank <= 5
+"""
+
+
+@query("embed_ann_ivf", oracle=_IVF_ORACLE)
 def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize the corpus into cells
     (the per-label centroids serve as the trained codebook), assign each
@@ -201,8 +247,11 @@ def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the 100 TB ANN shape: centroid assignment is a broadcast
     (codebook is tiny), cell search is an equi-join on cell_id — candidate
-    set shrinks by the cell fan-out vs the brute-force scan. Tests measure
-    recall against ``embed_similarity_topk``.
+    set shrinks by the cell fan-out vs the brute-force scan. The oracle
+    replays the whole IVF pipeline in SQL (centroid averages differ by
+    ~1 ulp between engines — cell argmax would only flip on a near-exact
+    tie, and output similarities are computed probe·corpus, engine-exact);
+    tests additionally pin cell-restricted exactness vs numpy.
     """
     e = load_table(spark, sf_dir, "embeddings")
     centroids = (
