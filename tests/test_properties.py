@@ -1,0 +1,74 @@
+"""Property-based tests (SURVEY.md §5.2.4, hypothesis): algebraic
+invariants that must hold for arbitrary data, not just the fixtures."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # key
+        st.integers(min_value=-1000, max_value=1000),  # val
+        st.text(alphabet="abc ", min_size=0, max_size=8),  # txt
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+_SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(rows=ROWS)
+@_SETTINGS
+def test_parquet_roundtrip_identity(spark, tmp_path_factory, rows):
+    """write∘read ≡ id for arbitrary frames (S6 generalized)."""
+    df = spark.createDataFrame(
+        [(i, k, v, t) for i, (k, v, t) in enumerate(rows)],
+        "id long, key long, val long, txt string",
+    )
+    out = str(tmp_path_factory.mktemp("rt") / "data")
+    df.write.mode("overwrite").parquet(out)
+    back = spark.read.schema(df.schema).parquet(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+@given(rows=ROWS)
+@_SETTINGS
+def test_running_sum_matches_python(spark, rows):
+    """Window running sum ≡ a straight Python fold over the same order."""
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v, _) in enumerate(rows)], "id long, key long, val long"
+    )
+    w = Window.partitionBy("key").orderBy("id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    got = {
+        r["id"]: r["run"]
+        for r in df.withColumn("run", F.sum("val").over(w)).collect()
+    }
+    acc: dict[int, int] = {}
+    for i, (k, v, _) in enumerate(rows):
+        acc[k] = acc.get(k, 0) + v
+        assert got[i] == acc[k]
+
+
+@given(rows=ROWS)
+@_SETTINGS
+def test_groupby_sum_invariant_under_repartition(spark, rows):
+    """Aggregation results are partitioning-independent (the property that
+    makes distributed partial+final aggregation sound)."""
+    df = spark.createDataFrame(
+        [(k, v) for (k, v, _) in rows], "key long, val long"
+    )
+    base = sorted(map(tuple, df.groupBy("key").agg(F.sum("val")).collect()))
+    repart = sorted(
+        map(tuple, df.repartition(7, "val").groupBy("key").agg(F.sum("val")).collect())
+    )
+    assert base == repart
