@@ -31,6 +31,15 @@ SHOWCASE = [
      "pipeline: zero shuffles"),
     ("dedup_minhash_lsh", "LSH banding: shuffles only on high-cardinality "
      "(band, sig) keys; exact Jaccard only on candidates"),
+    ("doc_fingerprint", "per-doc min-shingle-hash as an in-row array fold: "
+     "zero shuffles (r1 exploded + groupBy'd the whole shingle stream)"),
+    ("dedup_simhash", "32-bit majority vote as one aggregate/zip_with fold "
+     "in codegen: zero shuffles (r1 crossJoined ×32 + groupBy)"),
+    ("dedup_near", "all-pairs Jaccard via salted replicate join: equi-key "
+     "(lang, salt), no corpus broadcast, per-task work = block²/S"),
+    ("embed_pairwise_label", "theta join given a salt equi-key: probes "
+     "replicated S× in-row, corpus hashed on salt — no corpus-sized "
+     "broadcast"),
     ("embed_similarity_topk", "brute-force ANN baseline: broadcast probes, "
      "single corpus scan"),
 ]

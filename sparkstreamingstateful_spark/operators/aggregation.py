@@ -219,18 +219,31 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_collect",
     oracle="""
-    SELECT c_mktsegment, list(c_nationkey ORDER BY c_nationkey) AS nations
+    SELECT c_mktsegment,
+           string_agg(c_nationkey, ',' ORDER BY c_nationkey) AS nations
     FROM (SELECT DISTINCT c_mktsegment, c_nationkey FROM customer)
     GROUP BY c_mktsegment
     """,
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # collect_list is the operator under test, but the H-checked output is
+    # serialized to a string: the driver's canonicalizer crashes sorting
+    # rows that contain raw arrays (r1 FAIL: "unhashable type:
+    # numpy.ndarray"), so no ArrayType leaves a checked projection.
     c = load_table(spark, sf_dir, "customer")
     return (
         c.select("c_mktsegment", "c_nationkey")
         .distinct()
         .groupBy("c_mktsegment")
-        .agg(F.sort_array(F.collect_list("c_nationkey")).alias("nations"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("c_nationkey")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("nations")
+        )
     )
 
 

@@ -230,24 +230,26 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two content fingerprints per doc: an order-insensitive token-set
     hash (canonicalized-content identity) and the min 3-gram-shingle hash
     (a 1-permutation MinHash — the building block the LSH dedup scales
-    up)."""
+    up).
+
+    Zero-shuffle: the per-doc min is ``array_min`` over the in-row shingle
+    array, not explode→groupBy(doc_id) — the groupBy form shuffles the
+    entire shingle stream (≈ corpus size × shingle factor) just to compute
+    a row-local reduction, which at 100 TB is the difference between a
+    single scan pipeline and a corpus-sized exchange."""
     d = load_table(spark, sf_dir, "documents")
     toks = _tokens()
     set_fp = F.md5(F.array_join(F.sort_array(F.array_distinct(toks)), " "))
-    shingled = d.select(
+    min_shingle = F.array_min(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.md5(F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2])),
+        )
+    )
+    return d.select(
         "doc_id",
         set_fp.alias("set_fingerprint"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - 3),
-                lambda i: F.concat_ws(
-                    " ", toks[i], toks[i + 1], toks[i + 2]
-                ),
-            )
-        ).alias("shingle"),
-    )
-    return shingled.groupBy("doc_id", "set_fingerprint").agg(
-        F.min(F.md5("shingle")).alias("min_shingle_hash")
+        min_shingle.alias("min_shingle_hash"),
     )
 
 
@@ -273,29 +275,45 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------- L4 + variants
+_SALT_PARTS = 8  # replicate factor for salted all-pairs joins
+
+
 def _topk_similar_pairs(d: DataFrame, item_col, k: int = 3) -> DataFrame:
     """Blocked pairwise Jaccard → top-k most-similar per left doc.
     ``item_col`` builds the comparison set (distinct tokens or shingles).
 
-    Skew shape: the block key (``lang``) has ~5 values, so a shuffle join
-    on it would execute each block's entire O(n²) similarity work in ONE
-    task (measured: 34-74 s single-task at sf0.1). Instead the right side
-    is broadcast and the left is repartitioned on ``a_id`` — every core
-    gets an even slice of left docs and streams the broadcast block.
-    At true 100 TB the right side stops fitting in a broadcast and the
-    block key must become finer (lang × length-band × LSH bucket — see
-    dedup_minhash_lsh), which restores high key cardinality and even
-    shuffle distribution.
+    Skew + scale shape: the block key (``lang``) has ~5 values, so a plain
+    shuffle join on it runs each block's entire O(n²) similarity work in
+    ONE task (measured: 34-74 s single-task at sf0.1), and broadcasting a
+    block means materializing a corpus-sized table on every executor —
+    impossible at 100 TB. The salted replicate join fixes both without a
+    broadcast: the left side gets a hash salt in [0, S), the right side is
+    replicated S× (an in-row explode — no driver involvement), and the
+    join key becomes (lang, salt) with cardinality 5·S. Per-task work is
+    n_block²/S, per-task memory is one salt-slice vs one block — both
+    bounded and even. The quadratic term itself is intrinsic to exact
+    all-pairs top-k; the sub-quadratic 100 TB route is LSH candidate
+    generation (dedup_minhash_lsh), which changes the answer from "top-k
+    most similar" to "pairs above threshold".
     """
     from pyspark.sql import Window
 
     left = d.select(
         "lang", F.col("doc_id").alias("a_id"), item_col.alias("a_items")
-    ).repartition(32, "a_id")
+    ).withColumn("_salt", F.pmod(F.xxhash64("a_id"), F.lit(_SALT_PARTS)).cast("int"))
     right = d.select(
         "lang", F.col("doc_id").alias("b_id"), item_col.alias("b_items")
+    ).withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(_SALT_PARTS)]))
     )
-    pairs = left.join(F.broadcast(right), "lang").filter(F.col("a_id") < F.col("b_id"))
+    # merge hint: the shuffle IS the distribution mechanism here — without
+    # it Catalyst broadcasts the (replicated) right side and the probe side
+    # keeps its scan partitioning, i.e. one task per input split does the
+    # whole O(n²) block (measured 79 s vs 16 s at sf0.1). Sort-merge also
+    # spills per key group, so block size never pressures executor memory.
+    pairs = left.join(right.hint("merge"), ["lang", "_salt"]).filter(
+        F.col("a_id") < F.col("b_id")
+    )
     inter = F.size(F.array_intersect("a_items", "b_items"))
     union = F.size(F.array_union("a_items", "b_items"))
     sim = pairs.select(
@@ -390,30 +408,34 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document: for each md5 nibble position, the
     majority vote of the nibble's top bit across the doc's distinct tokens.
     Near-dups have small Hamming distance (asserted in tests); the H-check
-    pins the signature itself."""
+    pins the signature itself.
+
+    Zero-shuffle: per-token 32-slot contribution vectors are summed
+    elementwise with a single ``aggregate``/``zip_with`` fold inside the
+    row — all in codegen. (The earlier formulation crossJoined ×32
+    positions and groupBy'd (doc_id, p), shuffling 32× the distinct-token
+    stream for what is a row-local reduction.)"""
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.explode(F.array_distinct(_tokens())).alias("token")
-    ).withColumn("h", F.md5("token"))
-    positions = spark.range(1, 33).select(F.col("id").cast("int").alias("p"))
-    contrib = tok.crossJoin(F.broadcast(positions)).select(
-        "doc_id",
-        "p",
-        F.when(F.conv(F.substring("h", F.col("p"), F.lit(1)), 16, 10).cast("int") >= 8, 1)
-        .otherwise(-1)
-        .alias("c"),
+    hashes = F.transform(F.array_distinct(_tokens()), lambda t: F.md5(t))
+    contribs = F.transform(
+        hashes,
+        lambda h: F.transform(
+            F.sequence(F.lit(1), F.lit(32)),
+            lambda p: F.when(
+                F.conv(F.substring(h, p, F.lit(1)), 16, 10).cast("int") >= 8,
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        ),
     )
-    bits = contrib.groupBy("doc_id", "p").agg(
-        F.when(F.sum("c") > 0, "1").otherwise("0").alias("bit")
+    totals = F.aggregate(
+        contribs,
+        F.array_repeat(F.lit(0), 32),
+        lambda acc, c: F.zip_with(acc, c, lambda a, b: a + b),
     )
-    return bits.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("p", "bit"))), lambda s: s["bit"]
-            ),
-            "",
-        ).alias("simhash")
+    simhash = F.array_join(
+        F.transform(totals, lambda t: F.when(t > 0, "1").otherwise("0")), ""
     )
+    return d.select("doc_id", simhash.alias("simhash"))
 
 
 # --------------------------------------------------------------- MinHash+LSH

@@ -134,14 +134,26 @@ def embed_pairwise_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra- vs inter-label average similarity (cluster-quality sanity
     metric) over a deterministic probe subset (vec_id % 5 = 0) to bound
     the pair count."""
+    # Salted replicate join (no corpus-proportional broadcast): the probe
+    # set is 20% OF THE CORPUS, so broadcasting it grows linearly with the
+    # data — a plan that dies at scale. Salting gives the pure theta join
+    # an equi-key: corpus rows get a hash salt in [0, S); probes are
+    # replicated S× in-row; the join shuffles on salt (S keys, even by
+    # construction) and each task does probes × corpus/S work with one
+    # probe salt-slice resident — bounded regardless of corpus size.
+    S = 32
     e = load_table(spark, sf_dir, "embeddings")
-    probes = e.filter(F.col("vec_id") % 5 == 0).select(
-        F.col("vec_id").alias("a_vec"), F.col("embedding").alias("a_emb"),
-        F.col("label").alias("a_label"),
+    probes = (
+        e.filter(F.col("vec_id") % 5 == 0)
+        .select(
+            F.col("vec_id").alias("a_vec"), F.col("embedding").alias("a_emb"),
+            F.col("label").alias("a_label"),
+        )
+        .withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(S)])))
     )
-    # probe subset broadcast against an evenly-partitioned corpus scan
-    pairs = e.repartition(32, "vec_id").join(
-        F.broadcast(probes), F.col("a_vec") < F.col("vec_id")
+    corpus = e.withColumn("_salt", F.pmod(F.xxhash64("vec_id"), F.lit(S)).cast("int"))
+    pairs = corpus.join(probes.hint("merge"), "_salt").filter(
+        F.col("a_vec") < F.col("vec_id")
     )
     return (
         pairs.select(
@@ -169,21 +181,32 @@ def embed_pairwise_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (≥0.99) blocked by label —
-    the embedding-space member of the dedup family."""
+    the embedding-space member of the dedup family.
+
+    Salted replicate join (no corpus broadcast): 10 label blocks → a plain
+    shuffle join on label runs each block's O(n²) pair work in one task,
+    and broadcasting the corpus stops working the moment the table out-
+    grows executor memory. Left side gets a hash salt in [0, S); right is
+    replicated S× via an in-row explode; the equi-key (label, salt) has
+    10·S values, so per-task work is block²/S and per-task memory one
+    salt-slice — both bounded at any corpus size. The sub-quadratic path
+    for 100 TB near-dup remains IVF/LSH bucketing (embed_ann_ivf /
+    dedup_minhash_lsh); exact all-pairs-within-label is the contract here.
+    """
+    S = 8
     e = load_table(spark, sf_dir, "embeddings")
-    # 10 label blocks → a shuffle join on label would run each block's O(n²)
-    # pair work in one task; broadcast right + repartition left by vec_id
-    # spreads pairs evenly (same skew shape as _topk_similar_pairs).
     a = e.select(
         F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"), "label"
-    ).repartition(32, "a_id")
+    ).withColumn("_salt", F.pmod(F.xxhash64("a_id"), F.lit(S)).cast("int"))
     b = e.select(
         F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"),
         F.col("label").alias("b_label"),
-    )
+    ).withColumn("_bsalt", F.explode(F.array(*[F.lit(i) for i in range(S)])))
     pairs = a.join(
-        F.broadcast(b),
-        (F.col("label") == F.col("b_label")) & (F.col("a_id") < F.col("b_id")),
+        b.hint("merge"),  # shuffle = the distribution mechanism (see llm_text)
+        (F.col("label") == F.col("b_label"))
+        & (F.col("_salt") == F.col("_bsalt"))
+        & (F.col("a_id") < F.col("b_id")),
     )
     sims = pairs.select(
         "a_id", "b_id", _cosine(_dvec("a_emb"), _dvec("b_emb")).alias("cos_sim")

@@ -22,20 +22,23 @@ from ..registry import query
     SELECT doc_id,
            len(string_split(text, ' ')) AS n_tokens,
            list_contains(string_split(text, ' '), 'spark') AS has_spark,
-           list_slice(string_split(text, ' '), 1, 5) AS first5,
-           list_sort(list_distinct(string_split(text, ' '))) AS vocab
+           array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS first5,
+           array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS vocab
     FROM documents
     """,
 )
 def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # slice/distinct/sort are the operators under test; the H-checked output
+    # serializes the arrays to strings (driver canonicalizer crashes on raw
+    # array columns — r1 FAIL).
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     return d.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.array_contains(toks, "spark").alias("has_spark"),
-        F.slice(toks, 1, 5).alias("first5"),
-        F.sort_array(F.array_distinct(toks)).alias("vocab"),
+        F.array_join(F.slice(toks, 1, 5), " ").alias("first5"),
+        F.array_join(F.sort_array(F.array_distinct(toks)), " ").alias("vocab"),
     )
 
 
@@ -64,7 +67,7 @@ def array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map_ops",
     oracle="""
     SELECT doc_id,
-           ['lang', 'source'] AS meta_keys,
+           'lang,source' AS meta_keys,
            lang AS lang_val,
            2 AS n_entries
     FROM documents
@@ -74,14 +77,16 @@ def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build a map, list its keys, look up a value, count entries. The
     oracle states the expected *outputs* directly (DuckDB's MAP extract
     returns LIST, not scalar — not portably comparable), so the H-check
-    still validates every map operation's result."""
+    still validates every map operation's result. map_keys is serialized
+    to a string (no ArrayType may leave an H-checked projection — the
+    driver canonicalizer crashes on raw arrays)."""
     d = load_table(spark, sf_dir, "documents")
     m = F.create_map(
         F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
     )
     return d.select(
         "doc_id",
-        F.map_keys(m).alias("meta_keys"),
+        F.array_join(F.map_keys(m), ",").alias("meta_keys"),
         m.getItem("lang").alias("lang_val"),
         F.size(m).alias("n_entries"),
     )
@@ -147,7 +152,9 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            len(embedding) AS dim,
-           round(sqrt(list_dot_product(embedding, embedding)), 4) AS l2_norm,
+           round(sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                       list_transform(embedding, x -> CAST(x AS DOUBLE)))),
+                 4) AS l2_norm,
            round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS el_sum,
            CAST(list_max(embedding) AS DOUBLE) AS el_max
     FROM embeddings

@@ -162,31 +162,38 @@ def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_math",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           round(abs(l_discount - 0.05), 6) AS abs_off,
-           ceil(l_quantity / 7) AS ceil7,
-           floor(l_quantity / 7) AS floor7,
-           round(sqrt(l_extendedprice), 6) AS root_price,
+           abs(l_discount - 0.05) AS abs_off,
+           CAST(ceil(l_quantity / 7) AS BIGINT) AS ceil7,
+           CAST(floor(l_quantity / 7) AS BIGINT) AS floor7,
+           sqrt(l_extendedprice) AS root_price,
            round(ln(l_extendedprice), 6) AS ln_price,
            round(log10(l_extendedprice), 6) AS log10_price,
            l_partkey % 7 AS key_mod7,
-           sign(l_discount - 0.05) AS disc_sign,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
            round(pow(1 + l_tax, 2), 6) AS tax_sq
     FROM lineitem
     """,
 )
 def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Output-type canonicalization (r1 driver FAIL): Spark ceil/floor return
+    # BIGINT while DuckDB's return DOUBLE, and Spark signum is DOUBLE while
+    # DuckDB sign is TINYINT — the driver hash distinguishes 7 from 7.0, so
+    # both sides pin the same primitive (BIGINT / DOUBLE) explicitly.
+    # abs/sub and sqrt are IEEE-exact per-row (correctly rounded), so they
+    # go out raw; transcendentals (ln/log10/pow) are not guaranteed
+    # last-ulp-identical across libms, so they keep the round-6 damping.
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("abs_off"),
-        F.ceil(F.col("l_quantity") / 7).alias("ceil7"),
-        F.floor(F.col("l_quantity") / 7).alias("floor7"),
-        F.round(F.sqrt("l_extendedprice"), 6).alias("root_price"),
+        F.abs(F.col("l_discount") - 0.05).alias("abs_off"),
+        F.ceil(F.col("l_quantity") / 7).cast("bigint").alias("ceil7"),
+        F.floor(F.col("l_quantity") / 7).cast("bigint").alias("floor7"),
+        F.sqrt("l_extendedprice").alias("root_price"),
         F.round(F.log("l_extendedprice"), 6).alias("ln_price"),
         F.round(F.log10("l_extendedprice"), 6).alias("log10_price"),
         (F.col("l_partkey") % 7).alias("key_mod7"),
-        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.signum(F.col("l_discount") - 0.05).cast("double").alias("disc_sign"),
         F.round(F.pow(1 + F.col("l_tax"), 2), 6).alias("tax_sq"),
     )
 
@@ -195,7 +202,7 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_cast",
     oracle="""
     SELECT o_orderkey,
-           CAST(floor(o_totalprice) AS DECIMAL(14,2)) AS price_dec,
+           CAST(CAST(floor(o_totalprice) AS DECIMAL(14,2)) AS DOUBLE) AS price_dec,
            CAST(o_orderdate AS DATE) AS order_date,
            CAST(o_orderkey AS INTEGER) AS key_int,
            CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
@@ -204,13 +211,16 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def scalar_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # double→decimal goes through an explicit round so both engines make the
+    # double→decimal goes through an explicit floor so both engines make the
     # same tie decisions; double→string is deliberately absent (formats
-    # differ irreconcilably between engines).
+    # differ irreconcilably between engines). The decimal cast itself stays
+    # in the plan, but the H-checked OUTPUT is re-cast to DOUBLE: the driver
+    # hash distinguishes Decimal('112946.00') from 112946.0 (r1 FAIL), so
+    # no DecimalType ever leaves a checked projection.
     o = load_table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
-        F.floor("o_totalprice").cast("decimal(14,2)").alias("price_dec"),
+        F.floor("o_totalprice").cast("decimal(14,2)").cast("double").alias("price_dec"),
         F.col("o_orderdate").cast("date").alias("order_date"),
         F.col("o_orderkey").cast("int").alias("key_int"),
         F.col("o_orderkey").cast("string").cast("bigint").alias("key_roundtrip"),

@@ -89,17 +89,29 @@ def udaf_applyInPandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        # raw doubles out of Python: Python round() is banker's rounding
+        # (half-to-even) while SQL round is half-away-from-zero — rounding
+        # happens in Spark SQL below so both engines use SQL semantics.
         return pd.DataFrame(
             {
                 "c_mktsegment": [pdf["c_mktsegment"].iloc[0]],
                 "n": [len(pdf)],
-                "median_bal": [round(float(pdf["c_acctbal"].median()), 4)],
-                "mean_bal": [round(float(pdf["c_acctbal"].mean()), 4)],
+                "median_bal": [float(pdf["c_acctbal"].median())],
+                "mean_bal": [float(pdf["c_acctbal"].mean())],
             }
         )
 
     c = load_table(spark, sf_dir, "customer")
-    return c.groupBy("c_mktsegment").applyInPandas(stats, out_schema)
+    return (
+        c.groupBy("c_mktsegment")
+        .applyInPandas(stats, out_schema)
+        .select(
+            "c_mktsegment",
+            "n",
+            F.round("median_bal", 4).alias("median_bal"),
+            F.round("mean_bal", 4).alias("mean_bal"),
+        )
+    )
 
 
 @query(

@@ -29,6 +29,24 @@ import pyarrow.parquet as pq
 
 SENTINEL_DAYS = (30, 31)
 _cache: dict[tuple, str] = {}
+_max_ts_us: dict[str, int] = {}
+
+
+def events_max_ts(sf_dir: str):
+    """Max real event time (µs-truncated, naive UTC datetime) for ``sf_dir``.
+
+    The sentinel cutoff for stripping far-future marker windows from
+    materialized streaming results. Read via a single-column pyarrow scan —
+    never a Spark batch action inside a streaming query function (an extra
+    full scan of events per query otherwise)."""
+    if sf_dir not in _max_ts_us:
+        ts = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts"]).column("ts")
+        _max_ts_us[sf_dir] = pa.compute.max(ts).cast(pa.int64()).as_py() // 1000
+    import datetime
+
+    return datetime.datetime(1970, 1, 1) + datetime.timedelta(
+        microseconds=_max_ts_us[sf_dir]
+    )
 
 
 def _sentinel_table(max_ts_ns: int, day_offset: int, idx: int) -> pa.Table:

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table, read_stream_events
 from ..registry import query
-from . import stateful
+from . import feeder, stateful
 from .feeder import chunked_events_dir
 from .runner import run_stream
 
@@ -78,9 +78,11 @@ def stream_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = run_stream(agg, output_mode="append")
     # sentinel windows: two isolated far-future events → windows with n=1
-    # at event time beyond all real data; strip by time bound
-    max_real = load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
-    return res.filter(_ntz(F.col("w.start")) <= F.lit(max_real)).select(
+    # at event time beyond all real data; strip by time bound. The cutoff
+    # comes from the feeder (single-column pyarrow scan, cached) — not a
+    # Spark batch action, which would rescan events once per query run.
+    max_real = feeder.events_max_ts(sf_dir)
+    return res.filter(_ntz(F.col("w.start")) <= F.lit(max_real).cast("timestamp_ntz")).select(
         _ntz(F.col("w.start")).alias("win_start"), F.col("n_raw").alias("n")
     )
 

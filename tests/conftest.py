@@ -5,6 +5,7 @@ value comparison; SURVEY.md §5.2.1)."""
 
 from __future__ import annotations
 
+import decimal
 import math
 import os
 import sys
@@ -51,29 +52,45 @@ def duck_t2():
     return _duck_con(SF_T2)
 
 
-def canonical_cell(v) -> str:
-    """One cell → canonical string (shared by both engines' outputs)."""
+def canonical_cell(v, *, strict: bool = True) -> str:
+    """One cell → canonical string (shared by both engines' outputs).
+
+    STRICT by design (r1 lesson): the driver's canonicalizer distinguishes
+    int from float (``7`` vs ``7.0``) and Decimal from float64, and it
+    CRASHES on array/map/struct cells (pandas sort_values → "unhashable
+    type: numpy.ndarray"). The local mirror must therefore be at least as
+    strict: full-precision float repr, type-distinct Decimal marker, and a
+    hard error on nested cells in H-checked outputs.
+    """
     if v is None:
         return "␀"
+    if isinstance(v, bool):
+        return str(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         if v == 0.0:
             v = 0.0  # -0.0 → 0.0
-        # repr at 12 significant digits kills representation noise while
-        # keeping far more precision than the 2–4 digits queries round to.
-        return f"{v:.12g}"
-    if isinstance(v, bool):
-        return str(v)
+        return repr(v)  # full precision; distinguishes 7.0 from int 7
+    if isinstance(v, decimal.Decimal):
+        return f"dec:{v}"  # never matches a float — decimals must not leak
     if isinstance(v, bytes):
         return v.hex()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canonical_cell(x) for x in v) + "]"
-    if isinstance(v, dict):
-        return "{" + ",".join(f"{k}:{canonical_cell(x)}" for k, x in sorted(v.items())) + "}"
-    if hasattr(v, "asDict"):  # Spark Row (struct)
-        d = v.asDict()
-        return "{" + ",".join(f"{k}:{canonical_cell(x)}" for k, x in sorted(d.items())) + "}"
+    if isinstance(v, (list, tuple)) or isinstance(v, dict) or hasattr(v, "asDict"):
+        if strict:
+            raise AssertionError(
+                f"nested cell {type(v).__name__} in H-checked output — the "
+                "driver canonicalizer crashes on these; serialize to string "
+                f"in the final projection: {v!r}"
+            )
+        if isinstance(v, (list, tuple)):
+            return "[" + ",".join(canonical_cell(x, strict=False) for x in v) + "]"
+        d = v if isinstance(v, dict) else v.asDict()
+        return (
+            "{"
+            + ",".join(f"{k}:{canonical_cell(x, strict=False)}" for k, x in sorted(d.items()))
+            + "}"
+        )
     if hasattr(v, "isoformat"):  # datetime / date
         return v.isoformat(sep=" ") if hasattr(v, "hour") else v.isoformat()
     return str(v)

@@ -28,6 +28,42 @@ def test_rows_only(spark, key):
     assert df.columns
 
 
+# Types the driver's canonicalizer can sort/hash. Arrays, maps, structs
+# crash it ("unhashable type: numpy.ndarray", r1); DecimalType hashes
+# differently from float64 (r1 scalar_cast FAIL). Every H-checked query's
+# final projection must stay inside this set — serialize anything nested
+# to a string first.
+_DRIVER_SAFE_TYPES = (
+    "bigint",
+    "int",
+    "smallint",
+    "tinyint",
+    "double",
+    "float",
+    "string",
+    "boolean",
+    "date",
+    "timestamp",
+    "timestamp_ntz",
+    "binary",
+)
+
+
+@pytest.mark.parametrize("key", sorted(ORACLES))
+def test_output_schema_driver_safe(spark, key):
+    df = QUERIES[key](spark, SF_UNIT)
+    bad = [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.dataType.simpleString() not in _DRIVER_SAFE_TYPES
+    ]
+    assert not bad, (
+        f"[{key}] driver-hostile output column(s) {bad} — the driver "
+        "canonicalizer crashes on nested types and mis-hashes decimals; "
+        "cast/serialize in the final projection"
+    )
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

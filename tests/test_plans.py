@@ -44,6 +44,39 @@ def test_range_join_not_nested_loop(spark):
     assert "NestedLoop" not in plan
 
 
+def test_fingerprint_simhash_zero_shuffle(spark):
+    # both are per-row reductions expressed as array folds — any Exchange
+    # here means a corpus-sized stream is being shuffled to compute a
+    # row-local value (the r1 formulations did exactly that).
+    from sparkstreamingstateful_spark.plans import shuffle_count
+
+    assert shuffle_count(QUERIES["doc_fingerprint"](spark, SF_UNIT)) == 0
+    assert shuffle_count(QUERIES["dedup_simhash"](spark, SF_UNIT)) == 0
+
+
+def test_pairwise_salted_scale_shape(spark):
+    # The all-pairs similarity family must survive with broadcasts OFF —
+    # i.e. its joins carry a real (block, salt) equi-key, never an
+    # unconditional corpus broadcast (r1 shape) or a nested-loop fallback.
+    # At test scale Catalyst is free to pick a size-based broadcast; this
+    # pins the 100 TB shape by disabling that choice and re-planning.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for key in (
+            "dedup_near",
+            "dedup_ngram_jaccard",
+            "embed_near_dup",
+            "embed_pairwise_label",
+        ):
+            plan = plan_of(spark, key)
+            assert "_salt" in plan, f"{key}: salted equi-key missing from plan"
+            assert "NestedLoop" not in plan, f"{key}: nested-loop join at scale shape"
+            assert "BroadcastExchange" not in plan, f"{key}: corpus broadcast at scale shape"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_q1_whole_stage_codegen(spark):
     df = QUERIES["agg_hash_q1"](spark, SF_UNIT)
     df.collect()  # AQE: codegen spans only appear in the finalized plan
