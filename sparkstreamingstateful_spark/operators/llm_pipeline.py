@@ -1,0 +1,218 @@
+"""Training-data pipeline operators (SURVEY.md §2.12): the corpus-shaping
+stage between raw documents and a tokenized training set — chunking,
+sequence packing, stratified sampling, sensitive-term scrubbing, and
+cross-source canonical dedup.
+
+Scale posture: chunking / sampling / scrubbing are narrow per-row
+transformations (zero shuffle — they live in the scan pipeline at any
+corpus size). Packing needs a running position, which is a per-shard
+(here per-``source``) window cumsum — the industry-standard concat-then-
+chunk layout packs within a shard precisely so that no global total order
+(a single-reducer sort at 100 TB) is ever required. Cross-source dedup is
+one hash aggregation on the content fingerprint with an in-aggregate
+arg-min (``min(struct(...))``) — no window, no second shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+CHUNK_TOKENS = 64  # chunk length
+CHUNK_STRIDE = 56  # stride (8-token overlap)
+PACK_TOKENS = 2048  # training context window for packing
+
+
+@query(
+    "doc_chunking",
+    oracle=f"""
+    SELECT doc_id,
+           s // {CHUNK_STRIDE} AS chunk_id,
+           array_to_string(list_slice(toks, s + 1, s + {CHUNK_TOKENS}), ' ') AS chunk_text,
+           len(list_slice(toks, s + 1, s + {CHUNK_TOKENS})) AS n_chunk_tokens
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+                 unnest(range(0, len(string_split(text, ' ')), {CHUNK_STRIDE})) AS s
+          FROM documents)
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: 64-token chunks every 56 tokens (8-token
+    overlap), the pre-tokenization split for long-document training. Pure
+    narrow op — explode of an in-row start-position sequence; no shuffle,
+    linear at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 1, F.lit(CHUNK_STRIDE)),
+        lambda s: F.struct(
+            (s / CHUNK_STRIDE).cast("bigint").alias("chunk_id"),
+            F.array_join(F.slice(toks, s + 1, CHUNK_TOKENS), " ").alias("chunk_text"),
+            F.size(F.slice(toks, s + 1, CHUNK_TOKENS)).alias("n_chunk_tokens"),
+        ),
+    )
+    return d.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
+    )
+
+
+@query(
+    "seq_packing",
+    oracle=f"""
+    SELECT doc_id, source, n_tokens,
+           (cum - n_tokens) // {PACK_TOKENS} AS pack_id,
+           (cum - n_tokens) % {PACK_TOKENS} AS pack_offset
+    FROM (SELECT doc_id, source,
+                 len(string_split(text, ' ')) AS n_tokens,
+                 sum(len(string_split(text, ' '))) OVER (
+                     PARTITION BY source ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+          FROM documents)
+    """,
+)
+def seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing: within each source shard, docs
+    (ordered by doc_id) are laid end-to-end and cut into 2048-token
+    training windows; each doc records the pack it starts in and its
+    offset there. Packing is per-shard by design — a global pack order
+    would demand a total-order window (single reducer); per-source
+    partitions keep the cumsum parallel at 100 TB exactly like production
+    packing packs per input shard. Integer arithmetic only: bit-exact
+    across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = d.select("doc_id", "source", n_tokens.alias("n_tokens")).withColumn(
+        "cum", F.sum("n_tokens").over(w)
+    )
+    start = F.col("cum") - F.col("n_tokens")
+    return t.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(start / PACK_TOKENS).alias("pack_id"),
+        (start % PACK_TOKENS).alias("pack_offset"),
+    )
+
+
+# Deterministic content-hash bucket in [0, 100): first 4 hex digits of
+# md5(doc_id) — engine-portable (DuckDB lacks conv(); the fold below is its
+# exact equivalent).
+_DUCK_BUCKET = """
+    ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+     + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+     + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+     + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100
+"""
+
+
+@query(
+    "corpus_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, source, lang,
+           {_DUCK_BUCKET} AS bucket,
+           20 + (CAST(substr(source, 4) AS INTEGER) % 8) * 10 AS rate
+    FROM documents
+    WHERE {_DUCK_BUCKET} < 20 + (CAST(substr(source, 4) AS INTEGER) % 8) * 10
+    """,
+)
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus sampling with per-source rates (20%–90%, derived
+    from the source id) and a content-hash bucket — deterministic and
+    seed-free, so the sample is reproducible across engines, runs, and
+    cluster layouts (unlike rng-based ``sample()``). Narrow op: the
+    bucket is computed from md5 in the scan pipeline, zero shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    rate = 20 + (F.substring("source", 4, 8).cast("int") % 8) * 10
+    return (
+        d.select(
+            "doc_id", "source", "lang", bucket.alias("bucket"), rate.alias("rate")
+        )
+        .filter(F.col("bucket") < F.col("rate"))
+    )
+
+
+_SCRUB_PATTERN = r"\b(customer|key)\b"  # stand-in sensitive-term lexicon
+
+
+@query(
+    "pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           md5(regexp_replace(text, '{_SCRUB_PATTERN}', '<REDACTED>', 'g')) AS scrubbed_md5,
+           len(regexp_extract_all(text, '{_SCRUB_PATTERN}')) AS n_redactions,
+           (len(regexp_extract_all(text, '{_SCRUB_PATTERN}')) = 0) AS clean
+    FROM documents
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensitive-term scrubbing: redact a term lexicon (regexp with word
+    boundaries), count redactions, flag already-clean docs. The checked
+    output pins md5(scrubbed) so the whole rewritten text is verified
+    without shipping long strings through the comparator. Narrow op, zero
+    shuffle; a production pass swaps the lexicon for PII regexes
+    (emails/phones/ids) — machinery identical."""
+    d = load_table(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(F.col("text"), _SCRUB_PATTERN, "<REDACTED>")
+    n_red = F.size(F.regexp_extract_all(F.col("text"), F.lit(_SCRUB_PATTERN), 0))
+    return d.select(
+        "doc_id",
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        n_red.cast("bigint").alias("n_redactions"),
+        (n_red == 0).alias("clean"),
+    )
+
+
+@query(
+    "dedup_cross_source",
+    oracle="""
+    SELECT fp,
+           count(*) OVER (PARTITION BY fp) AS n_copies,
+           doc_id AS keeper_id,
+           source AS keeper_src
+    FROM (SELECT doc_id, source,
+                 CAST(substr(source, 4) AS INTEGER) AS pri,
+                 md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+          FROM documents)
+    QUALIFY row_number() OVER (PARTITION BY fp ORDER BY pri, doc_id) = 1
+    """,
+)
+def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source canonical dedup: group by an order-insensitive content
+    fingerprint, keep the copy from the highest-priority source (lowest
+    source id, doc_id tie-break). One hash aggregation with an
+    in-aggregate arg-min — ``min(struct(pri, doc_id, source))`` orders
+    lexicographically by field, so no window sort and no second shuffle;
+    this is the scale shape for keep-best-copy dedup at 100 TB (the
+    oracle's QUALIFY window is the SQL twin, not the plan)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    fp = F.md5(F.array_join(F.sort_array(F.array_distinct(toks)), " "))
+    pri = F.substring("source", 4, 8).cast("int")
+    t = d.select(
+        "doc_id", "source", pri.alias("pri"), fp.alias("fp")
+    )
+    agg = t.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min(F.struct("pri", "doc_id", "source")).alias("keep"),
+    )
+    return agg.select(
+        "fp",
+        "n_copies",
+        F.col("keep.doc_id").alias("keeper_id"),
+        F.col("keep.source").alias("keeper_src"),
+    )

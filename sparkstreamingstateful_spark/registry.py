@@ -31,6 +31,7 @@ _MODULES = [
     "sparkstreamingstateful_spark.operators.udfs",
     "sparkstreamingstateful_spark.operators.llm_text",
     "sparkstreamingstateful_spark.operators.llm_vector",
+    "sparkstreamingstateful_spark.operators.llm_pipeline",
     "sparkstreamingstateful_spark.streaming.queries",
 ]
 

