@@ -178,6 +178,77 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_end_to_end",
+    oracle=f"""
+    WITH sampled AS (
+        SELECT doc_id, lang, source,
+               regexp_replace(text, '{_SCRUB_PATTERN}', '<REDACTED>', 'g') AS text
+        FROM documents
+        WHERE {_DUCK_BUCKET} < 20 + (CAST(substr(source, 4) AS INTEGER) % 8) * 10
+    ),
+    quality AS (
+        SELECT doc_id, lang, source, text,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM sampled
+        WHERE len(string_split(text, ' ')) BETWEEN 20 AND 200
+          AND len(list_filter(string_split(text, ' '),
+                              t -> t IN ('a', 'the'))) * 2
+              < len(string_split(text, ' '))
+    ),
+    chunks AS (
+        SELECT doc_id, lang, source,
+               len(list_slice(string_split(text, ' '),
+                              s + 1, s + {CHUNK_TOKENS})) AS n_chunk_tokens
+        FROM (SELECT *, unnest(range(0, len(string_split(text, ' ')),
+                                     {CHUNK_STRIDE})) AS s
+              FROM quality)
+    )
+    SELECT lang, source,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_chunks,
+           sum(n_chunk_tokens) AS total_tokens
+    FROM chunks
+    GROUP BY lang, source
+    """,
+)
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data pipeline as ONE composed query: stratified
+    sample → sensitive-term scrub → quality filter → sliding-window chunk
+    → per-(lang, source) corpus accounting. This is the flagship of the
+    §2.12 family: every stage is a narrow transformation until the single
+    final aggregation, so Catalyst collapses sample+scrub+filter+chunk
+    into one scan pipeline — the whole corpus-shaping pass is one job,
+    one shuffle, at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    rate = 20 + (F.substring("source", 4, 8).cast("int") % 8) * 10
+    scrubbed = F.regexp_replace(F.col("text"), _SCRUB_PATTERN, "<REDACTED>")
+    sampled = d.filter(bucket < rate).select(
+        "doc_id", "lang", "source", scrubbed.alias("text")
+    )
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin("a", "the")))
+    quality = sampled.filter(n_tokens.between(20, 200) & (n_stop * 2 < n_tokens))
+    chunk_lens = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 1, F.lit(CHUNK_STRIDE)),
+        lambda s: F.size(F.slice(toks, s + 1, CHUNK_TOKENS)),
+    )
+    chunks = quality.select(
+        "doc_id", "lang", "source", F.explode(chunk_lens).alias("n_chunk_tokens")
+    )
+    return chunks.groupBy("lang", "source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_chunk_tokens").alias("total_tokens"),
+    )
+
+
+@query(
     "dedup_cross_source",
     oracle="""
     SELECT fp,

@@ -89,7 +89,6 @@ _KEY_PRIORITY = [
     "text_tokenize_wordcount",
     "text_language_id",
     "text_quality_score",
-    "text_token_count",
     "doc_fingerprint",
     "dedup_exact",
     "dedup_near",
@@ -103,6 +102,7 @@ _KEY_PRIORITY = [
     "corpus_sample_stratified",
     "pii_scrub",
     "dedup_cross_source",
+    "pipeline_end_to_end",
     # LLM vector family
     "embed_similarity_topk",
     "embed_centroids",
@@ -131,6 +131,7 @@ _KEY_PRIORITY = [
     "multimodal_features",
     "struct_ops",
     "values_inline",
+    "text_token_count",
 ]
 
 
