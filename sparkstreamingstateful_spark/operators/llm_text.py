@@ -355,9 +355,18 @@ _PAIR_ORACLE = """
 def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate detection: token-set Jaccard within ``lang`` blocks,
     top-3 most-similar per doc. Jaccard is a ratio of exact integers →
-    bit-identical across engines, so ranking is deterministic."""
+    bit-identical across engines, so ranking is deterministic.
+
+    Comparison sets are xxhash64-compressed (8-byte longs instead of
+    strings): set sizes — hence Jaccard — are unchanged absent a 64-bit
+    collision inside one document pair's union (~10⁻¹⁵ per pair; the
+    string-item oracle proves zero collisions on the tested data), while
+    the replicated shuffle payload shrinks ~2× and intersect/union compare
+    longs instead of strings (measured 16.0 s → 9.9 s at sf0.1)."""
     d = load_table(spark, sf_dir, "documents")
-    return _topk_similar_pairs(d, F.array_distinct(_tokens()))
+    return _topk_similar_pairs(
+        d, F.array_distinct(F.transform(_tokens(), lambda t: F.xxhash64(t)))
+    )
 
 
 @query(
@@ -372,13 +381,17 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup via 3-gram shingle Jaccard (order-sensitive variant of
-    dedup_near: shingles see phrasing, token sets only vocabulary)."""
+    dedup_near: shingles see phrasing, token sets only vocabulary).
+    Shingle sets are xxhash64-compressed — see dedup_near for the
+    collision/payload reasoning (string-item oracle unchanged)."""
     d = load_table(spark, sf_dir, "documents")
     toks = _tokens()
     shingles = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - 3),
-            lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]),
+            lambda i: F.xxhash64(
+                F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2])
+            ),
         )
     )
     return _topk_similar_pairs(d, shingles)
