@@ -80,12 +80,16 @@ def main() -> int:
                     sc = canonical_rows(s_cols, s_rows)
                     dc = canonical_rows(d_cols, d_rows)
                     if sc != dc:
-                        ndiff = sum(a != b for a, b in zip(sc, dc))
+                        # multiset difference — a positional zip misreports
+                        # shifted rows as mass mismatches
+                        from collections import Counter
+
+                        s_only = Counter(sc) - Counter(dc)
+                        d_only = Counter(dc) - Counter(sc)
+                        ndiff = sum(s_only.values())
                         diffs = [
-                            f"\n    spark: {a}\n    duck : {b}"
-                            for a, b in zip(sc, dc)
-                            if a != b
-                        ][:3]
+                            f"\n    spark-only: {r}" for r in list(s_only)[:3]
+                        ] + [f"\n    duck-only : {r}" for r in list(d_only)[:3]]
                         status = f"HASH MISMATCH ({ndiff} rows differ){''.join(diffs)}"
                         failures.append(key)
                     else:

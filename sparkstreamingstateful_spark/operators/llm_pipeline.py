@@ -106,7 +106,23 @@ def seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Deterministic content-hash bucket in [0, 100): first 4 hex digits of
 # md5(doc_id) — engine-portable (DuckDB lacks conv(); the fold below is its
-# exact equivalent).
+# exact equivalent). The Spark/Duck expression pairs below are shared by
+# corpus_sample_stratified and pipeline_end_to_end so the composed
+# pipeline can never drift from the stage operators it composes.
+
+
+def _bucket_col():
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+
+
+def _rate_col():
+    return 20 + (F.substring("source", 4, 8).cast("int") % 8) * 10
+
+
 _DUCK_BUCKET = """
     ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
@@ -132,21 +148,23 @@ def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster layouts (unlike rng-based ``sample()``). Narrow op: the
     bucket is computed from md5 in the scan pipeline, zero shuffle."""
     d = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("int")
-        % 100
-    )
-    rate = 20 + (F.substring("source", 4, 8).cast("int") % 8) * 10
     return (
         d.select(
-            "doc_id", "source", "lang", bucket.alias("bucket"), rate.alias("rate")
+            "doc_id",
+            "source",
+            "lang",
+            _bucket_col().alias("bucket"),
+            _rate_col().alias("rate"),
         )
         .filter(F.col("bucket") < F.col("rate"))
     )
 
 
 _SCRUB_PATTERN = r"\b(customer|key)\b"  # stand-in sensitive-term lexicon
+
+
+def _scrub_col():
+    return F.regexp_replace(F.col("text"), _SCRUB_PATTERN, "<REDACTED>")
 
 
 @query(
@@ -167,7 +185,7 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; a production pass swaps the lexicon for PII regexes
     (emails/phones/ids) — machinery identical."""
     d = load_table(spark, sf_dir, "documents")
-    scrubbed = F.regexp_replace(F.col("text"), _SCRUB_PATTERN, "<REDACTED>")
+    scrubbed = _scrub_col()
     n_red = F.size(F.regexp_extract_all(F.col("text"), F.lit(_SCRUB_PATTERN), 0))
     return d.select(
         "doc_id",
@@ -220,14 +238,8 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     into one scan pipeline — the whole corpus-shaping pass is one job,
     one shuffle, at any scale."""
     d = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("int")
-        % 100
-    )
-    rate = 20 + (F.substring("source", 4, 8).cast("int") % 8) * 10
-    scrubbed = F.regexp_replace(F.col("text"), _SCRUB_PATTERN, "<REDACTED>")
-    sampled = d.filter(bucket < rate).select(
+    scrubbed = _scrub_col()
+    sampled = d.filter(_bucket_col() < _rate_col()).select(
         "doc_id", "lang", "source", scrubbed.alias("text")
     )
     toks = F.split(F.col("text"), " ")

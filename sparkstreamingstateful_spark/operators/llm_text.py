@@ -298,19 +298,20 @@ def _topk_similar_pairs(d: DataFrame, item_col, k: int = 3) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    left = d.select(
-        "lang", F.col("doc_id").alias("a_id"), item_col.alias("a_items")
-    ).withColumn("_salt", F.pmod(F.xxhash64("a_id"), F.lit(_SALT_PARTS)).cast("int"))
-    right = d.select(
-        "lang", F.col("doc_id").alias("b_id"), item_col.alias("b_items")
-    ).withColumn(
-        "_salt", F.explode(F.array(*[F.lit(i) for i in range(_SALT_PARTS)]))
+    from .salted import replicated, with_salt
+
+    left = with_salt(
+        d.select("lang", F.col("doc_id").alias("a_id"), item_col.alias("a_items")),
+        "a_id",
+        _SALT_PARTS,
     )
-    # merge hint: the shuffle IS the distribution mechanism here — without
-    # it Catalyst broadcasts the (replicated) right side and the probe side
-    # keeps its scan partitioning, i.e. one task per input split does the
-    # whole O(n²) block (measured 79 s vs 16 s at sf0.1). Sort-merge also
-    # spills per key group, so block size never pressures executor memory.
+    right = replicated(
+        d.select("lang", F.col("doc_id").alias("b_id"), item_col.alias("b_items")),
+        _SALT_PARTS,
+    )
+    # merge hint: see operators/salted.py — the shuffle IS the distribution
+    # mechanism, and sort-merge spills per key group, so block size never
+    # pressures executor memory.
     pairs = left.join(right.hint("merge"), ["lang", "_salt"]).filter(
         F.col("a_id") < F.col("b_id")
     )

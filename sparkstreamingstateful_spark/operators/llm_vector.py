@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import query
+from .salted import replicated, with_salt
 
 PROBE_IDS = tuple(range(10))  # fixed probe set for top-k queries
 _PROBES_SQL = ", ".join(str(i) for i in PROBE_IDS)
@@ -143,15 +144,14 @@ def embed_pairwise_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probe salt-slice resident — bounded regardless of corpus size.
     S = 32
     e = load_table(spark, sf_dir, "embeddings")
-    probes = (
-        e.filter(F.col("vec_id") % 5 == 0)
-        .select(
+    probes = replicated(
+        e.filter(F.col("vec_id") % 5 == 0).select(
             F.col("vec_id").alias("a_vec"), F.col("embedding").alias("a_emb"),
             F.col("label").alias("a_label"),
-        )
-        .withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(S)])))
+        ),
+        S,
     )
-    corpus = e.withColumn("_salt", F.pmod(F.xxhash64("vec_id"), F.lit(S)).cast("int"))
+    corpus = with_salt(e, "vec_id", S)
     pairs = corpus.join(probes.hint("merge"), "_salt").filter(
         F.col("a_vec") < F.col("vec_id")
     )
@@ -195,13 +195,21 @@ def embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     S = 8
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(
-        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"), "label"
-    ).withColumn("_salt", F.pmod(F.xxhash64("a_id"), F.lit(S)).cast("int"))
-    b = e.select(
-        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"),
-        F.col("label").alias("b_label"),
-    ).withColumn("_bsalt", F.explode(F.array(*[F.lit(i) for i in range(S)])))
+    a = with_salt(
+        e.select(
+            F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"), "label"
+        ),
+        "a_id",
+        S,
+    )
+    b = replicated(
+        e.select(
+            F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"),
+            F.col("label").alias("b_label"),
+        ),
+        S,
+        col="_bsalt",
+    )
     pairs = a.join(
         b.hint("merge"),  # shuffle = the distribution mechanism (see llm_text)
         (F.col("label") == F.col("b_label"))

@@ -136,9 +136,9 @@ _KEY_PRIORITY = [
 
 
 def _ordered(d: dict) -> dict:
-    missing = [k for k in _KEY_PRIORITY if k not in _QUERIES]
-    if missing:
-        raise KeyError(f"_KEY_PRIORITY names unregistered keys: {missing}")
+    # Tolerant of priority keys whose module didn't import (incremental
+    # milestones — mirrors collect()'s ModuleNotFoundError tolerance);
+    # typos in _KEY_PRIORITY are caught by tests/test_inventory.py instead.
     pri = {k: d[k] for k in _KEY_PRIORITY if k in d}
     rest = {k: v for k, v in d.items() if k not in pri}
     return {**pri, **rest}

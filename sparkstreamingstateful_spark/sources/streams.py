@@ -108,10 +108,19 @@ def kafka_stream_reader(
 
 
 def event_json_lines(rows) -> list[str]:
-    """Serialize event tuples/dicts to the JSON-lines wire format the
-    socket twin parses (test + demo helper)."""
+    """Serialize event records (dicts or pyspark Rows) to the JSON-lines
+    wire format the socket twin parses (test + demo helper). Plain tuples
+    carry no field names and are rejected explicitly."""
     out = []
     for r in rows:
-        d = r if isinstance(r, dict) else dict(r)
+        if isinstance(r, dict):
+            d = r
+        elif hasattr(r, "asDict"):  # pyspark Row
+            d = r.asDict()
+        else:
+            raise TypeError(
+                f"event_json_lines needs dicts or Rows (field names), got "
+                f"{type(r).__name__}"
+            )
         out.append(json.dumps(d, default=str))
     return out

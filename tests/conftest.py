@@ -103,8 +103,44 @@ def canonical_rows(cols: list[str], rows: list[tuple]) -> list[str]:
     return sorted("|".join(canonical_cell(r[i]) for i in order) for r in rows)
 
 
+# Types the driver's canonicalizer can sort/hash. Arrays, maps, structs
+# crash it ("unhashable type: numpy.ndarray", r1); DecimalType hashes
+# differently from float64 (r1 scalar_cast FAIL). Every H-checked query's
+# final projection must stay inside this set — serialize anything nested
+# to a string first. (Spark simpleString() spellings.)
+DRIVER_SAFE_TYPES = (
+    "bigint",
+    "int",
+    "smallint",
+    "tinyint",
+    "double",
+    "float",
+    "string",
+    "boolean",
+    "date",
+    "timestamp",
+    "timestamp_ntz",
+    "binary",
+)
+
+
+def assert_driver_safe_schema(spark_df, *, name: str = "?") -> None:
+    bad = [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in spark_df.schema.fields
+        if f.dataType.simpleString() not in DRIVER_SAFE_TYPES
+    ]
+    assert not bad, (
+        f"[{name}] driver-hostile output column(s) {bad} — the driver "
+        "canonicalizer crashes on nested types and mis-hashes decimals; "
+        "cast/serialize in the final projection"
+    )
+
+
 def compare(spark_df, duck_con, sql: str, *, name: str = "?") -> None:
-    """Assert a Spark DataFrame equals a DuckDB result (driver-t2 mirror)."""
+    """Assert a Spark DataFrame equals a DuckDB result (driver-t2 mirror),
+    including that its output schema is driver-canonicalizer-safe."""
+    assert_driver_safe_schema(spark_df, name=name)
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = list(spark_df.columns)
     d_rel = duck_con.sql(sql)

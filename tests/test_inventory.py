@@ -28,51 +28,29 @@ def test_rows_only(spark, key):
     assert df.columns
 
 
-# Types the driver's canonicalizer can sort/hash. Arrays, maps, structs
-# crash it ("unhashable type: numpy.ndarray", r1); DecimalType hashes
-# differently from float64 (r1 scalar_cast FAIL). Every H-checked query's
-# final projection must stay inside this set — serialize anything nested
-# to a string first.
-_DRIVER_SAFE_TYPES = (
-    "bigint",
-    "int",
-    "smallint",
-    "tinyint",
-    "double",
-    "float",
-    "string",
-    "boolean",
-    "date",
-    "timestamp",
-    "timestamp_ntz",
-    "binary",
-)
-
-
-@pytest.mark.parametrize("key", sorted(ORACLES))
-def test_output_schema_driver_safe(spark, key):
-    df = QUERIES[key](spark, SF_UNIT)
-    bad = [
-        f"{f.name}: {f.dataType.simpleString()}"
-        for f in df.schema.fields
-        if f.dataType.simpleString() not in _DRIVER_SAFE_TYPES
-    ]
-    assert not bad, (
-        f"[{key}] driver-hostile output column(s) {bad} — the driver "
-        "canonicalizer crashes on nested types and mis-hashes decimals; "
-        "cast/serialize in the final projection"
-    )
+# H-checked output schemas are guarded inside compare() (conftest
+# .assert_driver_safe_schema) so each query — streaming ones included —
+# executes once per suite run, serving both the hash check and the
+# schema-safety check.
 
 
 def test_driver_window_all_hash_checked():
     # The correctness driver checks the FIRST 50 registered keys only
     # (measured r1). Every slot in that window must be an H key (an R key
-    # there burns a slot on a `no_oracle` row), and the priority list must
-    # name only real keys (collect() raises otherwise).
+    # there burns a slot on a `no_oracle` row).
     keys = list(QUERIES)
     window = keys[:50]
     not_h = [k for k in window if k not in ORACLES]
     assert not not_h, f"R keys inside the 50-key driver window: {not_h}"
+
+
+def test_priority_names_registered_keys():
+    # _ordered() silently skips unknown priority keys (so a missing module
+    # degrades to a partial inventory instead of crashing the driver);
+    # typos are caught here instead.
+    unknown = [k for k in registry._KEY_PRIORITY if k not in QUERIES]
+    assert not unknown, f"_KEY_PRIORITY names unregistered keys: {unknown}"
+    assert len(set(registry._KEY_PRIORITY)) == len(registry._KEY_PRIORITY)
 
 
 def test_entry_smoke(spark):
