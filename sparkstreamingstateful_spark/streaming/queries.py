@@ -178,9 +178,11 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark evict join state (StreamingSymmetricHashJoin) — without them
     state grows unboundedly (SURVEY §7.2)."""
     feed = chunked_events_dir(sf_dir)
+    # one stream source, self-joined (Spark supports stream self-joins):
+    # both branches share the source's file listing/offsets per trigger
+    stream = read_stream_events(spark, feed)
     purchases = (
-        read_stream_events(spark, feed)
-        .filter(F.col("event_type") == "purchase")
+        stream.filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),
             F.col("user_id").alias("p_user"),
@@ -189,8 +191,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("p_ts", WATERMARK)
     )
     clicks = (
-        read_stream_events(spark, feed)
-        .filter(F.col("event_type") == "click")
+        stream.filter(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("click_id"),
             F.col("user_id").alias("c_user"),
