@@ -314,3 +314,87 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial.groupBy("l_returnflag").agg(
         F.sum("pn").alias("n"), F.round(F.sum("ps"), 2).alias("sum_price")
     )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT c_mktsegment,
+           quantile_cont(c_acctbal, 0.25) AS p25,
+           quantile_cont(c_acctbal, 0.50) AS p50,
+           quantile_cont(c_acctbal, 0.75) AS p75,
+           quantile_cont(c_acctbal, 0.95) AS p95
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) per group. Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` implement the same
+    interpolation and compare bit-identical (verified at sf0.01 before
+    rounding was even considered — raw doubles go out). Exact percentile
+    sorts per group; the approximate-sketch path for 100 TB is
+    ``percentile_approx``/``approx_count_distinct`` (agg_approx)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.expr("percentile(c_acctbal, 0.25)").alias("p25"),
+        F.expr("percentile(c_acctbal, 0.50)").alias("p50"),
+        F.expr("percentile(c_acctbal, 0.75)").alias("p75"),
+        F.expr("percentile(c_acctbal, 0.95)").alias("p95"),
+    )
+
+
+@query(
+    "events_resample_1h",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    counts AS (
+        SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS c
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT CAST(s.h AS TIMESTAMP) AS h, t.event_type,
+           coalesce(c.c, 0) AS n
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN counts c ON c.h = s.h AND c.event_type = t.event_type
+    """,
+)
+def events_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap fill: hourly event counts per type,
+    zero-filled over the full [min, max] hour spine — the hypertable-
+    rollup / downsampling primitive. The spine is GENERATED on the
+    cluster (explode of a sequence built from a 1-row min/max aggregate,
+    broadcast-joined against the distinct type set) — never collected to
+    the driver, so the pattern holds at any time range. The count
+    aggregation is the usual partial+final hash agg; the spine join is a
+    broadcast (spine × types is tiny relative to the fact table by
+    construction)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("c"))
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    return (
+        spine.crossJoin(types)
+        .join(counts, ["h", "event_type"], "left")
+        .select("h", "event_type", F.coalesce(F.col("c"), F.lit(0)).alias("n"))
+    )
