@@ -71,6 +71,70 @@ def decode_media(data: bytes, modality: str, *, fake: bool = False) -> list[floa
     return [b / 255.0 for b in h[:FEATURE_DIM]]
 
 
+def resize_media(data: bytes, width: int, height: int, *, fake: bool = False) -> bytes:
+    """Resize one image/video-frame blob to (width, height).
+
+    Real resizing needs PIL/ffmpeg (absent here) — ``fake=True`` selects a
+    deterministic stand-in (content+dims-seeded bytes of plausible size)
+    that keeps downstream schema/batch shapes production-identical."""
+    if not fake:
+        raise NotImplementedError(
+            "image codecs (PIL/ffmpeg) are not installed; "
+            "pass fake=True for the deterministic stand-in resizer"
+        )
+    seed = hashlib.sha256(data + f"{width}x{height}".encode()).digest()
+    # deterministic pseudo-pixels, 1 byte per pixel (grayscale stand-in)
+    out = (seed * (width * height // len(seed) + 1))[: width * height]
+    return bytes(out)
+
+
+FRAME_BYTES = 256  # fake-codec frame size (fixed-size chunks of the blob)
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_sampled", T.LongType()),
+        T.StructField("sampled_hashes", T.StringType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, *, every_n: int = 3) -> DataFrame:
+    """Video frame sampling via Arrow-batched ``mapInPandas``: treat each
+    blob as fixed-size frames, keep every ``every_n``-th, emit per-doc
+    frame counts + the sampled frames' sha256 fingerprints (a string, so
+    the output is driver-canonicalizer-safe). The deterministic chunking
+    stands in for a real ffmpeg keyframe decode; the Spark-side plumbing
+    (schema, batch iteration, constant per-partition memory) is the
+    production shape. Input needs columns (doc_id, media: binary)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_frames, n_sampled, hashes = [], [], []
+            for blob in (bytes(b) for b in pdf["media"]):
+                frames = [
+                    blob[i : i + FRAME_BYTES]
+                    for i in range(0, len(blob), FRAME_BYTES)
+                ]
+                sampled = frames[::every_n]
+                n_frames.append(len(frames))
+                n_sampled.append(len(sampled))
+                hashes.append(
+                    ",".join(hashlib.sha256(f).hexdigest() for f in sampled)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_frames": n_frames,
+                    "n_sampled": n_sampled,
+                    "sampled_hashes": hashes,
+                }
+            )
+
+    return df.mapInPandas(run, FRAME_SAMPLE_SCHEMA)
+
+
 def extract_features(df: DataFrame, *, fake_decode: bool = True) -> DataFrame:
     """binary column → typed metadata + feature vector via mapInPandas.
 

@@ -607,6 +607,38 @@ def multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH f AS (SELECT doc_id, text,
+                      CAST(ceil(length(text) / 256.0) AS BIGINT) AS n_frames
+               FROM documents)
+    SELECT doc_id, n_frames,
+           len(range(0, n_frames, 3)) AS n_sampled,
+           array_to_string(list_transform(range(0, n_frames, 3),
+               i -> sha256(substring(text, CAST(i * 256 + 1 AS BIGINT), 256))),
+               ',') AS sampled_hashes
+    FROM f
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (L8): every-3rd-frame selection over binary
+    blobs via Arrow mapInPandas (functions/multimodal.py). The fake codec
+    is deterministic fixed-size chunking + sha256 per frame, which lets
+    the ORACLE replay the whole Python pipeline in SQL — so the H-check
+    hash-pins the mapInPandas plumbing itself (batch iteration, binary
+    handling, schema), not just a rows count. (DuckDB 1.0 has no BLOB
+    substring/sha256, so the oracle chunks the TEXT — byte-identical to
+    the Python byte chunking because this corpus is pure ASCII, which the
+    oracle side can assert via octet_length = length; multimodal_binary
+    already H-checks that equality per doc.)"""
+    from ..functions.multimodal import sample_frames
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select("doc_id", F.encode("text", "UTF-8").alias("media"))
+    return sample_frames(media, every_n=3)
+
+
 @query("multimodal_features")  # rows-only: stand-in decoder is Spark-side only
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode/feature-extract pipeline (stubbed codecs): binary
