@@ -174,3 +174,62 @@ def map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return d.mapInPandas(check_lengths, "doc_id long, calc_len long, len_ok boolean")
+
+
+@query(
+    "udf_arrow",
+    oracle="""
+    SELECT doc_id, lower(trim(text)) AS norm_text FROM documents
+    """,
+)
+def udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (Spark 4 ``useArrow=True``): same logical
+    op as udf_python (U1) but serialized over Arrow batches instead of
+    row-at-a-time pickling — the drop-in upgrade path for existing scalar
+    UDFs that can't be rewritten as pandas UDFs (10-100x less
+    serialization overhead, same per-row Python execution)."""
+
+    @F.udf(T.StringType(), useArrow=True)
+    def normalize(s: str) -> str:
+        return s.strip().lower() if s is not None else None
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", normalize("text").alias("norm_text"))
+
+
+@query(
+    "udaf_pandas_window",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           quantile_cont(c_acctbal, 0.5)
+               OVER (PARTITION BY c_mktsegment) AS seg_median,
+           (c_acctbal > quantile_cont(c_acctbal, 0.5)
+               OVER (PARTITION BY c_mktsegment)) AS above_median
+    FROM customer
+    """,
+)
+def udaf_pandas_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF applied OVER A WINDOW (the third pandas-UDF
+    flavor after scalar U2 and group-map U3): every customer row gets its
+    segment's median attached, computed once per partition group in a
+    single Arrow batch. pandas' linear-interpolation median is
+    bit-identical to DuckDB's quantile_cont (same rule as
+    udaf_applyInPandas), so no rounding is needed."""
+    import pandas as pd
+
+    @F.pandas_udf(T.DoubleType())
+    def median_agg(v: pd.Series) -> float:
+        return float(v.median())
+
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment")
+    seg_median = median_agg("c_acctbal").over(w)
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        seg_median.alias("seg_median"),
+        (F.col("c_acctbal") > seg_median).alias("above_median"),
+    )
