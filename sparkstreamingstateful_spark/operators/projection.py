@@ -242,3 +242,26 @@ def scalar_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("text_md5"),
         F.sha2("text", 256).alias("text_sha256"),
     )
+
+
+@query(
+    "unpivot_melt",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, value
+    FROM (UNPIVOT lineitem
+          ON l_quantity, l_extendedprice, l_discount
+          INTO NAME metric VALUE value)
+    """,
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (UNPIVOT / melt): three measure columns become
+    (metric, value) rows — the inverse of agg_conditional_pivot's pivot.
+    A narrow per-row expansion (each input row yields 3 output rows in
+    the scan pipeline); no shuffle at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "value",
+    )

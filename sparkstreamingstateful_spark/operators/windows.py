@@ -145,3 +145,31 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select(F.col("o_custkey").alias("c_custkey"), "o_orderkey", "rn")
     )
+
+
+@query(
+    "window_distribution",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cum_dist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank / cume_dist)
+    per segment. The order key carries the unique c_custkey tie-break, so
+    ranks are total and the rational outputs ((rank-1)/(n-1), rownum/n)
+    are identical integer divisions on both engines — exact doubles, no
+    rounding."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+    )
