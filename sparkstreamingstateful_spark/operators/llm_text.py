@@ -663,3 +663,104 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("media"),
     )
     return extract_features(media, fake_decode=True)
+
+
+_EDGES_SQL = """
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM (SELECT lang, doc_id,
+                     list_distinct(list_transform(
+                         range(1, len(string_split(text, ' ')) - 1),
+                         i -> string_split(text, ' ')[i] || ' ' ||
+                              string_split(text, ' ')[i + 1] || ' ' ||
+                              string_split(text, ' ')[i + 2])) AS items
+              FROM documents) a
+        JOIN (SELECT lang, doc_id,
+                     list_distinct(list_transform(
+                         range(1, len(string_split(text, ' ')) - 1),
+                         i -> string_split(text, ' ')[i] || ' ' ||
+                              string_split(text, ' ')[i + 1] || ' ' ||
+                              string_split(text, ' ')[i + 2])) AS items
+              FROM documents) b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.items, b.items)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.items, b.items))) >= 0.7
+"""
+
+
+@query(
+    "dedup_cluster_cc",
+    oracle=f"""
+    WITH RECURSIVE
+    edges AS ({_EDGES_SQL}),
+    sym AS (SELECT a_id AS a, b_id AS b FROM edges
+            UNION SELECT b_id, a_id FROM edges),
+    nodes AS (SELECT DISTINCT a AS n FROM sym),
+    reach(n, m) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a
+    ),
+    comp AS (SELECT n AS node, min(m) AS component FROM reach GROUP BY n)
+    SELECT c.node, c.component,
+           s.sz AS cluster_size,
+           (c.node = c.component) AS is_keeper
+    FROM comp c
+    JOIN (SELECT component, count(*) AS sz
+          FROM comp GROUP BY component) s USING (component)
+    """,
+)
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS via connected components over the LSH pair graph
+    — pairs alone over-count duplicates when A~B and B~C; transitive
+    clustering picks ONE keeper per group (the min doc_id), the standard
+    last stage of corpus dedup.
+
+    Spark side: iterative min-label propagation (the dataframe form of
+    large-star/small-star) — per iteration one join + min-agg, with
+    ``localCheckpoint`` truncating the lineage so plans don't grow with
+    iterations. Label propagation converges to the unique fixed point
+    (min node id per component), so the result is deterministic and the
+    oracle can replay it with a recursive-CTE transitive closure. At
+    100 TB the edge graph is the LSH output (tiny relative to the
+    corpus: near-dup pairs only), so iterations are cheap; the driver
+    only ever sees a converged/changed counter, never the data."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
+    sym = pairs.union(
+        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    ).select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    labels = (
+        sym.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(20):
+        neigh = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nl"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.node == neigh.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nl", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    comp = labels.select("node", F.col("label").alias("component"))
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "component").select(
+        "node",
+        "component",
+        "cluster_size",
+        (F.col("node") == F.col("component")).alias("is_keeper"),
+    )
