@@ -233,3 +233,38 @@ def udaf_pandas_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         seg_median.alias("seg_median"),
         (F.col("c_acctbal") > seg_median).alias("above_median"),
     )
+
+
+@query(
+    "map_in_arrow",
+    oracle="""
+    SELECT doc_id, length(text) AS calc_len,
+           (length(text) = n_chars) AS len_ok
+    FROM documents
+    """,
+)
+def map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-partition RAW Arrow transform (mapInArrow): like
+    map_in_pandas but the Python function sees pyarrow RecordBatches
+    directly — no pandas conversion at all, the lowest-overhead Python
+    boundary Spark offers (columnar compute via pyarrow.compute kernels,
+    zero per-row Python)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def check(batches):
+        for batch in batches:
+            calc = pc.cast(pc.utf8_length(batch.column("text")), pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    calc,
+                    pc.equal(calc, batch.column("n_chars")),
+                ],
+                names=["doc_id", "calc_len", "len_ok"],
+            )
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "text", "n_chars").mapInArrow(
+        check, "doc_id long, calc_len long, len_ok boolean"
+    )
