@@ -128,3 +128,31 @@ values_inline = _sql_query(
     GROUP BY v.status_code, v.status_name
     """,
 )
+
+
+@query(
+    "sql_parameterized",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_totalprice > 150000 AND o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 4 named-parameter binding): values are
+    bound server-side as literals — no string interpolation, immune to
+    SQL injection, and Catalyst constant-folds the bound parameters so
+    pushdown works exactly as with inline literals."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        WHERE o_totalprice > :min_price AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"min_price": 150000, "status": "O"},
+    )
