@@ -6,8 +6,9 @@ key in ``__spark_entry__.queries()``: run the Spark query at the given
 sf_dir and strict-compare against ``oracle_sql()[key]`` on a DuckDB
 connection with the ten tables registered as views. The comparator is the
 STRICT one from tests/conftest (full-precision floats, int≠float,
-Decimal≠float, hard error on nested cells) — at least as strict as the
-driver's pandas-based canonicalizer.
+Decimal≠float, hard error on nested cells) AND the oracle side is fetched
+via ``fetchdf()`` — the same pandas dtype-coercion path the real driver
+uses (r2 proved a ``fetchall()`` mirror is blind to HUGEINT→float64).
 
 Usage:
     python scripts/driver_sim.py [--sf /root/testdata/sf0.01] [--keys k1,k2]
@@ -34,7 +35,12 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
-    from tests.conftest import _duck_con, canonical_rows
+    from tests.conftest import (
+        _duck_con,
+        assert_engine_type_kinds,
+        canonical_rows,
+        fetch_oracle,
+    )
 
     # Plain session on purpose: proves runtime self-configuration.
     spark = (
@@ -67,9 +73,12 @@ def main() -> int:
             if key not in oracles:
                 status = f"rows_only ({len(s_rows)} rows)"
             else:
-                rel = duck.sql(oracles[key])
-                d_cols = list(rel.columns)
-                d_rows = [tuple(r) for r in rel.fetchall()]
+                # fetchdf(), NOT fetchall(): the real driver fetches the
+                # oracle through pandas, whose dtype coercions (HUGEINT→
+                # float64 etc.) are part of what must be verified — r2's
+                # 5 hash-FAILs were invisible to a fetchall() mirror.
+                d_cols, d_types, d_rows = fetch_oracle(duck, oracles[key])
+                assert_engine_type_kinds(df, d_cols, d_types, name=key)
                 if sorted(s_cols) != sorted(d_cols):
                     status = f"SCHEMA MISMATCH spark={sorted(s_cols)} duck={sorted(d_cols)}"
                     failures.append(key)

@@ -171,7 +171,12 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_asof",
     oracle="""
     SELECT p.event_id AS purchase_id,
-           c.event_id AS click_id
+           -- DOUBLE on both sides: click_id is NULL for unmatched
+           -- purchases, and pandas (the driver's fetchdf) promotes a
+           -- nullable int64 column to float64 — a BIGINT column would
+           -- hash as int or float depending on whether the data happens
+           -- to contain a null (it does at sf0.001, not at sf0.01)
+           CAST(c.event_id AS DOUBLE) AS click_id
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       ON p.user_id = c.user_id AND c.ts <= p.ts
@@ -211,7 +216,12 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         unioned.withColumn("last_click", F.last("click_id", ignorenulls=True).over(w))
         .filter(F.col("kind") == 1)
-        .select("purchase_id", F.col("last_click").alias("click_id"))
+        .select(
+            "purchase_id",
+            # double: see oracle comment — nullable ints are not
+            # fetchdf-stable, so the nullable side goes out as float64
+            F.col("last_click").cast("double").alias("click_id"),
+        )
     )
 
 

@@ -69,9 +69,13 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
            (cum - n_tokens) % {PACK_TOKENS} AS pack_offset
     FROM (SELECT doc_id, source,
                  len(string_split(text, ' ')) AS n_tokens,
-                 sum(len(string_split(text, ' '))) OVER (
+                 -- CAST: the window sum is HUGEINT, and HUGEINT `//`/`%`
+                 -- stay HUGEINT → float64 via the driver's fetchdf()
+                 -- while Spark emits int64 (r2 FAIL). Casting `cum` once
+                 -- keeps all downstream arithmetic in BIGINT.
+                 CAST(sum(len(string_split(text, ' '))) OVER (
                      PARTITION BY source ORDER BY doc_id
-                     ROWS UNBOUNDED PRECEDING) AS cum
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
           FROM documents)
     """,
 )
@@ -224,7 +228,8 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang, source,
            count(DISTINCT doc_id) AS n_docs,
            count(*) AS n_chunks,
-           sum(n_chunk_tokens) AS total_tokens
+           -- CAST: HUGEINT sum → float64 via fetchdf (r2 FAIL)
+           CAST(sum(n_chunk_tokens) AS BIGINT) AS total_tokens
     FROM chunks
     GROUP BY lang, source
     """,

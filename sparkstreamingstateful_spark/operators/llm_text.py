@@ -34,8 +34,10 @@ def _tokens(col="text"):
     oracle="""
     SELECT lang, source, count(*) AS n_docs,
            round(avg(n_chars), 4) AS avg_chars,
-           sum(n_chars) AS total_chars,
-           sum(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END) AS n_len_ok
+           -- CAST: DuckDB integer sum() is HUGEINT → float64 via the
+           -- driver's fetchdf(), vs Spark's int64 (r2 FAIL)
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok
     FROM documents
     GROUP BY lang, source
     """,
@@ -90,7 +92,9 @@ _LEX_VALUES = ", ".join(f"('{t}', '{l}', {w})" for t, l, w in _LEXICON)
     oracle=f"""
     WITH lex(token, lang, weight) AS (VALUES {_LEX_VALUES}),
     scores AS (
-        SELECT d.doc_id, lex.lang AS cand_lang, sum(lex.weight) AS score
+        SELECT d.doc_id, lex.lang AS cand_lang,
+               -- CAST: HUGEINT sum → float64 via fetchdf (r2 FAIL)
+               CAST(sum(lex.weight) AS BIGINT) AS score
         FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
               FROM documents) d
         JOIN lex ON d.token = lex.token
@@ -725,15 +729,22 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus: near-dup pairs only), so iterations are cheap; the driver
     only ever sees a converged/changed counter, never the data."""
     pairs = dedup_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
-    sym = pairs.union(
-        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
-    ).select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    sym = (
+        pairs.union(
+            pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+        )
+        .select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        # materialize ONCE: without this every iteration re-runs the whole
+        # MinHash+LSH candidate pipeline that produced the edge list
+        .localCheckpoint()
+    )
     labels = (
         sym.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(20):
+    max_iters, converged = 20, False
+    for _ in range(max_iters):
         neigh = (
             sym.join(labels, sym.dst == labels.node)
             .groupBy("src")
@@ -755,7 +766,18 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Unconverged labels are WRONG components (they would silently
+        # hash-mismatch the oracle's exact transitive closure). Min-label
+        # propagation needs ≤ graph-diameter iterations — near-dup
+        # clusters are shallow, so exhaustion means a pathological graph
+        # and must be loud.
+        raise RuntimeError(
+            f"dedup_cluster_cc: label propagation did not converge in "
+            f"{max_iters} iterations — component diameter exceeds the cap"
+        )
     comp = labels.select("node", F.col("label").alias("component"))
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return comp.join(sizes, "component").select(

@@ -191,7 +191,10 @@ def udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.udf(T.StringType(), useArrow=True)
     def normalize(s: str) -> str:
-        return s.strip().lower() if s is not None else None
+        # strip(' ') not strip(): bare strip removes ALL whitespace
+        # (tabs/newlines/unicode) while the oracle's trim(text) removes
+        # only spaces — both engines must strip the same character set
+        return s.strip(" ").lower() if s is not None else None
 
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", normalize("text").alias("norm_text"))

@@ -54,62 +54,108 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-# Evidence-priority ordering. The round-1 correctness driver stopped after
-# the FIRST 50 registered keys (registration order), so iteration order is
-# the lever that decides which keys get hard oracle signal. The first 50
-# entries are all H keys with no green driver check yet (the 4 r1
-# hash-FAILs, fixed in r2, plus never-reached keys incl. the new §2.12
-# family); see the 50-key boundary comment below. The r1-green keys follow
-# in their original order.
+# Evidence-priority ordering. The correctness driver checks exactly the
+# FIRST 50 registered keys each round (count cap, measured r1/r2), so
+# iteration order is the lever that decides which keys get hard oracle
+# signal. Round-3 rotation (per VERDICT r2 item 2): the window holds
+# (a) the 5 keys whose oracles were re-typed after the r2 HUGEINT/float64
+# FAILs plus join_asof (output re-typed for fetchdf null-promotion),
+# (b) all 16 keys that had never been driver-checked (registered past
+# slot 50 in r1/r2), (c) the r3 re-scoped scale-shape keys whose outputs
+# changed, and (d) a refresh backfill of the OLDEST (r1-era) greens —
+# flagship agg_hash_q1 first among them. Cheap keys lead so a driver
+# timeout still yields the new evidence.
 _KEY_PRIORITY = [
-    # r1 hash-FAILs, fixed (type-canonical final projections)
+    # (a) r2 hash-FAILs, oracle types fixed (CAST ... AS BIGINT)
+    "json_extract",
+    "text_stats",
+    "text_language_id",
+    "seq_packing",
+    "pipeline_end_to_end",
+    # (a) nullable-int output re-typed to double (fetchdf promotes
+    # nullable int64 to float64, so the old schema was data-dependent)
+    "join_asof",
+    # (b) never driver-checked: r2-new keys + carried-over tail
+    "struct_ops",
+    "values_inline",
+    "text_token_count",
+    "unpivot_melt",
+    "agg_percentiles",
+    "events_resample_1h",
+    "window_distribution",
+    "sql_parameterized",
+    "udf_arrow",
+    "udaf_pandas_window",
+    "map_in_arrow",
+    "multimodal_frame_sample",
+    "dedup_minhash_lsh",
+    "dedup_cluster_cc",
+    "stateful_running_agg_tws",
+    "multimodal_features",  # R: records its first no_oracle row
+    # (c) r3 re-scoped scale shapes (outputs changed — need fresh rows)
+    "dedup_near",
+    "dedup_ngram_jaccard",
+    "embed_pairwise_label",
+    "embed_near_dup",
+    # (d) refresh backfill: r1-era greens, oldest evidence first
+    "agg_hash_q1",
+    "scan_parquet",
+    "scan_projection_pushdown",
+    "write_roundtrip",
+    "project_compute",
+    "filter_basic",
+    "filter_conditional",
+    "scalar_string",
+    "scalar_date",
+    "scalar_hash",
+    "join_inner",
+    "join_broadcast",
+    "join_left",
+    "join_right",
+    "join_full",
+    "join_semi",
+    "join_anti",
+    "join_cross",
+    "join_theta_range",
+    "join_multikey",
+    "agg_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    # --- 50-key boundary ---
+    # Below: r2-green keys (checked last round) in r2 order, then the
+    # remaining r1 greens; they rotate forward in later rounds.
     "scalar_math",
     "scalar_cast",
     "agg_collect",
     "array_ops",
-    # nested: never reached (map_ops had the same latent canonicalizer crash)
     "map_ops",
-    "json_extract",
     "vector_ops",
-    # SQL surface
     "subquery_scalar",
     "subquery_in",
     "subquery_correlated_exists",
     "cte_query",
     "sql_tpch_q3like",
     "sql_tpch_q5like",
-    # UDF surface
     "udf_python",
     "udf_pandas",
     "udaf_applyInPandas",
     "udtf_python",
     "map_in_pandas",
-    # LLM text family
-    "text_stats",
     "text_tokenize_wordcount",
-    "text_language_id",
     "text_quality_score",
     "doc_fingerprint",
     "dedup_exact",
-    "dedup_near",
-    "dedup_ngram_jaccard",
     "dedup_simhash",
     "stream_text_analysis",
     "multimodal_binary",
-    # pipeline family (r2, H-checked)
     "doc_chunking",
-    "seq_packing",
     "corpus_sample_stratified",
     "pii_scrub",
     "dedup_cross_source",
-    "pipeline_end_to_end",
-    # LLM vector family
     "embed_similarity_topk",
     "embed_centroids",
-    "embed_pairwise_label",
-    "embed_near_dup",
     "embed_ann_ivf",
-    # streaming / stateful
     "stream_window_tumbling",
     "stream_window_sliding",
     "stream_window_session",
@@ -120,20 +166,6 @@ _KEY_PRIORITY = [
     "stateful_sessionize",
     "stateful_dedup_keyed",
     "stream_window_late_drop",
-    # --- 50-key boundary: the driver's r1 correctness pass checked exactly
-    # the first 50 registered keys, so everything above is an H key with no
-    # green driver check yet. Below: still-unverified keys that yield less
-    # evidence per slot — multimodal_features (R) records only `no_oracle`,
-    # the TWS variant executes the same fallback code path as
-    # stateful_running_agg in this container, struct_ops/values_inline/
-    # text_token_count are trivial-risk scalars, and dedup_minhash_lsh
-    # (promoted to H late in r2) queues here for the next rotation.
-    "stateful_running_agg_tws",
-    "dedup_minhash_lsh",
-    "multimodal_features",
-    "struct_ops",
-    "values_inline",
-    "text_token_count",
 ]
 
 

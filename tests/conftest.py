@@ -11,6 +11,7 @@ import os
 import sys
 
 import duckdb
+import numpy as np
 import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -61,21 +62,15 @@ def canonical_cell(v, *, strict: bool = True) -> str:
     type: numpy.ndarray"). The local mirror must therefore be at least as
     strict: full-precision float repr, type-distinct Decimal marker, and a
     hard error on nested cells in H-checked outputs.
+
+    r2 lesson: the driver fetches the ORACLE via ``fetchdf()`` (pandas),
+    so oracle cells arrive as numpy scalars / pd.Timestamp with pandas'
+    coercions applied (HUGEINT→float64, NULL-int→NaN, DATE→midnight
+    Timestamp). This canonicalizer accepts both worlds and normalizes the
+    pandas-implied equivalences (NaN ≡ NULL, date ≡ midnight timestamp)
+    while keeping the int/float axis strict — that is exactly the axis
+    the driver hash-failed 5 keys on in r2.
     """
-    if v is None:
-        return "␀"
-    if isinstance(v, bool):
-        return str(v)
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        if v == 0.0:
-            v = 0.0  # -0.0 → 0.0
-        return repr(v)  # full precision; distinguishes 7.0 from int 7
-    if isinstance(v, decimal.Decimal):
-        return f"dec:{v}"  # never matches a float — decimals must not leak
-    if isinstance(v, bytes):
-        return v.hex()
     if isinstance(v, (list, tuple)) or isinstance(v, dict) or hasattr(v, "asDict"):
         if strict:
             raise AssertionError(
@@ -91,8 +86,31 @@ def canonical_cell(v, *, strict: bool = True) -> str:
             + ",".join(f"{k}:{canonical_cell(x, strict=False)}" for k, x in sorted(d.items()))
             + "}"
         )
-    if hasattr(v, "isoformat"):  # datetime / date
-        return v.isoformat(sep=" ") if hasattr(v, "hour") else v.isoformat()
+    if v is None or v != v:  # None, float NaN, np.nan, pd.NaT (all non-self-equal)
+        # r2 lesson: the driver's fetchdf() path renders oracle NULL ints
+        # as NaN while Spark collect() gives None — the pandas-implied
+        # equivalence NaN ≡ NULL is therefore part of the driver contract.
+        return "␀"
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, np.integer):
+        return str(int(v))
+    if isinstance(v, (float, np.floating)):
+        v = float(v)
+        if v == 0.0:
+            v = 0.0  # -0.0 → 0.0
+        return repr(v)  # full precision; distinguishes 7.0 from int 7
+    if isinstance(v, decimal.Decimal):
+        return f"dec:{v}"  # never matches a float — decimals must not leak
+    if isinstance(v, bytes):
+        return v.hex()
+    if hasattr(v, "isoformat"):  # datetime / pd.Timestamp / date
+        if hasattr(v, "hour"):
+            return v.isoformat(sep=" ")
+        # pure date: fetchdf renders DATE as a midnight Timestamp, so a
+        # date canonicalizes to the same string (the kind-check still
+        # enforces date↔DATE pairing at the schema level).
+        return v.isoformat() + " 00:00:00"
     return str(v)
 
 
@@ -124,6 +142,91 @@ DRIVER_SAFE_TYPES = (
 )
 
 
+# Type KINDS for the cross-engine schema check. The driver compares the
+# Spark result against the oracle fetched via fetchdf(), and pandas'
+# dtype coercion makes some DuckDB types hash-hostile no matter what the
+# values are: HUGEINT (any uncast integer sum), DECIMAL, and HUGEINT-based
+# `//` / `%` arithmetic all become float64 while Spark emits int64 — the
+# exact root cause of all 5 r2 hash-FAILs. Mapping a DuckDB result type to
+# None below is therefore a hard error: the oracle must CAST.
+_SPARK_KIND = {
+    "bigint": "int",
+    "int": "int",
+    "smallint": "int",
+    "tinyint": "int",
+    "double": "float",
+    "float": "float",
+    "string": "str",
+    "boolean": "bool",
+    "date": "date",
+    "timestamp": "ts",
+    "timestamp_ntz": "ts",
+    "binary": "bytes",
+}
+
+
+def _duck_kind(t: str) -> str | None:
+    t = t.upper()
+    if t in ("BIGINT", "INTEGER", "SMALLINT", "TINYINT"):
+        return "int"
+    if t in ("DOUBLE", "FLOAT", "REAL"):
+        return "float"
+    if t == "VARCHAR":
+        return "str"
+    if t == "BOOLEAN":
+        return "bool"
+    if t == "DATE":
+        return "date"
+    if t.startswith("TIMESTAMP"):
+        return "ts"
+    if t == "BLOB":
+        return "bytes"
+    return None  # HUGEINT, DECIMAL(...), unsigned, LIST, STRUCT, MAP, ...
+
+
+def fetch_oracle(duck_con, sql: str):
+    """Run oracle SQL the way the DRIVER does: bind the relation (types
+    available pre-execution), then fetch through ``fetchdf()`` so every
+    pandas dtype coercion the driver will apply is applied here too.
+    Returns (cols, duck_type_strings, rows-as-tuples-of-pandas-scalars)."""
+    rel = duck_con.sql(sql)
+    cols = list(rel.columns)
+    types = [str(t) for t in rel.types]
+    df = rel.fetchdf()
+    rows = [tuple(r) for r in df.itertuples(index=False, name=None)]
+    return cols, types, rows
+
+
+def assert_engine_type_kinds(spark_df, d_cols, d_types, *, name: str = "?") -> None:
+    """Cross-engine schema-kind lint: for every shared column name, the
+    Spark type and the DuckDB ORACLE type must map to the same kind, and
+    the DuckDB type must be fetchdf-stable (no HUGEINT/DECIMAL/nested).
+    This catches the whole r2 failure class (uncast integer ``sum()``,
+    HUGEINT ``//``/``%``, quantile DECIMALs) structurally, before any
+    value comparison."""
+    s_types = {f.name: f.dataType.simpleString() for f in spark_df.schema.fields}
+    errs = []
+    for col, d_t in zip(d_cols, d_types):
+        dk = _duck_kind(d_t)
+        if dk is None:
+            errs.append(
+                f"{col}: oracle emits {d_t} — fetchdf() coerces this to "
+                "float64/object and the driver hash-fails; CAST(... AS "
+                "BIGINT/DOUBLE/VARCHAR) in the oracle's final SELECT"
+            )
+            continue
+        s_t = s_types.get(col)
+        if s_t is None:
+            continue  # name mismatch reported by the column compare
+        sk = _SPARK_KIND.get(s_t)
+        if sk is not None and sk != dk:
+            errs.append(
+                f"{col}: spark {s_t} (kind {sk}) vs oracle {d_t} (kind {dk})"
+                " — the driver canonicalizer distinguishes these"
+            )
+    assert not errs, f"[{name}] engine type-kind mismatch:\n  " + "\n  ".join(errs)
+
+
 def assert_driver_safe_schema(spark_df, *, name: str = "?") -> None:
     bad = [
         f"{f.name}: {f.dataType.simpleString()}"
@@ -143,9 +246,8 @@ def compare(spark_df, duck_con, sql: str, *, name: str = "?") -> None:
     assert_driver_safe_schema(spark_df, name=name)
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = list(spark_df.columns)
-    d_rel = duck_con.sql(sql)
-    d_cols = list(d_rel.columns)
-    d_rows = [tuple(r) for r in d_rel.fetchall()]
+    d_cols, d_types, d_rows = fetch_oracle(duck_con, sql)
+    assert_engine_type_kinds(spark_df, d_cols, d_types, name=name)
 
     assert sorted(s_cols) == sorted(d_cols), (
         f"[{name}] column mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"

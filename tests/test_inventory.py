@@ -21,6 +21,29 @@ def test_oracle_match(spark, duck, key):
     compare(df, duck, ORACLES[key], name=key)
 
 
+@pytest.mark.parametrize("key", sorted(ORACLES))
+def test_oracle_types_fetchdf_stable(duck, key):
+    # Pure-bind lint (no Spark, no execution): every oracle's result type
+    # must survive the driver's fetchdf() unchanged. HUGEINT (uncast
+    # integer sum), DECIMAL (quantile/`round` on decimals), unsigned and
+    # nested types all coerce to float64/object in pandas and hash-fail
+    # the driver even when values match — the root cause of all 5 r2
+    # FAILs. DuckDB binds types without executing, so this covers the
+    # whole registry in milliseconds.
+    from .conftest import _duck_kind
+
+    rel = duck.sql(ORACLES[key])
+    bad = [
+        f"{c}: {t}"
+        for c, t in zip(rel.columns, [str(t) for t in rel.types])
+        if _duck_kind(str(t)) is None
+    ]
+    assert not bad, (
+        f"[{key}] fetchdf-unstable oracle output type(s) {bad} — "
+        "CAST the expression in the oracle's final SELECT"
+    )
+
+
 @pytest.mark.parametrize("key", sorted(set(QUERIES) - set(ORACLES)))
 def test_rows_only(spark, key):
     df = QUERIES[key](spark, SF_UNIT)
@@ -36,11 +59,14 @@ def test_rows_only(spark, key):
 
 def test_driver_window_all_hash_checked():
     # The correctness driver checks the FIRST 50 registered keys only
-    # (measured r1). Every slot in that window must be an H key (an R key
-    # there burns a slot on a `no_oracle` row).
+    # (measured r1/r2). Every slot in that window must be an H key (an R
+    # key there burns a slot on a `no_oracle` row) — except an explicit
+    # allowlist of R keys that have NEVER been driver-checked and are
+    # spending one slot to get their first (rows-only) driver row.
+    allowed_r = {"multimodal_features"}  # r3: first driver evidence
     keys = list(QUERIES)
     window = keys[:50]
-    not_h = [k for k in window if k not in ORACLES]
+    not_h = [k for k in window if k not in ORACLES and k not in allowed_r]
     assert not not_h, f"R keys inside the 50-key driver window: {not_h}"
 
 
