@@ -35,11 +35,15 @@ SHOWCASE = [
      "zero shuffles (r1 exploded + groupBy'd the whole shingle stream)"),
     ("dedup_simhash", "32-bit majority vote as one aggregate/zip_with fold "
      "in codegen: zero shuffles (r1 crossJoined ×32 + groupBy)"),
-    ("dedup_near", "all-pairs Jaccard via salted replicate join: equi-key "
-     "(lang, salt), no corpus broadcast, per-task work = block²/S"),
-    ("embed_pairwise_label", "theta join given a salt equi-key: probes "
-     "replicated S× in-row, corpus hashed on salt — no corpus-sized "
-     "broadcast"),
+    ("dedup_near", "threshold Jaccard via prefix filtering (All-Pairs/"
+     "SSJoin): candidates from shared rare prefix items only — equi-join "
+     "on (lang, item), cost tracks candidates, never corpus²"),
+    ("embed_near_dup", "SRP-LSH: sign-random-projection banding — "
+     "candidates from (band, sig) equi-join, exact cosine on candidates "
+     "only"),
+    ("embed_pairwise_label", "capped deterministic probe panel (≤64/label "
+     "via md5 rank) broadcast against one corpus scan — pair work linear "
+     "in corpus at any scale"),
     ("embed_similarity_topk", "brute-force ANN baseline: broadcast probes, "
      "single corpus scan"),
 ]

@@ -7,8 +7,9 @@ Dedup scale posture (100 TB):
 
 * exact dedup is a hash-groupBy — one shuffle on the 128-bit content hash,
   no pairwise work, linear in corpus size;
-* pairwise similarity ops are always *blocked* (here by ``lang``; at scale
-  by lang × length-band × LSH bucket) so the quadratic term is per-block;
+* thresholded pairwise similarity uses PREFIX FILTERING (All-Pairs /
+  SSJoin): candidates only from shared rare prefix items, then exact
+  verify — cost tracks the candidate count, never corpus²;
 * MinHash+LSH (``dedup_minhash_lsh``) is the scale path: signature is
   linear per doc, banding turns near-dup search into an equi-join on
   (band, band-hash) — exactly the shuffle shape Spark loves — and exact
@@ -17,7 +18,7 @@ Dedup scale posture (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import SCHEMAS, load_table
@@ -279,98 +280,122 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------- L4 + variants
-_SALT_PARTS = 8  # replicate factor for salted all-pairs joins
+def _threshold_pairs_prefix(
+    d: DataFrame, item_col, tau_num: int, tau_den: int
+) -> DataFrame:
+    """All pairs with set-Jaccard ≥ τ within ``lang`` blocks, via PREFIX
+    FILTERING (the All-Pairs / SSJoin candidate generation of Bayardo,
+    Ma & Srikant, WWW'07 and Chaudhuri et al., ICDE'06 — public papers).
 
+    Exactness: order every doc's item set by ascending global document
+    frequency (ties by item). If J(A,B) ≥ τ then the overlap o satisfies
+    o ≥ τ·max(|A|,|B|), so the smallest common item must lie within the
+    first |X| − ⌈τ·|X|⌉ + 1 items of BOTH sets (else all common items fit
+    in a suffix smaller than o — contradiction). Joining on prefix items
+    therefore finds every qualifying pair; an exact Jaccard verify on the
+    candidates makes the output provably equal to the exhaustive oracle.
 
-def _topk_similar_pairs(d: DataFrame, item_col, k: int = 3) -> DataFrame:
-    """Blocked pairwise Jaccard → top-k most-similar per left doc.
-    ``item_col`` builds the comparison set (distinct tokens or shingles).
+    Scale shape: no all-pairs join anywhere. Work = one token-frequency
+    agg + a self-join on (lang, prefix-item) whose cost tracks the
+    CANDIDATE count — with rare-items-first ordering, prefix blocks are
+    the smallest posting lists, so candidates ≈ qualifying pairs + near
+    misses on a Zipfian corpus. (On THIS synthetic shared-vocabulary
+    corpus token-set candidates stay dense — measured 30.1k candidates
+    for 2.4k qualifying token-set pairs at sf0.01 — because every doc
+    draws from one tiny vocabulary; the shingle variant prunes to ~6.
+    The SHAPE is what survives 100 TB: cost is output-sensitive, not
+    corpus-quadratic.)
 
-    Skew + scale shape: the block key (``lang``) has ~5 values, so a plain
-    shuffle join on it runs each block's entire O(n²) similarity work in
-    ONE task (measured: 34-74 s single-task at sf0.1), and broadcasting a
-    block means materializing a corpus-sized table on every executor —
-    impossible at 100 TB. The salted replicate join fixes both without a
-    broadcast: the left side gets a hash salt in [0, S), the right side is
-    replicated S× (an in-row explode — no driver involvement), and the
-    join key becomes (lang, salt) with cardinality 5·S. Per-task work is
-    n_block²/S, per-task memory is one salt-slice vs one block — both
-    bounded and even. The quadratic term itself is intrinsic to exact
-    all-pairs top-k; the sub-quadratic 100 TB route is LSH candidate
-    generation (dedup_minhash_lsh), which changes the answer from "top-k
-    most similar" to "pairs above threshold".
+    The prefix bound uses INTEGER arithmetic (⌈τn⌉ = (num·n+den−1) div
+    den) — an IEEE ceil(0.9·30)=28 off-by-one would silently drop pairs
+    sitting exactly on the threshold. The verify filter compares
+    den·i ≥ num·u in integers on both engines for the same reason.
     """
-    from pyspark.sql import Window
-
-    from .salted import replicated, with_salt
-
-    left = with_salt(
-        d.select("lang", F.col("doc_id").alias("a_id"), item_col.alias("a_items")),
-        "a_id",
-        _SALT_PARTS,
+    items = d.select("lang", "doc_id", item_col.alias("items"))
+    tok = items.select("lang", "doc_id", F.explode("items").alias("tok"))
+    # global document frequency — rare items first makes prefixes selective
+    df_ = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = Window.partitionBy("doc_id").orderBy("df", "tok")
+    min_overlap = (
+        (F.lit(tau_num) * F.col("n") + (tau_den - 1)) / tau_den
+    ).cast("long")
+    prefix = (
+        tok.join(df_, "tok")
+        .withColumn("rnk", F.row_number().over(w_doc))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        .filter(F.col("rnk") <= F.col("n") - min_overlap + 1)
+        .select("lang", "doc_id", "tok")
     )
-    right = replicated(
-        d.select("lang", F.col("doc_id").alias("b_id"), item_col.alias("b_items")),
-        _SALT_PARTS,
+    cand = (
+        prefix.select("lang", F.col("doc_id").alias("a_id"), "tok")
+        .join(prefix.select("lang", F.col("doc_id").alias("b_id"), "tok"), ["lang", "tok"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("lang", "a_id", "b_id")
+        .distinct()
     )
-    # merge hint: see operators/salted.py — the shuffle IS the distribution
-    # mechanism, and sort-merge spills per key group, so block size never
-    # pressures executor memory.
-    pairs = left.join(right.hint("merge"), ["lang", "_salt"]).filter(
-        F.col("a_id") < F.col("b_id")
+    verified = (
+        cand.join(
+            items.select(F.col("doc_id").alias("a_id"), F.col("items").alias("a_items")),
+            "a_id",
+        )
+        .join(
+            items.select(F.col("doc_id").alias("b_id"), F.col("items").alias("b_items")),
+            "b_id",
+        )
+        .select(
+            "lang",
+            "a_id",
+            "b_id",
+            F.size(F.array_intersect("a_items", "b_items")).alias("i"),
+            F.size(F.array_union("a_items", "b_items")).alias("u"),
+        )
     )
-    inter = F.size(F.array_intersect("a_items", "b_items"))
-    union = F.size(F.array_union("a_items", "b_items"))
-    sim = pairs.select(
+    return verified.filter(
+        F.lit(tau_den) * F.col("i") >= F.lit(tau_num) * F.col("u")
+    ).select(
         "lang",
         "a_id",
         "b_id",
-        (inter.cast("double") / union.cast("double")).alias("jaccard"),
-    )
-    w = Window.partitionBy("a_id").orderBy(F.col("jaccard").desc(), "b_id")
-    return (
-        sim.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("lang", "a_id", "b_id", F.round("jaccard", 6).alias("jaccard"), "rn")
+        F.round(F.col("i").cast("double") / F.col("u"), 6).alias("jaccard"),
     )
 
 
 _PAIR_ORACLE = """
-    WITH items AS (SELECT lang, doc_id, {items_expr} AS items FROM documents),
-    pairs AS (
-        SELECT a.lang, a.doc_id AS a_id, b.doc_id AS b_id,
-               CAST(len(list_intersect(a.items, b.items)) AS DOUBLE)
-               / len(list_distinct(list_concat(a.items, b.items))) AS jaccard
-        FROM items a JOIN items b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    )
-    SELECT lang, a_id, b_id, round(jaccard, 6) AS jaccard,
-           row_number() OVER (PARTITION BY a_id
-                              ORDER BY jaccard DESC, b_id) AS rn
-    FROM pairs
-    QUALIFY rn <= 3
+    WITH items AS (SELECT lang, doc_id, {items_expr} AS items FROM documents)
+    SELECT a.lang, a.doc_id AS a_id, b.doc_id AS b_id,
+           round(CAST(len(list_intersect(a.items, b.items)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.items, b.items))), 6) AS jaccard
+    FROM items a JOIN items b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE {tau_den} * len(list_intersect(a.items, b.items))
+          >= {tau_num} * len(list_distinct(list_concat(a.items, b.items)))
 """
 
 
 @query(
     "dedup_near",
     oracle=_PAIR_ORACLE.format(
-        items_expr="list_distinct(string_split(text, ' '))"
+        items_expr="list_distinct(string_split(text, ' '))",
+        tau_num=9,
+        tau_den=10,
     ),
 )
 def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate detection: token-set Jaccard within ``lang`` blocks,
-    top-3 most-similar per doc. Jaccard is a ratio of exact integers →
-    bit-identical across engines, so ranking is deterministic.
+    """Near-duplicate detection: all pairs with token-set Jaccard ≥ 0.9
+    within ``lang`` blocks (SURVEY §2 L4's "Jaccard ≥ τ" semantic — r3
+    re-scoped from all-pairs top-3 to the thresholded form so the prefix
+    filter applies; the oracle is the exhaustive thresholded self-join,
+    so the output is still provably exact).
 
     Comparison sets are xxhash64-compressed (8-byte longs instead of
     strings): set sizes — hence Jaccard — are unchanged absent a 64-bit
     collision inside one document pair's union (~10⁻¹⁵ per pair; the
-    string-item oracle proves zero collisions on the tested data), while
-    the replicated shuffle payload shrinks ~2× and intersect/union compare
-    longs instead of strings (measured 16.0 s → 9.9 s at sf0.1)."""
+    string-item oracle proves zero collisions on the tested data)."""
     d = load_table(spark, sf_dir, "documents")
-    return _topk_similar_pairs(
-        d, F.array_distinct(F.transform(_tokens(), lambda t: F.xxhash64(t)))
+    return _threshold_pairs_prefix(
+        d,
+        F.array_distinct(F.transform(_tokens(), lambda t: F.xxhash64(t))),
+        tau_num=9,
+        tau_den=10,
     )
 
 
@@ -381,14 +406,19 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             range(1, len(string_split(text, ' ')) - 1),
             i -> string_split(text, ' ')[i] || ' ' ||
                  string_split(text, ' ')[i + 1] || ' ' ||
-                 string_split(text, ' ')[i + 2]))"""
+                 string_split(text, ' ')[i + 2]))""",
+        tau_num=7,
+        tau_den=10,
     ),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup via 3-gram shingle Jaccard (order-sensitive variant of
-    dedup_near: shingles see phrasing, token sets only vocabulary).
-    Shingle sets are xxhash64-compressed — see dedup_near for the
-    collision/payload reasoning (string-item oracle unchanged)."""
+    """Near-dup via 3-gram shingle Jaccard ≥ 0.7 (order-sensitive variant
+    of dedup_near: shingles see phrasing, token sets only vocabulary) —
+    same prefix-filtered exact join; shingles are the discriminative
+    feature here (measured: candidates collapse from ~30k to ~6 at
+    sf0.01 because shingle document frequency is near 1). Shingle sets
+    are xxhash64-compressed — see dedup_near (string-item oracle
+    unchanged)."""
     d = load_table(spark, sf_dir, "documents")
     toks = _tokens()
     shingles = F.array_distinct(
@@ -399,7 +429,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return _topk_similar_pairs(d, shingles)
+    return _threshold_pairs_prefix(d, shingles, tau_num=7, tau_den=10)
 
 
 # --------------------------------------------------------------- SimHash

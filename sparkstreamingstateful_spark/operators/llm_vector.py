@@ -23,8 +23,6 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import query
-from .salted import replicated, with_salt
-
 PROBE_IDS = tuple(range(10))  # fixed probe set for top-k queries
 _PROBES_SQL = ", ".join(str(i) for i in PROBE_IDS)
 
@@ -119,10 +117,20 @@ def embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROBE_CAP = 64  # per-label probe budget — FIXED, independent of corpus size
+
+
 @query(
     "embed_pairwise_label",
     oracle=f"""
-    WITH probes AS (SELECT * FROM embeddings WHERE vec_id % 5 = 0)
+    WITH probes AS (
+        SELECT vec_id, label, embedding
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY label
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+              FROM embeddings)
+        WHERE rn <= {_PROBE_CAP}
+    )
     SELECT a.label AS a_label, (a.label = b.label) AS intra,
            count(*) AS n_pairs,
            round(avg({_COS_SQL.format(a="a.embedding", b="b.embedding")}), 4)
@@ -133,26 +141,33 @@ def embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embed_pairwise_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra- vs inter-label average similarity (cluster-quality sanity
-    metric) over a deterministic probe subset (vec_id % 5 = 0) to bound
-    the pair count."""
-    # Salted replicate join (no corpus-proportional broadcast): the probe
-    # set is 20% OF THE CORPUS, so broadcasting it grows linearly with the
-    # data — a plan that dies at scale. Salting gives the pure theta join
-    # an equi-key: corpus rows get a hash salt in [0, S); probes are
-    # replicated S× in-row; the join shuffles on salt (S keys, even by
-    # construction) and each task does probes × corpus/S work with one
-    # probe salt-slice resident — bounded regardless of corpus size.
-    S = 32
+    metric), estimated from a CAPPED deterministic probe panel: the
+    ``_PROBE_CAP`` lowest-md5(vec_id) vectors per label.
+
+    r3 re-scope (the 100 TB shape): the r2 version's probe set was a
+    FIXED FRACTION of the corpus (vec_id % 5 = 0), so pair work grew
+    quadratically with the data — salting spread the pain but the total
+    was still O(n²/25). A per-label hash-rank CAP makes the probe panel
+    constant-size (≤ labels × {_PROBE_CAP} rows) at any corpus size, so
+    the metric costs probes × corpus = ONE linear scan with a broadcast
+    panel — and the md5 ordering makes the panel reproducible across
+    engines, runs, and cluster layouts (same determinism argument as
+    corpus_sample_stratified). The oracle replays the identical cap, so
+    the estimate is hash-checked exactly."""
     e = load_table(spark, sf_dir, "embeddings")
-    probes = replicated(
-        e.filter(F.col("vec_id") % 5 == 0).select(
-            F.col("vec_id").alias("a_vec"), F.col("embedding").alias("a_emb"),
-            F.col("label").alias("a_label"),
-        ),
-        S,
+    w_cap = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
     )
-    corpus = with_salt(e, "vec_id", S)
-    pairs = corpus.join(probes.hint("merge"), "_salt").filter(
+    probes = (
+        e.withColumn("rn", F.row_number().over(w_cap))
+        .filter(F.col("rn") <= _PROBE_CAP)
+        .select(
+            F.col("vec_id").alias("a_vec"),
+            F.col("embedding").alias("a_emb"),
+            F.col("label").alias("a_label"),
+        )
+    )
+    pairs = e.crossJoin(F.broadcast(probes)).filter(
         F.col("a_vec") < F.col("vec_id")
     )
     return (
@@ -169,58 +184,134 @@ def embed_pairwise_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- SRP-LSH (sign random projection, Charikar STOC'02 — public) -------
+# Deterministic ±1 hyperplane codebook shared by the Spark side and the
+# oracle: component (k, pos) = +1 iff the first md5 byte of "srp:k:pos"
+# is ≥ 0x80. No RNG — the codebook is a pure function of (k, pos), so
+# both engines inline the SAME literals and signatures are replayable.
+_SRP_BANDS, _SRP_ROWS, _SRP_DIM = 4, 8, 64
+
+
+def _srp_planes() -> list[list[float]]:
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"srp:{k}:{p}".encode()).hexdigest()[:2], 16) >= 128
+            else -1.0
+            for p in range(_SRP_DIM)
+        ]
+        for k in range(_SRP_BANDS * _SRP_ROWS)
+    ]
+
+
+_PLANES = _srp_planes()
+
+
+def _srp_band_sql() -> str:
+    # per-band signature: 8 sign bits packed into an int, one SELECT per
+    # band UNION ALL'd (DuckDB side of the shared codebook)
+    parts = []
+    for b in range(_SRP_BANDS):
+        bits = " + ".join(
+            "(CASE WHEN list_dot_product(v, ["
+            + ",".join(str(c) for c in _PLANES[b * _SRP_ROWS + j])
+            + f"]) > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(_SRP_ROWS)
+        )
+        parts.append(f"SELECT vec_id, {b} AS band, CAST({bits} AS BIGINT) AS sig FROM dv")
+    return " UNION ALL ".join(parts)
+
+
 @query(
     "embed_near_dup",
     oracle=f"""
-    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-           round({_COS_SQL.format(a="a.embedding", b="b.embedding")}, 6) AS cos_sim
-    FROM embeddings a
-    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= 0.99
+    WITH dv AS (SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+    sigs AS ({_srp_band_sql()}),
+    cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+             FROM sigs a JOIN sigs b
+               ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+    scored AS (SELECT c.a_id, c.b_id,
+                      list_dot_product(x.v, y.v)
+                      / (sqrt(list_dot_product(x.v, x.v))
+                         * sqrt(list_dot_product(y.v, y.v))) AS cos_sim
+               FROM cand c
+               JOIN dv x ON x.vec_id = c.a_id
+               JOIN dv y ON y.vec_id = c.b_id)
+    SELECT a_id, b_id, round(cos_sim, 6) AS cos_sim,
+           (cos_sim >= 0.99) AS is_near_dup
+    FROM scored
     """,
 )
 def embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (≥0.99) blocked by label —
-    the embedding-space member of the dedup family.
+    """Embedding-cosine near-dup via SRP-LSH (sign-random-projection
+    hashing, Charikar STOC'02): 32 deterministic ±1 hyperplanes → 4 bands
+    of 8 sign bits → candidate pairs = equi-join on (band, signature) →
+    exact cosine on candidates, near-dup flag at ≥ 0.99.
 
-    Salted replicate join (no corpus broadcast): 10 label blocks → a plain
-    shuffle join on label runs each block's O(n²) pair work in one task,
-    and broadcasting the corpus stops working the moment the table out-
-    grows executor memory. Left side gets a hash salt in [0, S); right is
-    replicated S× via an in-row explode; the equi-key (label, salt) has
-    10·S values, so per-task work is block²/S and per-task memory one
-    salt-slice — both bounded at any corpus size. The sub-quadratic path
-    for 100 TB near-dup remains IVF/LSH bucketing (embed_ann_ivf /
-    dedup_minhash_lsh); exact all-pairs-within-label is the contract here.
-    """
-    S = 8
+    r3 re-scope (the 100 TB shape): the r2 version was exact all-pairs
+    within label blocks — per-block work grew quadratically with the
+    corpus (flagged as a scale-killer in VERDICT r2). SRP banding makes
+    candidate generation an equi-join on high-cardinality (band, sig)
+    keys — linear signature work per vector, quadratic work only inside
+    hash buckets, the cosine twin of dedup_minhash_lsh. Detection
+    probability per band is (1−θ/π)^8, so a true 0.99-cosine pair
+    (θ≈8.1°) is caught with p≈0.991 across 4 bands; candidates carry
+    their EXACT cosine, so precision is 1 by construction. The output is
+    the full candidate set (not just the ≥0.99 subset — this corpus has
+    no pairs above 0.52, measured) so the driver hash-pins the whole
+    bucketing pipeline; the oracle replays signatures, banding, and
+    scoring from the shared md5 codebook."""
     e = load_table(spark, sf_dir, "embeddings")
-    a = with_salt(
-        e.select(
-            F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"), "label"
-        ),
+    dv = e.select("vec_id", _dvec("embedding").alias("v"))
+
+    def band_sig(b: int):
+        bits = None
+        for j in range(_SRP_ROWS):
+            plane = F.array(
+                *[F.lit(c) for c in _PLANES[b * _SRP_ROWS + j]]
+            )
+            bit = F.when(_dot(F.col("v"), plane) > 0, F.lit(1 << j)).otherwise(
+                F.lit(0)
+            )
+            bits = bit if bits is None else bits + bit
+        return bits.cast("long")
+
+    sigs = dv.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), band_sig(b).alias("sig")
+                    )
+                    for b in range(_SRP_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("vec_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    cand = (
+        sigs.alias("x")
+        .join(sigs.alias("y"), ["band", "sig"])
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("a_id"), F.col("y.vec_id").alias("b_id")
+        )
+        .distinct()
+    )
+    scored = (
+        cand.join(dv.select(F.col("vec_id").alias("a_id"), F.col("v").alias("a_v")), "a_id")
+        .join(dv.select(F.col("vec_id").alias("b_id"), F.col("v").alias("b_v")), "b_id")
+        .select("a_id", "b_id", _cosine(F.col("a_v"), F.col("b_v")).alias("cos_sim"))
+    )
+    return scored.select(
         "a_id",
-        S,
-    )
-    b = replicated(
-        e.select(
-            F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"),
-            F.col("label").alias("b_label"),
-        ),
-        S,
-        col="_bsalt",
-    )
-    pairs = a.join(
-        b.hint("merge"),  # shuffle = the distribution mechanism (see llm_text)
-        (F.col("label") == F.col("b_label"))
-        & (F.col("_salt") == F.col("_bsalt"))
-        & (F.col("a_id") < F.col("b_id")),
-    )
-    sims = pairs.select(
-        "a_id", "b_id", _cosine(_dvec("a_emb"), _dvec("b_emb")).alias("cos_sim")
-    )
-    return sims.filter(F.col("cos_sim") >= 0.99).select(
-        "a_id", "b_id", F.round("cos_sim", 6).alias("cos_sim")
+        "b_id",
+        F.round("cos_sim", 6).alias("cos_sim"),
+        (F.col("cos_sim") >= 0.99).alias("is_near_dup"),
     )
 
 

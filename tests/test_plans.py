@@ -54,12 +54,13 @@ def test_fingerprint_simhash_zero_shuffle(spark):
     assert shuffle_count(QUERIES["dedup_simhash"](spark, SF_UNIT)) == 0
 
 
-def test_pairwise_salted_scale_shape(spark):
-    # The all-pairs similarity family must survive with broadcasts OFF —
-    # i.e. its joins carry a real (block, salt) equi-key, never an
-    # unconditional corpus broadcast (r1 shape) or a nested-loop fallback.
-    # At test scale Catalyst is free to pick a size-based broadcast; this
-    # pins the 100 TB shape by disabling that choice and re-planning.
+def test_similarity_bucketed_scale_shape(spark):
+    # The similarity family must survive with size-based broadcasts OFF:
+    # every join must carry a real equi-key (prefix item, LSH band+sig),
+    # never an unconditional corpus broadcast or a nested-loop fallback.
+    # r3: dedup_near/dedup_ngram_jaccard are prefix-filtered threshold
+    # joins, embed_near_dup is SRP-LSH, dedup_minhash_lsh is MinHash-LSH —
+    # all candidate-bucketed, none all-pairs.
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
@@ -67,12 +68,30 @@ def test_pairwise_salted_scale_shape(spark):
             "dedup_near",
             "dedup_ngram_jaccard",
             "embed_near_dup",
-            "embed_pairwise_label",
+            "dedup_minhash_lsh",
         ):
             plan = plan_of(spark, key)
-            assert "_salt" in plan, f"{key}: salted equi-key missing from plan"
             assert "NestedLoop" not in plan, f"{key}: nested-loop join at scale shape"
+            assert "CartesianProduct" not in plan, f"{key}: cartesian join"
             assert "BroadcastExchange" not in plan, f"{key}: corpus broadcast at scale shape"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_pairwise_label_bounded_broadcast(spark):
+    # embed_pairwise_label's probe panel is CAPPED (labels × _PROBE_CAP
+    # rows) and explicitly broadcast — the corpus side must stream past it
+    # in one scan. The broadcast here is the design (bounded side), so it
+    # must survive even with size-based broadcasts disabled.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, "embed_pairwise_label")
+        assert "BroadcastExchange" in plan, "capped probe panel not broadcast"
+        # the corpus side must NOT be exchanged for the pair join — a
+        # sort-merge join would mean the panel lost its bounded-broadcast
+        # plan and the corpus is being shuffled against itself
+        assert "SortMergeJoin" not in plan.split("BroadcastExchange")[0]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
