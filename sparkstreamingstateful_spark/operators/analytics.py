@@ -1,0 +1,355 @@
+"""Event-analytics operators (r3 additions): CDC latest-wins upsert,
+sequenced funnel, cohort retention, multi-resolution rollup cascade, and
+a time-interval window frame — the product-analytics / warehouse-
+maintenance surface over the ``events`` fact table.
+
+Scale posture: every op here is hash-agg / window shaped — shuffles only
+on real keys (user_id, time bucket), no self-joins without an equi key,
+no global sorts. The rollup cascade demonstrates PARTIAL REAGGREGATION
+(minute → hour → day reuses the lower level instead of rescanning the
+fact table), which is the hypertable/continuous-aggregate maintenance
+shape: at 100 TB the day level reads the hour level's few rows, not the
+raw events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+# --------------------------------------------------------------- CDC upsert
+@query(
+    "cdc_upsert_latest",
+    oracle="""
+    SELECT user_id, ts AS last_ts, event_type AS last_type,
+           value AS last_value,
+           -- CAST: count(*) over a window partition is BIGINT, but keep
+           -- the explicit cast convention for integer aggregates
+           CAST(n_changes AS BIGINT) AS n_changes
+    FROM (SELECT user_id, ts, event_type, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn,
+                 count(*) OVER (PARTITION BY user_id) AS n_changes
+          FROM events)
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC latest-wins upsert (MERGE-INTO semantics): the events feed is a
+    change stream keyed by ``user_id``; the materialized state keeps each
+    key's most recent record (``ts`` desc, ``event_id`` tie-break) and
+    drops keys whose latest record is a tombstone (``error``). One
+    shuffle on the key + a per-key window — the standard incremental
+    upsert compaction; at scale the same plan applies per partition of
+    the base table, which is how a lakehouse MERGE compacts a day's
+    changes."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    wc = Window.partitionBy("user_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_changes", F.count(F.lit(1)).over(wc))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+            "n_changes",
+        )
+    )
+
+
+# --------------------------------------------------------------- SCD2
+@query(
+    "scd2_intervals",
+    oracle="""
+    SELECT user_id,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           event_type, value,
+           ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           (lead(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: every change record
+    becomes a version row with a validity interval [valid_from,
+    valid_to); the open (current) version has a NULL valid_to — nullable
+    TIMESTAMP is fetchdf-stable (datetime64 + NaT), unlike nullable
+    ints. One shuffle on the key, one ordered pass (row_number + lead
+    share the same window frame) — the standard dimension-table rebuild
+    from a CDC feed, per-key parallel at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        F.row_number().over(w).cast("bigint").alias("version"),
+        "event_type",
+        "value",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+# --------------------------------------------------------------- batch sessions
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+@query(
+    "events_sessionize_batch",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                            > {_SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts, value,
+               -- CAST: window sum of INTEGER is HUGEINT → float64 via
+               -- the driver's fetchdf. (ts, event_id) order everywhere:
+               -- a ts-only cumsum is ambiguous across equal timestamps.
+               CAST(sum(new_sess) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, session_seq,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """,
+)
+def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-sessionization (the batch twin of the streaming
+    ``stateful_sessionize``): a session breaks after 30 minutes of
+    per-user inactivity. Session boundaries come from a lag-compare, ids
+    from a running sum of the break flags — two window passes over ONE
+    shuffle on ``user_id`` (same partitioning, Spark reuses the
+    exchange), then a hash agg per session. Gap compares use integer
+    epoch-micros so the boundary is engine-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    lag_us = F.lag(us).over(w)
+    new_sess = F.when(
+        lag_us.isNull() | (us - lag_us > _SESSION_GAP_US), F.lit(1)
+    ).otherwise(F.lit(0))
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = ev.select(
+        "user_id", "event_id", "ts", "value", new_sess.alias("new_sess")
+    ).withColumn("session_seq", F.sum("new_sess").over(w_cum).cast("bigint"))
+    return numbered.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+# --------------------------------------------------------------- funnel
+@query(
+    "events_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS t_view
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t_view
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          GROUP BY e.user_id)
+    SELECT u.user_id, v.t_view, c.t_click, p.t_purchase,
+           (v.user_id IS NOT NULL) AS reached_view,
+           (c.user_id IS NOT NULL) AS reached_click,
+           (p.user_id IS NOT NULL) AS reached_purchase
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN v ON u.user_id = v.user_id
+    LEFT JOIN c ON u.user_id = c.user_id
+    LEFT JOIN p ON u.user_id = p.user_id
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequenced conversion funnel (view → click → purchase): each stage's
+    timestamp must strictly follow the previous stage's — the standard
+    product-analytics funnel, NOT three independent mins. Three keyed
+    aggregations, each over a stream pre-filtered to one event type and
+    (after stage 1) semi-joined to the prior stage — every join is an
+    equi-join on ``user_id``, so the whole funnel is shuffle-on-key at
+    any scale. Nullable stage timestamps stay TIMESTAMP (fetchdf keeps
+    datetime64 columns NaT-safe, unlike nullable ints)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    users = ev.select("user_id").distinct()
+    return (
+        users.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            F.col("t_view").isNotNull().alias("reached_view"),
+            F.col("t_click").isNotNull().alias("reached_click"),
+            F.col("t_purchase").isNotNull().alias("reached_purchase"),
+        )
+    )
+
+
+# --------------------------------------------------------------- cohorts
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH cohorts AS (
+        SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    )
+    SELECT c.cohort_day,
+           date_diff('day', c.cohort_day, a.day) AS day_offset,
+           count(*) AS n_users
+    FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+    GROUP BY c.cohort_day, date_diff('day', c.cohort_day, a.day)
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, counted
+    on each later active day as an offset from their cohort day — the
+    canonical retention triangle. Two hash aggregations plus one
+    equi-join on ``user_id``; distinct-day dedup happens BEFORE the join
+    so the join carries one row per (user, day), not the raw stream.
+    ``count(*)`` after a distinct is exact (each user counts once per
+    offset)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    cohorts = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("cohort_day")
+    )
+    activity = ev.select("user_id", day.alias("day")).distinct()
+    return (
+        activity.join(cohorts, "user_id")
+        .select("cohort_day", F.datediff("day", "cohort_day").alias("day_offset"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# --------------------------------------------------------------- rollup cascade
+@query(
+    "events_rollup_cascade",
+    oracle="""
+    -- the oracle aggregates the RAW table directly at day level; the
+    -- Spark side cascades minute -> hour -> day, so a hash match proves
+    -- the partial-reaggregation algebra (sum of sums, sum of counts)
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           count(*) AS n,
+           round(CAST(sum(value) AS DOUBLE), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup cascade (the hypertable continuous-
+    aggregate shape): minute-level partials are re-aggregated to hour,
+    then hour to day — the day level never touches the raw fact table.
+    At 100 TB this is the warehouse-maintenance win: refreshing the day
+    aggregate reads the hour level's thousands of rows instead of the
+    raw billions; the algebra (count→sum, sum→sum) is what the oracle's
+    direct day-level aggregation hash-verifies. Sum rounded to 2
+    decimals: the cascade folds doubles in a different order than the
+    direct aggregation (associativity, ~1e-9 absolute at these
+    magnitudes)."""
+    ev = load_table(spark, sf_dir, "events")
+    minute = ev.groupBy(
+        F.date_trunc("minute", F.col("ts")).alias("m"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+    hour = minute.groupBy(
+        F.date_trunc("hour", F.col("m")).alias("h"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("v").alias("v"))
+    return (
+        hour.groupBy(
+            F.date_trunc("day", F.col("h")).cast("date").alias("day"), "event_type"
+        )
+        .agg(F.sum("n").alias("n"), F.round(F.sum("v"), 2).alias("total_value"))
+        .select("day", "event_type", "n", "total_value")
+    )
+
+
+# --------------------------------------------------------------- time-range frame
+@query(
+    "window_time_range",
+    oracle="""
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_1h,
+           round(sum(value) OVER w, 4) AS value_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval window frame: per event, the count and value sum of
+    the same user's events in the trailing hour — the sliding-window
+    analytic that RANGE frames exist for (W4 covers numeric ranges; this
+    is the event-time flavor). Both engines order by integer epoch
+    MICROSECONDS (``unix_micros`` / ``epoch_us``) so the 1-hour bound is
+    compared in exact integers — ordering by raw timestamps would pass
+    too, but sub-second frame boundaries would then depend on each
+    engine's interval arithmetic. One shuffle on ``user_id``; frames are
+    computed in a single ordered pass per key."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        # NTZ→LTZ cast is identity under the UTC session tz (project
+        # convention); unix_micros only accepts the LTZ flavor
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 4).alias("value_1h"),
+    )

@@ -258,6 +258,57 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------- edit distance
+@query(
+    "text_edit_distance",
+    oracle="""
+    WITH probes AS (SELECT doc_id AS probe_id, lang,
+                           substr(text, 1, 80) AS p_head
+                    FROM documents WHERE doc_id < 10)
+    SELECT probe_id, d.doc_id AS b_id,
+           levenshtein(p.p_head, substr(d.text, 1, 80)) AS dist,
+           row_number() OVER (
+               PARTITION BY probe_id
+               ORDER BY levenshtein(p.p_head, substr(d.text, 1, 80)), d.doc_id
+           ) AS rn
+    FROM probes p JOIN documents d
+      ON p.lang = d.lang AND d.doc_id <> p.probe_id
+    QUALIFY rn <= 3
+    """,
+)
+def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy text matching by Levenshtein distance: for a fixed 10-probe
+    set, the 3 closest same-lang documents by edit distance over the
+    first 80 chars (head caps the O(len²) per-pair DP cost). Edit
+    distance is an exact integer with identical unit-cost semantics in
+    both engines, so ranking is deterministic with the doc_id tie-break.
+    Probe set is broadcast (bounded), corpus streams past in one scan —
+    same linear shape as embed_similarity_topk."""
+    d = load_table(spark, sf_dir, "documents")
+    probes = d.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("probe_id"),
+        F.col("lang").alias("p_lang"),
+        F.substring("text", 1, 80).alias("p_head"),
+    )
+    pairs = (
+        d.join(
+            F.broadcast(probes),
+            (F.col("lang") == F.col("p_lang")) & (F.col("doc_id") != F.col("probe_id")),
+        )
+        .select(
+            "probe_id",
+            F.col("doc_id").alias("b_id"),
+            F.levenshtein(F.col("p_head"), F.substring("text", 1, 80)).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy("dist", "b_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("probe_id", "b_id", "dist", "rn")
+    )
+
+
 # --------------------------------------------------------------- L3
 @query(
     "dedup_exact",

@@ -32,6 +32,7 @@ _MODULES = [
     "sparkstreamingstateful_spark.operators.llm_text",
     "sparkstreamingstateful_spark.operators.llm_vector",
     "sparkstreamingstateful_spark.operators.llm_pipeline",
+    "sparkstreamingstateful_spark.operators.analytics",
     "sparkstreamingstateful_spark.streaming.queries",
 ]
 
@@ -97,6 +98,15 @@ _KEY_PRIORITY = [
     "dedup_ngram_jaccard",
     "embed_pairwise_label",
     "embed_near_dup",
+    # (c) r3-new operators (first driver evidence)
+    "cdc_upsert_latest",
+    "events_funnel",
+    "events_cohort_retention",
+    "events_rollup_cascade",
+    "window_time_range",
+    "text_edit_distance",
+    "scd2_intervals",
+    "events_sessionize_batch",
     # (d) refresh backfill: r1-era greens, oldest evidence first
     "agg_hash_q1",
     "scan_parquet",
@@ -114,6 +124,9 @@ _KEY_PRIORITY = [
     "join_right",
     "join_full",
     "join_semi",
+    # --- 50-key boundary ---
+    # Below: r2-green keys (checked last round) in r2 order, then the
+    # remaining r1 greens; they rotate forward in later rounds.
     "join_anti",
     "join_cross",
     "join_theta_range",
@@ -122,9 +135,6 @@ _KEY_PRIORITY = [
     "agg_rollup",
     "agg_cube",
     "agg_grouping_sets",
-    # --- 50-key boundary ---
-    # Below: r2-green keys (checked last round) in r2 order, then the
-    # remaining r1 greens; they rotate forward in later rounds.
     "scalar_math",
     "scalar_cast",
     "agg_collect",
