@@ -46,6 +46,10 @@ SHOWCASE = [
      "in corpus at any scale"),
     ("embed_similarity_topk", "brute-force ANN baseline: broadcast probes, "
      "single corpus scan"),
+    ("cdc_upsert_latest", "CDC latest-wins compaction: row_number + count "
+     "windows share ONE shuffle on the key"),
+    ("events_rollup_cascade", "minute→hour→day partial reaggregation: the "
+     "day level reads hour partials, never the raw fact table"),
 ]
 
 

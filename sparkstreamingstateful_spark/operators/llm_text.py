@@ -362,7 +362,13 @@ def _threshold_pairs_prefix(
     sitting exactly on the threshold. The verify filter compares
     den·i ≥ num·u in integers on both engines for the same reason.
     """
-    items = d.select("lang", "doc_id", item_col.alias("items"))
+    # materialize the item sets ONCE: three consumers read them (the
+    # prefix explode and both verify join-backs), and building shingle
+    # sets is an interpreted higher-order fold over every document —
+    # recomputing it per consumer tripled the dominant cost. At cluster
+    # scale this is the standard persisted intermediate of a multi-
+    # consumer DAG (checkpoint/cache the tokenized corpus, not the text).
+    items = d.select("lang", "doc_id", item_col.alias("items")).localCheckpoint()
     tok = items.select("lang", "doc_id", F.explode("items").alias("tok"))
     # global document frequency — rare items first makes prefixes selective
     df_ = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
@@ -375,12 +381,26 @@ def _threshold_pairs_prefix(
         .withColumn("rnk", F.row_number().over(w_doc))
         .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
         .filter(F.col("rnk") <= F.col("n") - min_overlap + 1)
-        .select("lang", "doc_id", "tok")
+        .select("lang", "doc_id", "tok", "n")
     )
+    # size-ratio prune (provable necessary condition, carried on the
+    # prefix rows): J ≥ τ ⇒ overlap ≥ τ·max(|A|,|B|) and overlap ≤
+    # min(|A|,|B|), hence τ·max ≤ min — pairs whose set sizes differ by
+    # more than the τ ratio can never qualify and are dropped BEFORE the
+    # distinct + verify join-back
     cand = (
-        prefix.select("lang", F.col("doc_id").alias("a_id"), "tok")
-        .join(prefix.select("lang", F.col("doc_id").alias("b_id"), "tok"), ["lang", "tok"])
-        .filter(F.col("a_id") < F.col("b_id"))
+        prefix.select("lang", F.col("doc_id").alias("a_id"), "tok", F.col("n").alias("na"))
+        .join(
+            prefix.select("lang", F.col("doc_id").alias("b_id"), "tok", F.col("n").alias("nb")),
+            ["lang", "tok"],
+        )
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (
+                F.lit(tau_den) * F.least("na", "nb")
+                >= F.lit(tau_num) * F.greatest("na", "nb")
+            )
+        )
         .select("lang", "a_id", "b_id")
         .distinct()
     )

@@ -158,23 +158,37 @@ def embed_pairwise_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_cap = Window.partitionBy("label").orderBy(
         F.md5(F.col("vec_id").cast("string")), "vec_id"
     )
+    # Norms are precomputed ONCE per row on each side — _cosine's naive
+    # form refolds dot(a,a) and dot(b,b) for every pair, tripling the
+    # per-pair work (the dominant cost: higher-order-function folds are
+    # interpreted, not codegen'd). sqrt(dot(x,x)) is the identical IEEE
+    # fold either way, so results are bit-unchanged.
     probes = (
         e.withColumn("rn", F.row_number().over(w_cap))
         .filter(F.col("rn") <= _PROBE_CAP)
         .select(
             F.col("vec_id").alias("a_vec"),
-            F.col("embedding").alias("a_emb"),
+            _dvec("embedding").alias("a_v"),
             F.col("label").alias("a_label"),
         )
+        .withColumn("a_norm", F.sqrt(_dot(F.col("a_v"), F.col("a_v"))))
     )
-    pairs = e.crossJoin(F.broadcast(probes)).filter(
+    # repartition: the corpus parquet is one split at test scale, which
+    # would run every probe×corpus comparison in a single task
+    corpus = (
+        e.select("vec_id", "label", _dvec("embedding").alias("v"))
+        .withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    pairs = corpus.crossJoin(F.broadcast(probes)).filter(
         F.col("a_vec") < F.col("vec_id")
     )
+    cos = _dot(F.col("a_v"), F.col("v")) / (F.col("a_norm") * F.col("norm"))
     return (
         pairs.select(
             "a_label",
             (F.col("a_label") == F.col("label")).alias("intra"),
-            _cosine(_dvec("a_emb"), _dvec("embedding")).alias("cos"),
+            cos.alias("cos"),
         )
         .groupBy("a_label", "intra")
         .agg(
