@@ -50,6 +50,96 @@ def scan_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_partition_pruning",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           count(*) AS n
+    FROM events
+    WHERE CAST(date_trunc('day', ts) AS DATE)
+          BETWEEN DATE '2024-01-05' AND DATE '2024-01-07'
+    GROUP BY 1, 2
+    """,
+)
+def scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + partition pruning: events written
+    once per (sf_dir, session) as parquet partitioned by day, then read
+    back with a day-range predicate. The predicate prunes at the
+    DIRECTORY level (plan shows PartitionFilters, and only 3 of ~30 day
+    directories are listed/read) — at 100 TB this is the difference
+    between scanning a month and scanning three days. The cache dir is
+    keyed by sf_dir so repeated calls (tests + driver) reuse the layout.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(
+        tempfile.gettempdir(), f"sss_part_events_{tag}", "by_day"
+    )
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        ev.withColumn(
+            "day", F.date_trunc("day", F.col("ts")).cast("date")
+        ).write.mode("overwrite").partitionBy("day").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.filter(
+            F.col("day").between(F.lit("2024-01-05"), F.lit("2024-01-07"))
+        )
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey,
+           count(*) AS n_lines,
+           round(sum(l.l_extendedprice), 2) AS order_total
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey, o.o_custkey
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: orders and lineitem are written ONCE as
+    bucketed tables (16 buckets on the join key) and the fact-fact join
+    then plans with ZERO exchanges — both sides' bucket layout satisfies
+    the join's distribution requirement (tests assert no Exchange before
+    the SortMergeJoin). This is the core 100 TB fact-join strategy:
+    bucket the big tables on their join key at write time and every
+    subsequent join/aggregation on that key skips its shuffle. Tables
+    are external (data under tmp, names keyed by sf) in the session
+    catalog; creation is idempotent per (sf_dir, session)."""
+    tag = (os.path.basename(os.path.normpath(sf_dir)) or "sf").replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"sss_bucketed_{tag}")
+    specs = {
+        "orders": ("o_orderkey", ["o_orderkey", "o_custkey"]),
+        "lineitem": ("l_orderkey", ["l_orderkey", "l_extendedprice"]),
+    }
+    for t, (key, cols) in specs.items():
+        name = f"sss_bkt_{t}_{tag}"
+        if not spark.catalog.tableExists(name):
+            (
+                load_table(spark, sf_dir, t)
+                .select(*cols)
+                .write.mode("overwrite")
+                .option("path", os.path.join(base, t))
+                .bucketBy(16, key)
+                .sortBy(key)
+                .saveAsTable(name)
+            )
+    o = spark.table(f"sss_bkt_orders_{tag}")
+    li = spark.table(f"sss_bkt_lineitem_{tag}")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("order_total"),
+        )
+    )
+
+
+@query(
     "write_roundtrip",
     oracle="""
     SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS sum_bal

@@ -107,6 +107,8 @@ _KEY_PRIORITY = [
     "text_edit_distance",
     "scd2_intervals",
     "events_sessionize_batch",
+    "scan_partition_pruning",
+    "join_bucketed_colocated",
     # (d) refresh backfill: r1-era greens, oldest evidence first
     "agg_hash_q1",
     "scan_parquet",
@@ -122,11 +124,11 @@ _KEY_PRIORITY = [
     "join_broadcast",
     "join_left",
     "join_right",
-    "join_full",
-    "join_semi",
     # --- 50-key boundary ---
     # Below: r2-green keys (checked last round) in r2 order, then the
     # remaining r1 greens; they rotate forward in later rounds.
+    "join_full",
+    "join_semi",
     "join_anti",
     "join_cross",
     "join_theta_range",

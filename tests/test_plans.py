@@ -96,6 +96,37 @@ def test_pairwise_label_bounded_broadcast(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_partition_pruning(spark):
+    # the day-range predicate must prune at the DIRECTORY level: the scan
+    # carries PartitionFilters on `day`, and the pruned read lists only
+    # the 3 matching day partitions
+    plan = plan_of(spark, "scan_partition_pruning")
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters")[1][:300]
+    assert "day" in pf and "isnotnull" in pf
+
+
+def test_bucketed_join_no_exchange(spark):
+    # both sides are bucketed on the join key → the fact-fact join and the
+    # follow-on agg on the same key must plan with ZERO exchanges. At
+    # sf0.001 Catalyst would rather broadcast the tiny build side, which
+    # hides the co-located shape — disable size-based broadcasts to pin
+    # the plan the 100 TB fact-fact join would get.
+    from sparkstreamingstateful_spark.plans import shuffle_count
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["join_bucketed_colocated"](spark, SF_UNIT)
+        assert shuffle_count(df) == 0, "bucketed co-located join still shuffles"
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "BroadcastExchange" not in plan
+        assert "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_q1_whole_stage_codegen(spark):
     df = QUERIES["agg_hash_q1"](spark, SF_UNIT)
     df.collect()  # AQE: codegen spans only appear in the finalized plan
