@@ -64,6 +64,80 @@ def cdc_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------- snapshot diff
+@query(
+    "cdc_diff_snapshots",
+    oracle="""
+    WITH old AS (SELECT o_orderkey AS k, o_totalprice AS price FROM orders),
+    new AS (
+        SELECT o_orderkey AS k,
+               -- additive bump, NOT round(price*1.1): per-row round()
+               -- diverges between engines at .xx5 boundaries (r1 rule)
+               CASE WHEN o_orderkey % 10 = 3
+                    THEN o_totalprice + 10.0
+                    ELSE o_totalprice END AS price
+        FROM orders WHERE o_orderkey % 10 <> 7
+        UNION ALL
+        SELECT o_orderkey + 1000000000 AS k, o_totalprice AS price
+        FROM orders WHERE o_orderkey % 10 = 5
+    )
+    SELECT coalesce(o.k, n.k) AS k,
+           CASE WHEN o.k IS NULL THEN 'I'
+                WHEN n.k IS NULL THEN 'D'
+                ELSE 'U' END AS op,
+           o.price AS old_price,
+           n.price AS new_price
+    FROM old o FULL OUTER JOIN new n ON o.k = n.k
+    WHERE o.k IS NULL OR n.k IS NULL OR o.price <> n.price
+    """,
+)
+def cdc_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — GENERATE a change feed from two table versions
+    (the inverse of cdc_upsert_latest): full-outer join on the key,
+    classify I/U/D, drop unchanged rows. The "new" snapshot is derived
+    deterministically from orders (10% deleted, 10% price-bumped by an
+    IEEE-exact +10.0, 10%
+    re-inserted under new keys) so both engines diff identical inputs.
+    One shuffle on the key; at 100 TB this is the standard incremental-
+    refresh delta detection between daily snapshots, and with both
+    snapshots bucketed on the key (join_bucketed_colocated) even that
+    shuffle disappears. Nullable DOUBLE sides are fetchdf-stable."""
+    o = load_table(spark, sf_dir, "orders")
+    old = o.select(F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("price"))
+    new = (
+        o.filter(F.col("o_orderkey") % 10 != 7)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.when(
+                F.col("o_orderkey") % 10 == 3,
+                F.col("o_totalprice") + 10.0,
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("price"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 10 == 5).select(
+                (F.col("o_orderkey") + 1_000_000_000).alias("k"),
+                F.col("o_totalprice").alias("price"),
+            )
+        )
+    )
+    j = old.alias("o").join(new.alias("n"), F.col("o.k") == F.col("n.k"), "full")
+    return j.filter(
+        F.col("o.k").isNull()
+        | F.col("n.k").isNull()
+        | (F.col("o.price") != F.col("n.price"))
+    ).select(
+        F.coalesce(F.col("o.k"), F.col("n.k")).alias("k"),
+        F.when(F.col("o.k").isNull(), "I")
+        .when(F.col("n.k").isNull(), "D")
+        .otherwise("U")
+        .alias("op"),
+        F.col("o.price").alias("old_price"),
+        F.col("n.price").alias("new_price"),
+    )
+
+
 # --------------------------------------------------------------- SCD2
 @query(
     "scd2_intervals",

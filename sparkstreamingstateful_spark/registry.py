@@ -109,6 +109,7 @@ _KEY_PRIORITY = [
     "events_sessionize_batch",
     "scan_partition_pruning",
     "join_bucketed_colocated",
+    "cdc_diff_snapshots",
     # (d) refresh backfill: r1-era greens, oldest evidence first
     "agg_hash_q1",
     "scan_parquet",
@@ -123,10 +124,10 @@ _KEY_PRIORITY = [
     "join_inner",
     "join_broadcast",
     "join_left",
-    "join_right",
     # --- 50-key boundary ---
     # Below: r2-green keys (checked last round) in r2 order, then the
     # remaining r1 greens; they rotate forward in later rounds.
+    "join_right",
     "join_full",
     "join_semi",
     "join_anti",
