@@ -110,6 +110,7 @@ _KEY_PRIORITY = [
     "scan_partition_pruning",
     "join_bucketed_colocated",
     "cdc_diff_snapshots",
+    "stream_cdc_upsert",
     # (d) refresh backfill: r1-era greens, oldest evidence first
     "agg_hash_q1",
     "scan_parquet",
@@ -123,8 +124,8 @@ _KEY_PRIORITY = [
     "scalar_hash",
     "join_inner",
     "join_broadcast",
-    "join_left",
     # --- 50-key boundary ---
+    "join_left",
     # Below: r2-green keys (checked last round) in r2 order, then the
     # remaining r1 greens; they rotate forward in later rounds.
     "join_right",

@@ -243,6 +243,56 @@ def stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_cdc_upsert",
+    oracle="""
+    SELECT user_id, ts AS last_ts, event_type AS last_type,
+           value AS last_value,
+           CAST(n_changes AS BIGINT) AS n_changes
+    FROM (SELECT user_id, ts, event_type, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn,
+                 count(*) OVER (PARTITION BY user_id) AS n_changes
+          FROM events)
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC latest-wins upsert — the incremental twin of the
+    batch cdc_upsert_latest (same oracle): keyed state holds each user's
+    most recent record; every micro-batch emits the current materialized
+    row, and the LAST emission per key (selected by the monotone
+    (last_us, last_eid) arg-max) is the final table. Tombstoned keys
+    (latest record = 'error') are dropped after materialization, exactly
+    like the batch MERGE. State is O(1) per key; at scale this is the
+    continuously-maintained upsert view a lakehouse streams into."""
+    ev = _stream(spark, sf_dir)
+    updates = ev.groupBy("user_id").applyInPandasWithState(
+        stateful.latest_wins_fn,
+        stateful.LATEST_WINS_OUTPUT,
+        stateful.LATEST_WINS_STATE,
+        "update",
+        "NoTimeout",
+    )
+    res = run_stream(updates, output_mode="update")
+    final = (
+        res.filter(F.col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct("last_us", "last_eid", "last_type", "last_value", "n_changes")
+            ).alias("s")
+        )
+    )
+    return final.filter(F.col("s.last_type") != "error").select(
+        "user_id",
+        _ntz(F.expr("timestamp_micros(s.last_us)")).alias("last_ts"),
+        F.col("s.last_type").alias("last_type"),
+        F.col("s.last_value").alias("last_value"),
+        F.col("s.n_changes").alias("n_changes"),
+    )
+
+
+@query(
     "stateful_sessionize",
     oracle="""
     WITH flagged AS (

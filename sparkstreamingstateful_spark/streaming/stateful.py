@@ -138,6 +138,59 @@ def first_seen_fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.D
     yield pd.DataFrame(out, columns=["event_id", "user_id", "day"])
 
 
+# ---------------------------------------------------------------- CDC upsert
+LATEST_WINS_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("last_eid", T.LongType()),
+        T.StructField("last_type", T.StringType()),
+        T.StructField("last_value", T.DoubleType()),
+        T.StructField("n_changes", T.LongType()),
+    ]
+)
+LATEST_WINS_STATE = T.StructType(
+    [
+        T.StructField("last_us", T.LongType()),
+        T.StructField("last_eid", T.LongType()),
+        T.StructField("last_type", T.StringType()),
+        T.StructField("last_value", T.DoubleType()),
+        T.StructField("n_changes", T.LongType()),
+    ]
+)
+
+
+def latest_wins_fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+    """Streaming latest-wins upsert state (the MERGE-INTO compaction of
+    cdc_upsert_latest, maintained incrementally): keyed state holds the
+    most recent record by (ts, event_id) plus a change counter; each
+    micro-batch folds its rows in and emits the current materialized row.
+    Out-of-order arrivals are handled by the (ts, event_id) compare, so
+    the final emitted state is order-insensitive across batches."""
+    if state.exists:
+        last_us, last_eid, last_type, last_value, n = state.get
+    else:
+        last_us, last_eid, last_type, last_value, n = -1, -1, "", 0.0, 0
+    for pdf in pdf_iter:
+        for r in pdf.itertuples():
+            ts_us = r.ts.value // 1000  # pandas ns → µs
+            n += 1
+            if (ts_us, int(r.event_id)) > (last_us, last_eid):
+                last_us, last_eid = ts_us, int(r.event_id)
+                last_type, last_value = str(r.event_type), float(r.value)
+    state.update((int(last_us), int(last_eid), last_type, float(last_value), int(n)))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "last_us": [last_us],
+            "last_eid": [last_eid],
+            "last_type": [last_type],
+            "last_value": [last_value],
+            "n_changes": [n],
+        }
+    )
+
+
 # ---------------------------------------------------------------- ST7 (TWS)
 def make_running_agg_processor():
     """Spark-4 ``transformWithStateInPandas`` flavor of the running agg —

@@ -59,6 +59,59 @@ def test_running_sum_matches_python(spark, rows):
         assert got[i] == acc[k]
 
 
+# documents for the prefix-filter property: few-token texts over a tiny
+# vocabulary so near-dup pairs actually occur within 25 docs
+_DOCS = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+        min_size=1,
+        max_size=8,
+    ),
+    min_size=2,
+    max_size=25,
+)
+
+
+@given(docs=_DOCS)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_prefix_filter_equals_brute_force(spark, docs):
+    """The All-Pairs prefix-filter join must return EXACTLY the pairs a
+    brute-force thresholded scan returns, for arbitrary corpora — the
+    completeness theorem (every qualifying pair shares a prefix item in
+    both sets under a common global order) exercised beyond the fixed
+    fixture corpus."""
+    from sparkstreamingstateful_spark.operators.llm_text import (
+        _threshold_pairs_prefix,
+    )
+
+    tau_num, tau_den = 7, 10
+    df = spark.createDataFrame(
+        [(i, "xx", " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in _threshold_pairs_prefix(
+            df,
+            F.array_distinct(F.split(F.col("text"), " ")),
+            tau_num=tau_num,
+            tau_den=tau_den,
+        ).collect()
+    }
+    sets = [set(toks) for toks in docs]
+    want = {
+        (a, b)
+        for a in range(len(sets))
+        for b in range(a + 1, len(sets))
+        if tau_den * len(sets[a] & sets[b]) >= tau_num * len(sets[a] | sets[b])
+    }
+    assert got == want
+
+
 @given(rows=ROWS)
 @_SETTINGS
 def test_groupby_sum_invariant_under_repartition(spark, rows):
