@@ -118,6 +118,45 @@ sql_tpch_q5like = _sql_query(
     """,
 )
 
+sql_tpch_q7like = _sql_query(
+    "sql_tpch_q7like",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           EXTRACT(YEAR FROM l_shipdate) AS l_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                         AND TIMESTAMP '1997-12-31 23:59:59'
+    GROUP BY n1.n_name, n2.n_name, EXTRACT(YEAR FROM l_shipdate)
+    """,
+)
+
+sql_tpch_q18like = _sql_query(
+    "sql_tpch_q18like",
+    """
+    SELECT c_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey
+                         FROM lineitem
+                         GROUP BY l_orderkey
+                         HAVING sum(l_quantity) > 150)
+    GROUP BY c_custkey, o_orderkey, o_orderdate
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+
 values_inline = _sql_query(
     "values_inline",
     """
