@@ -5,7 +5,8 @@ Prints ONE JSON line:
      "queries": {key: sec, ...}, "sf": <dir>}
 
 Protocol (BASELINE.md): local[$SPARK_GRAFT_CPUS], AQE on, one warm-up of the
-flagship, then one timed run per registered query (action = collect()).
+flagship, then one timed run per registered query (action = noop-format
+write: full physical plan executes, no rows cross Py4J — see run()).
 """
 
 from __future__ import annotations

@@ -345,6 +345,10 @@ def _threshold_pairs_prefix(
     in a suffix smaller than o — contradiction). Joining on prefix items
     therefore finds every qualifying pair; an exact Jaccard verify on the
     candidates makes the output provably equal to the exhaustive oracle.
+    Docs with EMPTY item sets contribute no prefix rows and thus no pairs
+    — by definition, since Jaccard 0/0 is undefined; the oracle excludes
+    union-0 pairs with an explicit guard, and the hypothesis property
+    test generates empty-set docs to pin this semantic.
 
     Scale shape: no all-pairs join anywhere. Work = one token-frequency
     agg + a self-join on (lang, prefix-item) whose cost tracks the
@@ -373,9 +377,10 @@ def _threshold_pairs_prefix(
     # global document frequency — rare items first makes prefixes selective
     df_ = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     w_doc = Window.partitionBy("doc_id").orderBy("df", "tok")
-    min_overlap = (
-        (F.lit(tau_num) * F.col("n") + (tau_den - 1)) / tau_den
-    ).cast("long")
+    # true integer ceiling ⌈τ·n⌉ = (num·n + den−1) div den — no float hop
+    # (double division is exact for small denominators but fragile if this
+    # helper is ever reused with large ones; `div` keeps it exact always)
+    min_overlap = F.expr(f"({tau_num}L * n + {tau_den - 1}) div {tau_den}")
     prefix = (
         tok.join(df_, "tok")
         .withColumn("rnk", F.row_number().over(w_doc))
@@ -437,7 +442,8 @@ _PAIR_ORACLE = """
            round(CAST(len(list_intersect(a.items, b.items)) AS DOUBLE)
                  / len(list_distinct(list_concat(a.items, b.items))), 6) AS jaccard
     FROM items a JOIN items b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE {tau_den} * len(list_intersect(a.items, b.items))
+    WHERE len(list_distinct(list_concat(a.items, b.items))) > 0
+      AND {tau_den} * len(list_intersect(a.items, b.items))
           >= {tau_num} * len(list_distinct(list_concat(a.items, b.items)))
 """
 
@@ -744,12 +750,53 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media, every_n=3)
 
 
-@query("multimodal_features")  # rows-only: stand-in decoder is Spark-side only
+@query(
+    "multimodal_features",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % 3 AS INT)
+                    WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS modality,
+               CASE CAST(doc_id % 3 AS INT)
+                    WHEN 1 THEN 'ID3' || text
+                    WHEN 2 THEN 'RIFF' || text
+                    ELSE text END AS media
+        FROM documents),
+    h AS (SELECT doc_id, modality,
+                 CAST(length(media) AS BIGINT) AS n_bytes,
+                 CASE WHEN media LIKE 'ID3%' THEN 'mp3'
+                      WHEN media LIKE 'RIFF%' THEN 'wav-or-avi'
+                      ELSE 'unknown' END AS format,
+                 sha256(media) AS hx
+          FROM m)
+    SELECT doc_id, modality, n_bytes, format,
+           array_to_string(list_transform(range(0, 8), i ->
+               (strpos('0123456789abcdef',
+                       substr(hx, CAST(i * 2 + 1 AS BIGINT), 1)) - 1) * 16
+             + (strpos('0123456789abcdef',
+                       substr(hx, CAST(i * 2 + 2 AS BIGINT), 1)) - 1)),
+               ',') AS feature_q
+    FROM h
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode/feature-extract pipeline (stubbed codecs): binary
     blobs + modality metadata → format sniff + feature vectors via
     Arrow-batched mapInPandas (see functions/multimodal.py for the scale
-    notes; codec stub documented there)."""
+    notes; codec stub documented there).
+
+    H-checked (r4, was the one red r3 driver row): the feature vector is
+    serialized to ``feature_q`` — the quantized byte values of the fake
+    codec's sha256-seeded features, comma-joined — because the driver's
+    canonicalizer crashes on array cells. The ORACLE replays the whole
+    Python pipeline in SQL: same ASCII magic prefixes (``ID3``/``RIFF``,
+    chosen over the PNG magic because DuckDB's sha256 is VARCHAR-only and
+    the \\x89 byte is not ASCII-representable), same sniff, and the digest
+    bytes recovered from DuckDB's hex output by a strpos fold — so the
+    hash pins the mapInPandas decode plumbing itself. Each feature value
+    is b/255.0 for a digest byte b, so ``round(v*255)`` recovers b exactly
+    (|error| < 1e-11, never near a .5 boundary)."""
     from ..functions.multimodal import extract_features
 
     d = load_table(spark, sf_dir, "documents")
@@ -759,15 +806,29 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("doc_id") % 3 == 1, "audio")
         .otherwise("video")
         .alias("modality"),
-        # synthesized blob with a real PNG magic prefix for doc_id%3==0
-        F.when(
-            F.col("doc_id") % 3 == 0,
-            F.concat(F.lit(b"\x89PNG"), F.encode("text", "UTF-8")),
-        )
-        .otherwise(F.encode("text", "UTF-8"))
-        .alias("media"),
+        # synthesized blobs with real (ASCII) magic prefixes: ID3 → mp3,
+        # RIFF → wav/avi; image rows stay prefix-less ("unknown") since
+        # every image magic byte-sequence is non-ASCII
+        F.encode(
+            F.when(F.col("doc_id") % 3 == 1, F.concat(F.lit("ID3"), F.col("text")))
+            .when(F.col("doc_id") % 3 == 2, F.concat(F.lit("RIFF"), F.col("text")))
+            .otherwise(F.col("text")),
+            "UTF-8",
+        ).alias("media"),
     )
-    return extract_features(media, fake_decode=True)
+    feats = extract_features(media, fake_decode=True)
+    return feats.select(
+        "doc_id",
+        "modality",
+        "n_bytes",
+        "format",
+        F.array_join(
+            F.transform(
+                "feature", lambda v: F.round(v * 255).cast("long").cast("string")
+            ),
+            ",",
+        ).alias("feature_q"),
+    )
 
 
 _EDGES_SQL = """

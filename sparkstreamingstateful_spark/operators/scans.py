@@ -6,14 +6,27 @@ Streaming sources/sinks (S3–S5) live in ``..streaming``.
 from __future__ import annotations
 
 import functools
+import hashlib
 import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import TABLE_NAMES, load_table
+from ..catalog import TABLE_NAMES, load_table, table_path
 from ..registry import query
+
+
+def _src_fingerprint(sf_dir: str, *tables: str) -> str:
+    """Content fingerprint (mtime_ns + size) of source parquet files, used
+    to key derived layout caches — a regenerated source under the SAME
+    path invalidates the cached partitioned/bucketed copy instead of
+    silently serving stale data."""
+    parts = []
+    for t in tables:
+        st_ = os.stat(table_path(sf_dir, t))
+        parts.append(f"{t}:{st_.st_mtime_ns}:{st_.st_size}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
 
 _S1_ORACLE = "\nUNION ALL\n".join(
     f"SELECT '{t}' AS tbl, count(*) AS n FROM {t}" for t in TABLE_NAMES
@@ -70,7 +83,8 @@ def scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed by sf_dir so repeated calls (tests + driver) reuse the layout.
     """
     ev = load_table(spark, sf_dir, "events")
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    tag = f"{base}_{_src_fingerprint(sf_dir, 'events')}"
     out = os.path.join(
         tempfile.gettempdir(), f"sss_part_events_{tag}", "by_day"
     )
@@ -109,7 +123,12 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     subsequent join/aggregation on that key skips its shuffle. Tables
     are external (data under tmp, names keyed by sf) in the session
     catalog; creation is idempotent per (sf_dir, session)."""
-    tag = (os.path.basename(os.path.normpath(sf_dir)) or "sf").replace(".", "_")
+    tag = "_".join(
+        [
+            (os.path.basename(os.path.normpath(sf_dir)) or "sf").replace(".", "_"),
+            _src_fingerprint(sf_dir, "orders", "lineitem"),
+        ]
+    )
     base = os.path.join(tempfile.gettempdir(), f"sss_bucketed_{tag}")
     specs = {
         "orders": ("o_orderkey", ["o_orderkey", "o_custkey"]),

@@ -130,10 +130,10 @@ sql_tpch_q7like = _sql_query(
     JOIN customer ON c_custkey = o_custkey
     JOIN nation n1 ON s_nationkey = n1.n_nationkey
     JOIN nation n2 ON c_nationkey = n2.n_nationkey
-    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+        OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
       AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
-                         AND TIMESTAMP '1997-12-31 23:59:59'
+                         AND TIMESTAMP '1999-12-31 23:59:59'
     GROUP BY n1.n_name, n2.n_name, EXTRACT(YEAR FROM l_shipdate)
     """,
 )

@@ -58,76 +58,30 @@ def query(name: str, oracle: str | None = None):
 # Evidence-priority ordering. The correctness driver checks exactly the
 # FIRST 50 registered keys each round (count cap, measured r1/r2), so
 # iteration order is the lever that decides which keys get hard oracle
-# signal. Round-3 rotation (per VERDICT r2 item 2): the window holds
-# (a) the 5 keys whose oracles were re-typed after the r2 HUGEINT/float64
-# FAILs plus join_asof (output re-typed for fetchdf null-promotion),
-# (b) all 16 keys that had never been driver-checked (registered past
-# slot 50 in r1/r2), (c) the r3 re-scoped scale-shape keys whose outputs
-# changed, and (d) a refresh backfill of the OLDEST (r1-era) greens —
-# flagship agg_hash_q1 first among them. Cheap keys lead so a driver
-# timeout still yields the new evidence.
+# signal. Round-4 rotation (per VERDICT r3 items 1-2): the window holds
+# (a) the two TPC-H keys that have NEVER had a driver row (registered
+# past slot 50 in the final r3 commit) plus multimodal_features, re-fixed
+# and promoted R→H after it crashed the driver's canonicalizer in r3,
+# (b) the keys whose oracle or derived-layout caching changed this round
+# (empty-set guard in the prefix-filter oracles; content-fingerprinted
+# /tmp layout caches), and (c) a refresh backfill of the OLDEST greens —
+# the r1-era join/agg/window/sortset families, untouched since round 1,
+# then the r2-era scalar/nested/subquery block. Cheap keys lead so a
+# driver timeout still yields the new evidence; streaming keys (fixed
+# multi-second micro-batch cost each, all r2/r3-green) stay out of the
+# window to protect the driver's 50-key budget.
 _KEY_PRIORITY = [
-    # (a) r2 hash-FAILs, oracle types fixed (CAST ... AS BIGINT)
-    "json_extract",
-    "text_stats",
-    "text_language_id",
-    "seq_packing",
-    "pipeline_end_to_end",
-    # (a) nullable-int output re-typed to double (fetchdf promotes
-    # nullable int64 to float64, so the old schema was data-dependent)
-    "join_asof",
-    # (b) never driver-checked: r2-new keys + carried-over tail
-    "struct_ops",
-    "values_inline",
-    "text_token_count",
-    "unpivot_melt",
-    "agg_percentiles",
-    "events_resample_1h",
-    "window_distribution",
-    "sql_parameterized",
-    "udf_arrow",
-    "udaf_pandas_window",
-    "map_in_arrow",
-    "multimodal_frame_sample",
-    "dedup_minhash_lsh",
-    "dedup_cluster_cc",
-    "stateful_running_agg_tws",
-    "multimodal_features",  # R: records its first no_oracle row
-    # (c) r3 re-scoped scale shapes (outputs changed — need fresh rows)
+    # (a) never driver-checked / red-row refix — the r4 point of the window
+    "sql_tpch_q7like",
+    "sql_tpch_q18like",
+    "multimodal_features",  # r3 crash → serialized feature_q, now H
+    # (b) oracle/caching changed this round — need fresh rows
     "dedup_near",
     "dedup_ngram_jaccard",
-    "embed_pairwise_label",
-    "embed_near_dup",
-    # (c) r3-new operators (first driver evidence)
-    "cdc_upsert_latest",
-    "events_funnel",
-    "events_cohort_retention",
-    "events_rollup_cascade",
-    "window_time_range",
-    "text_edit_distance",
-    "scd2_intervals",
-    "events_sessionize_batch",
     "scan_partition_pruning",
     "join_bucketed_colocated",
-    "cdc_diff_snapshots",
-    "stream_cdc_upsert",
-    # (d) refresh backfill: r1-era greens, oldest evidence first
-    "agg_hash_q1",
-    "scan_parquet",
-    "scan_projection_pushdown",
-    "write_roundtrip",
-    "project_compute",
-    "filter_basic",
-    "filter_conditional",
-    "scalar_string",
-    "scalar_date",
-    "scalar_hash",
-    "join_inner",
-    "join_broadcast",
-    # --- 50-key boundary ---
+    # (c) refresh backfill: r1-era greens, oldest evidence first
     "join_left",
-    # Below: r2-green keys (checked last round) in r2 order, then the
-    # remaining r1 greens; they rotate forward in later rounds.
     "join_right",
     "join_full",
     "join_semi",
@@ -139,6 +93,28 @@ _KEY_PRIORITY = [
     "agg_rollup",
     "agg_cube",
     "agg_grouping_sets",
+    "agg_having",
+    "agg_stats",
+    "agg_conditional_pivot",
+    "agg_salted_skew",
+    "distinct_rows",
+    "window_ranking",
+    "window_analytic",
+    "window_frame_rows",
+    "window_frame_range",
+    "topk_per_group",
+    "sort_multi",
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "set_except_all",
+    "set_intersect_all",
+    "limit_topk",
+    "array_explode",
+    "embed_similarity_topk",
+    "embed_centroids",
+    # (c) r2-era greens complete the window
     "scalar_math",
     "scalar_cast",
     "agg_collect",
@@ -149,6 +125,9 @@ _KEY_PRIORITY = [
     "subquery_in",
     "subquery_correlated_exists",
     "cte_query",
+    # --- 50-key boundary ---
+    # Below: remaining r2 greens, streaming (r2/r3-green, expensive), then
+    # the r3-refreshed block; they rotate forward in later rounds.
     "sql_tpch_q3like",
     "sql_tpch_q5like",
     "udf_python",
@@ -167,8 +146,6 @@ _KEY_PRIORITY = [
     "corpus_sample_stratified",
     "pii_scrub",
     "dedup_cross_source",
-    "embed_similarity_topk",
-    "embed_centroids",
     "embed_ann_ivf",
     "stream_window_tumbling",
     "stream_window_sliding",
@@ -180,6 +157,51 @@ _KEY_PRIORITY = [
     "stateful_sessionize",
     "stateful_dedup_keyed",
     "stream_window_late_drop",
+    "json_extract",
+    "text_stats",
+    "text_language_id",
+    "seq_packing",
+    "pipeline_end_to_end",
+    "join_asof",
+    "struct_ops",
+    "values_inline",
+    "text_token_count",
+    "unpivot_melt",
+    "agg_percentiles",
+    "events_resample_1h",
+    "window_distribution",
+    "sql_parameterized",
+    "udf_arrow",
+    "udaf_pandas_window",
+    "map_in_arrow",
+    "multimodal_frame_sample",
+    "dedup_minhash_lsh",
+    "dedup_cluster_cc",
+    "stateful_running_agg_tws",
+    "embed_pairwise_label",
+    "embed_near_dup",
+    "cdc_upsert_latest",
+    "events_funnel",
+    "events_cohort_retention",
+    "events_rollup_cascade",
+    "window_time_range",
+    "text_edit_distance",
+    "scd2_intervals",
+    "events_sessionize_batch",
+    "cdc_diff_snapshots",
+    "stream_cdc_upsert",
+    "agg_hash_q1",
+    "scan_parquet",
+    "scan_projection_pushdown",
+    "write_roundtrip",
+    "project_compute",
+    "filter_basic",
+    "filter_conditional",
+    "scalar_string",
+    "scalar_date",
+    "scalar_hash",
+    "join_inner",
+    "join_broadcast",
 ]
 
 

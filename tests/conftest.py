@@ -71,14 +71,20 @@ def canonical_cell(v, *, strict: bool = True) -> str:
     while keeping the int/float axis strict — that is exactly the axis
     the driver hash-failed 5 keys on in r2.
     """
-    if isinstance(v, (list, tuple)) or isinstance(v, dict) or hasattr(v, "asDict"):
+    # np.ndarray must be caught HERE: it reaches the `v != v` NULL test
+    # otherwise and raises "ambiguous truth value" instead of a clean
+    # assertion (oracle LIST columns arrive as ndarray via fetchdf).
+    if (
+        isinstance(v, (list, tuple, dict, np.ndarray))
+        or hasattr(v, "asDict")
+    ):
         if strict:
             raise AssertionError(
                 f"nested cell {type(v).__name__} in H-checked output — the "
                 "driver canonicalizer crashes on these; serialize to string "
                 f"in the final projection: {v!r}"
             )
-        if isinstance(v, (list, tuple)):
+        if isinstance(v, (list, tuple, np.ndarray)):
             return "[" + ",".join(canonical_cell(x, strict=False) for x in v) + "]"
         d = v if isinstance(v, dict) else v.asDict()
         return (

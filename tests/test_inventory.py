@@ -63,7 +63,7 @@ def test_driver_window_all_hash_checked():
     # key there burns a slot on a `no_oracle` row) — except an explicit
     # allowlist of R keys that have NEVER been driver-checked and are
     # spending one slot to get their first (rows-only) driver row.
-    allowed_r = {"multimodal_features"}  # r3: first driver evidence
+    allowed_r = set()  # r4: multimodal_features promoted to H, none left
     keys = list(QUERIES)
     window = keys[:50]
     not_h = [k for k in window if k not in ORACLES and k not in allowed_r]
@@ -77,6 +77,28 @@ def test_priority_names_registered_keys():
     unknown = [k for k in registry._KEY_PRIORITY if k not in QUERIES]
     assert not unknown, f"_KEY_PRIORITY names unregistered keys: {unknown}"
     assert len(set(registry._KEY_PRIORITY)) == len(registry._KEY_PRIORITY)
+
+
+def test_survey_totals():
+    # SURVEY.md §2's prose inventory totals must equal the registry —
+    # the r3 verdict caught the prose drifting (said 124, registry had
+    # 126); this pins the CURRENT round's declared line to reality.
+    import re
+    from pathlib import Path
+
+    text = Path(__file__).resolve().parent.parent.joinpath("SURVEY.md").read_text()
+    decls = re.findall(
+        r"Inventory totals \(r(\d+)\): (\d+) H-checked query keys \+ "
+        r"(\d+) rows-only \(R\) = (\d+)\s*\nregistered keys",
+        text,
+    )
+    assert decls, "SURVEY.md inventory-totals line missing or reformatted"
+    _, h, r, total = max(decls, key=lambda d: int(d[0]))  # latest round
+    assert int(h) == len(ORACLES), f"SURVEY says {h} H keys, registry has {len(ORACLES)}"
+    assert int(total) == len(QUERIES), (
+        f"SURVEY says {total} keys, registry has {len(QUERIES)}"
+    )
+    assert int(r) == len(QUERIES) - len(ORACLES)
 
 
 def test_entry_smoke(spark):

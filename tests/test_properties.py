@@ -60,11 +60,13 @@ def test_running_sum_matches_python(spark, rows):
 
 
 # documents for the prefix-filter property: few-token texts over a tiny
-# vocabulary so near-dup pairs actually occur within 25 docs
+# vocabulary so near-dup pairs actually occur within 25 docs; min_size=0
+# admits EMPTY item sets (docs with no tokens), pinning the documented
+# semantics that union-0 pairs are excluded (Jaccard 0/0 is undefined)
 _DOCS = st.lists(
     st.lists(
         st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
-        min_size=1,
+        min_size=0,
         max_size=8,
     ),
     min_size=2,
@@ -97,7 +99,11 @@ def test_prefix_filter_equals_brute_force(spark, docs):
         (r["a_id"], r["b_id"])
         for r in _threshold_pairs_prefix(
             df,
-            F.array_distinct(F.split(F.col("text"), " ")),
+            # drop the "" token split() yields on empty text, so no-token
+            # docs carry a genuinely EMPTY item set through the pipeline
+            F.array_distinct(
+                F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+            ),
             tau_num=tau_num,
             tau_den=tau_den,
         ).collect()
@@ -107,7 +113,8 @@ def test_prefix_filter_equals_brute_force(spark, docs):
         (a, b)
         for a in range(len(sets))
         for b in range(a + 1, len(sets))
-        if tau_den * len(sets[a] & sets[b]) >= tau_num * len(sets[a] | sets[b])
+        if len(sets[a] | sets[b]) > 0
+        and tau_den * len(sets[a] & sets[b]) >= tau_num * len(sets[a] | sets[b])
     }
     assert got == want
 
