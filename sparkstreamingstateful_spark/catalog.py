@@ -4,15 +4,20 @@ Schemas are declared explicitly (FIXTURES.md, measured from the driver
 parquet) because streaming file sources reject schema inference, and because
 an explicit ``ReadSchema`` is what lets Catalyst prune columns at the scan.
 
-``events.ts`` is parquet ``timestamp[ns]``; Spark 4 cannot represent nanos,
-so it is read as long nanos (``spark.sql.legacy.parquet.nanosAsLong``) and
+``events.ts`` has shipped in two physical forms across testdata
+generations: parquet ``timestamp[ns]`` (Spark 4 cannot represent nanos, so
+it is read as long nanos via ``spark.sql.legacy.parquet.nanosAsLong`` and
 converted with ``timestamp_micros(ts div 1000)`` — integer floor-division,
-which matches DuckDB's own ns→µs truncation bit-for-bit, so oracle
-comparisons on ``ts`` are exact at µs precision.
+matching DuckDB's own ns→µs truncation bit-for-bit) and plain
+``timestamp[us]`` (read directly as TimestampNTZ). ``events_ts_unit``
+sniffs the parquet footer (a driver-side metadata read, cached per path)
+and the loaders branch on it, so a testdata regeneration that flips the
+unit can never silently skew ``ts`` by 1000×.
 """
 
 from __future__ import annotations
 
+import glob as _glob
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -135,9 +140,10 @@ SCHEMAS: dict[str, T.StructType] = {
     ),
 }
 
-# Physical schema of the events parquet (ts is int64 nanos on disk) — used
-# by streaming file sources, which must declare the on-disk schema.
-EVENTS_PHYSICAL_SCHEMA = T.StructType(
+# Physical schema of the events parquet when ts is stored as timestamp[ns]
+# on disk (read as int64 nanos under nanosAsLong) — used by streaming file
+# sources, which must declare the on-disk schema.
+EVENTS_PHYSICAL_SCHEMA_NS = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
         T.StructField("ts", T.LongType()),
@@ -147,14 +153,46 @@ EVENTS_PHYSICAL_SCHEMA = T.StructType(
         T.StructField("props", T.StringType()),
     ]
 )
+# Backwards-compat alias (pre-r4 name, when ns was the only observed form).
+EVENTS_PHYSICAL_SCHEMA = EVENTS_PHYSICAL_SCHEMA_NS
+
+_ts_unit_cache: dict[str, str] = {}
+
+
+def events_ts_unit(path: str) -> str:
+    """Sniff the on-disk unit of ``ts`` in an events parquet file or a
+    directory of event chunks: ``"ns"`` (timestamp[ns]/int64 nanos) or
+    ``"us"`` (timestamp[us]). Footer-only pyarrow read, cached per path."""
+    if path not in _ts_unit_cache:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        f = path
+        if os.path.isdir(path):
+            members = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+            if not members:
+                raise FileNotFoundError(f"no parquet files under {path}")
+            f = members[0]
+        t = pq.read_schema(f).field("ts").type
+        if pa.types.is_integer(t) or (pa.types.is_timestamp(t) and t.unit == "ns"):
+            _ts_unit_cache[path] = "ns"
+        elif pa.types.is_timestamp(t):
+            _ts_unit_cache[path] = "us"
+        else:
+            raise TypeError(f"unexpected events.ts physical type {t} in {f}")
+    return _ts_unit_cache[path]
 
 
 def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
-def physical_schema(name: str) -> T.StructType:
-    return EVENTS_PHYSICAL_SCHEMA if name == "events" else SCHEMAS[name]
+def physical_schema(name: str, *, sf_dir: str | None = None) -> T.StructType:
+    if name != "events":
+        return SCHEMAS[name]
+    if sf_dir is not None and events_ts_unit(table_path(sf_dir, name)) == "us":
+        return SCHEMAS["events"]
+    return EVENTS_PHYSICAL_SCHEMA_NS
 
 
 def _normalize_events(df: DataFrame) -> DataFrame:
@@ -183,8 +221,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     configure(spark)
-    df = spark.read.schema(physical_schema(name)).parquet(table_path(sf_dir, name))
-    if name == "events":
+    df = spark.read.schema(physical_schema(name, sf_dir=sf_dir)).parquet(
+        table_path(sf_dir, name)
+    )
+    if name == "events" and events_ts_unit(table_path(sf_dir, name)) == "ns":
         df = _normalize_events(df)
     _df_cache[key] = df
     return df
@@ -215,9 +255,15 @@ def read_stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
     identity cast under UTC) so results compare exactly with batch/oracle.
     """
     configure(spark)
+    unit = events_ts_unit(events_dir)
+    schema = SCHEMAS["events"] if unit == "us" else EVENTS_PHYSICAL_SCHEMA_NS
     raw = (
-        spark.readStream.schema(EVENTS_PHYSICAL_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(events_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if unit == "ns":
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # NTZ → LTZ is an identity cast under the UTC session timezone; event-time
+    # watermarks require TimestampType.
+    return raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))

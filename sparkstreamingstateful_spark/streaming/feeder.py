@@ -41,7 +41,7 @@ def events_max_ts(sf_dir: str):
     full scan of events per query otherwise)."""
     if sf_dir not in _max_ts_us:
         ts = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts"]).column("ts")
-        _max_ts_us[sf_dir] = pa.compute.max(ts).cast(pa.int64()).as_py() // 1000
+        _max_ts_us[sf_dir] = _to_us(pa.compute.max(ts), ts.type)
     import datetime
 
     return datetime.datetime(1970, 1, 1) + datetime.timedelta(
@@ -49,12 +49,23 @@ def events_max_ts(sf_dir: str):
     )
 
 
-def _sentinel_table(max_ts_ns: int, day_offset: int, idx: int) -> pa.Table:
-    ns = max_ts_ns + day_offset * 86_400 * 1_000_000_000
+def _to_us(scalar, ts_type) -> int:
+    """Max-ts scalar → epoch µs, whatever the on-disk ts representation
+    (timestamp[ns] → floor-div, timestamp[us]/[ms]/[s] → exact)."""
+    if pa.types.is_timestamp(ts_type) and ts_type.unit == "ns":
+        return scalar.cast(pa.int64()).as_py() // 1000
+    return scalar.cast(pa.timestamp("us")).cast(pa.int64()).as_py()
+
+
+def _sentinel_table(max_ts_us: int, day_offset: int, idx: int, ts_type) -> pa.Table:
+    """Far-future marker row whose ts column matches the source table's
+    physical type (the streaming source declares ONE schema for the whole
+    chunk dir, so sentinel files must not diverge from data files)."""
+    us = max_ts_us + day_offset * 86_400 * 1_000_000
     return pa.table(
         {
             "event_id": pa.array([-1 - idx], pa.int64()),
-            "ts": pa.array([ns], pa.timestamp("ns")),
+            "ts": pa.array([us], pa.timestamp("us")).cast(ts_type),
             "user_id": pa.array([-1], pa.int64()),
             "event_type": pa.array(["__sentinel__"]),
             "value": pa.array([0.0], pa.float64()),
@@ -95,9 +106,10 @@ def chunked_events_dir(
     if held is not None:
         order.append(held)  # arrives last → late vs the advanced watermark
     if sentinels:
-        max_ns = pa.compute.max(table.column("ts")).cast(pa.int64()).as_py()
+        ts_col = table.column("ts")
+        max_us = _to_us(pa.compute.max(ts_col), ts_col.type)
         for j, days in enumerate(SENTINEL_DAYS):
-            order.append(_sentinel_table(max_ns, days, j))
+            order.append(_sentinel_table(max_us, days, j, ts_col.type))
 
     out = tempfile.mkdtemp(prefix="sss_feed_")
     base = 1_600_000_000
