@@ -76,7 +76,7 @@ def _sentinel_table(max_ts_us: int, day_offset: int, idx: int, ts_type) -> pa.Ta
 
 def chunked_events_dir(
     sf_dir: str,
-    n_chunks: int = 4,
+    n_chunks: int = 3,
     *,
     sentinels: bool = True,
     replay: tuple[int, ...] = (),

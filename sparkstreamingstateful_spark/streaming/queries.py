@@ -7,6 +7,15 @@ see feeder.py) flow through the streaming plan to drive watermark
 progression and are filtered from the *materialized* result, never inside
 the streaming plan (a plan-level filter gets pushed below the watermark
 node and stalls it — measured in M5).
+
+Micro-batch budget: every chunk file is one micro-batch at a fixed
+multi-hundred-ms cost (state-store + Python-worker round-trip), so each
+query feeds only the batches its semantics need — sentinels are reserved
+for append-mode watermark eviction (windows/sessions/late-drop); update-mode
+stateful queries, the stateless join, and the inner stream-stream join emit
+without them and skip the two sentinel batches entirely. Three data chunks
+(≥2 state-crossing micro-batches) prove cross-batch state everywhere except
+late-drop, which pins the 4-chunk layout its oracle encodes.
 """
 
 from __future__ import annotations
@@ -134,10 +143,10 @@ def stream_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exactly-once-style dedup of an at-least-once feed: chunks 1 and 2
-    are delivered twice (feeder replay); keyed dropDuplicates restores
+    """Exactly-once-style dedup of an at-least-once feed: chunk 1 is
+    delivered twice (feeder replay); keyed dropDuplicates restores
     exactly-once output = the original unique events."""
-    ev = _stream(spark, sf_dir, replay=(1, 2), sentinels=False)
+    ev = _stream(spark, sf_dir, replay=(1,), sentinels=False)
     deduped = ev.dropDuplicates(["event_id"])
     res = run_stream(deduped, output_mode="append")
     return res.select("event_id", "user_id", "event_type", "value")
@@ -152,8 +161,9 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream enriched against a static dim — the static side is planned as
-    a broadcast per micro-batch (stateless, no watermark needed)."""
-    ev = _stream(spark, sf_dir)
+    a broadcast per micro-batch (stateless, no watermark needed — rows emit
+    the batch they arrive, so sentinel batches are skipped)."""
+    ev = _stream(spark, sf_dir, sentinels=False)
     cust = load_table(spark, sf_dir, "customer")
     joined = ev.join(cust, ev.user_id == cust.c_custkey).select(
         "event_id", "c_custkey", "c_mktsegment", "value"
@@ -176,8 +186,10 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval self-join (click→purchase correlation within
     10 minutes). Watermarks on both sides + the time-bound condition let
     Spark evict join state (StreamingSymmetricHashJoin) — without them
-    state grows unboundedly (SURVEY §7.2)."""
-    feed = chunked_events_dir(sf_dir)
+    state grows unboundedly (SURVEY §7.2). Inner-join matches emit the
+    micro-batch both sides are present (the watermark only gates state
+    EVICTION, never output), so sentinel batches are skipped."""
+    feed = chunked_events_dir(sf_dir, sentinels=False)
     # one stream source, self-joined (Spark supports stream self-joins):
     # both branches share the source's file listing/offsets per trigger
     stream = read_stream_events(spark, feed)
@@ -220,8 +232,9 @@ def stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """updateStateByKey-equivalent (ST7): per-user count+sum in keyed state,
     updated every micro-batch. The memory sink holds one update row per
     (user, batch); the final state per user must equal the batch GROUP BY —
-    the H-check asserts exactly that."""
-    ev = _stream(spark, sf_dir)
+    the H-check asserts exactly that. Update mode emits every batch without
+    watermark help, so sentinel batches are skipped."""
+    ev = _stream(spark, sf_dir, sentinels=False)
     updates = ev.groupBy("user_id").applyInPandasWithState(
         stateful.running_agg_fn,
         stateful.RUNNING_AGG_OUTPUT,
@@ -264,8 +277,9 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     (last_us, last_eid) arg-max) is the final table. Tombstoned keys
     (latest record = 'error') are dropped after materialization, exactly
     like the batch MERGE. State is O(1) per key; at scale this is the
-    continuously-maintained upsert view a lakehouse streams into."""
-    ev = _stream(spark, sf_dir)
+    continuously-maintained upsert view a lakehouse streams into. Update
+    mode emits every batch without watermark help → no sentinel batches."""
+    ev = _stream(spark, sf_dir, sentinels=False)
     updates = ev.groupBy("user_id").applyInPandasWithState(
         stateful.latest_wins_fn,
         stateful.LATEST_WINS_OUTPUT,
@@ -352,8 +366,9 @@ def stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stateful_dedup_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed first-seen filter (ST9): first event per user per day, the
-    seen-day set carried in keyed state across micro-batches."""
-    ev = _stream(spark, sf_dir)
+    seen-day set carried in keyed state across micro-batches. NoTimeout
+    append emits in-batch (no watermark dependency) → no sentinel batches."""
+    ev = _stream(spark, sf_dir, sentinels=False)
     firsts = ev.groupBy("user_id").applyInPandasWithState(
         stateful.first_seen_fn,
         stateful.FIRST_SEEN_OUTPUT,
@@ -381,8 +396,9 @@ def stream_window_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     has already pushed the watermark past chunk 1 entirely → every chunk-1
     row is dropped. The oracle is the batch aggregation over the surviving
     rows — late-drop semantics are deterministic here because the feed
-    order and watermark delay are fixed."""
-    ev = _stream(spark, sf_dir, late_chunk=1)
+    order and watermark delay are fixed. The 4-chunk layout is pinned —
+    the oracle's event_id quartile bounds encode it."""
+    ev = _stream(spark, sf_dir, n_chunks=4, late_chunk=1)
     agg = (
         ev.withWatermark("ts", WATERMARK)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -392,6 +408,25 @@ def stream_window_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.filter(F.col("event_type") != "__sentinel__").select(
         _ntz(F.col("w.start")).alias("win_start"), "event_type", "n"
     )
+
+
+# Which stateful API `stateful_running_agg_tws` actually executed last —
+# "transformWithStateInPandas" or "applyInPandasWithState_fallback". The
+# TWS gate is environment-dependent (protobuf health), so evidence readers
+# need to know which path produced a given green result; the marker is set
+# at plan-build time and logged once per process.
+TWS_PATH_USED: str | None = None
+_tws_path_logged = False
+
+
+def _record_tws_path(path: str) -> None:
+    global TWS_PATH_USED, _tws_path_logged
+    TWS_PATH_USED = path
+    if not _tws_path_logged:
+        import sys
+
+        print(f"[sparkstreamingstateful] stateful_running_agg_tws path: {path}", file=sys.stderr)
+        _tws_path_logged = True
 
 
 def _tws_available() -> bool:
@@ -423,8 +458,9 @@ def stateful_running_agg_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     generations of the Python stateful API. Falls back to
     ``applyInPandasWithState`` where TWS's protobuf dependency is broken
     (see _tws_available)."""
-    ev = _stream(spark, sf_dir)
+    ev = _stream(spark, sf_dir, sentinels=False)
     if _tws_available():
+        _record_tws_path("transformWithStateInPandas")
         updates = ev.groupBy("user_id").transformWithStateInPandas(
             stateful.make_running_agg_processor(),
             outputStructType=stateful.RUNNING_AGG_OUTPUT,
@@ -432,6 +468,7 @@ def stateful_running_agg_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeMode="None",
         )
     else:
+        _record_tws_path("applyInPandasWithState_fallback")
         updates = ev.groupBy("user_id").applyInPandasWithState(
             stateful.running_agg_fn,
             stateful.RUNNING_AGG_OUTPUT,

@@ -96,6 +96,47 @@ def test_pairwise_label_bounded_broadcast(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_edit_distance_bounded_broadcast(spark):
+    # text_edit_distance's 10-probe panel is bounded and explicitly
+    # broadcast; the corpus must stream past it in ONE scan. Same contract
+    # as embed_pairwise_label: the broadcast is the design, so it must
+    # survive with size-based broadcasts disabled, and the corpus side must
+    # never be shuffled into a SortMergeJoin against the panel.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, "text_edit_distance")
+        assert "BroadcastExchange" in plan, "probe panel not broadcast"
+        assert "SortMergeJoin" not in plan, "corpus shuffled against the panel"
+        assert "CartesianProduct" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_cluster_cc_checkpoint_truncated_and_bounded(spark):
+    # dedup_cluster_cc is iterative: its correctness at scale rests on
+    # (a) the LSH edge list being materialized ONCE (localCheckpoint) so
+    # iterations never re-run the MinHash pipeline, and (b) a hard
+    # iteration cap that fails loud instead of silently emitting wrong
+    # components. The final plan must therefore read checkpointed RDDs,
+    # not the documents parquet / Python UDF pipeline that produced the
+    # edges.
+    import inspect
+
+    from sparkstreamingstateful_spark.operators import llm_text
+
+    df = QUERIES["dedup_cluster_cc"](spark, SF_UNIT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan or "Scan rdd" in plan, (
+        "edge list not checkpoint-materialized: " + plan[:500]
+    )
+    assert "documents.parquet" not in plan, "iterations re-scan the corpus"
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # the loud non-convergence guard must stay in the source
+    src = inspect.getsource(llm_text.dedup_cluster_cc)
+    assert "max_iters" in src and "RuntimeError" in src
+
+
 def test_partition_pruning(spark):
     # the day-range predicate must prune at the DIRECTORY level: the scan
     # carries PartitionFilters on `day`, and the pruned read lists only

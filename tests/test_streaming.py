@@ -92,6 +92,111 @@ def test_foreachbatch_parquet_sink_and_recovery(spark):
     assert sink.select("event_id").distinct().count() == expected.count()
 
 
+def test_stateful_kill_restart_recovery(spark):
+    """ST11b: the STATEFUL path (applyInPandasWithState) must survive a
+    kill/restart from the same checkpoint — the state store recovers the
+    per-key aggregates, the remaining micro-batches resume, and the final
+    per-key state equals the batch twin. Replayed update-mode emissions are
+    identical rows, so the arg-max materialization is idempotent under
+    at-least-once batch replay."""
+    import time
+    import uuid
+
+    from sparkstreamingstateful_spark.streaming import stateful
+
+    feed = chunked_events_dir(SF_UNIT, n_chunks=4, sentinels=False)
+    ckpt = tempfile.mkdtemp(prefix="sss_strec_ckpt_")
+    out = tempfile.mkdtemp(prefix="sss_strec_out_")
+
+    def write_batch(df, batch_id):
+        df.write.mode("append").parquet(os.path.join(out, f"b{batch_id}"))
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+
+        def start():
+            ev = read_stream_events(spark, feed)
+            updates = ev.groupBy("user_id").applyInPandasWithState(
+                stateful.running_agg_fn,
+                stateful.RUNNING_AGG_OUTPUT,
+                stateful.RUNNING_AGG_STATE,
+                "update",
+                "NoTimeout",
+            )
+            return (
+                updates.writeStream.foreachBatch(write_batch)
+                .outputMode("update")
+                .queryName("strec_" + uuid.uuid4().hex[:8])
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        # phase 1: kill after ≥1 batch has committed (state crossed a batch)
+        q = start()
+        commits = os.path.join(ckpt, "commits")
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if os.path.isdir(commits) and any(
+                not f.startswith(".") for f in os.listdir(commits)
+            ):
+                break
+            time.sleep(0.05)
+        q.stop()
+        try:
+            q.awaitTermination()
+        except Exception:
+            pass  # interrupt surfacing from a mid-batch kill is expected
+
+        # phase 2: restart from the same checkpoint → drain the feed
+        q = start()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    # all 4 micro-batches committed exactly once across both phases
+    done = [f for f in os.listdir(commits) if not f.startswith(".")]
+    assert len(done) == 4, f"expected 4 committed batches, got {sorted(done)}"
+
+    sink = spark.read.parquet(os.path.join(out, "b*"))
+    final = (
+        sink.groupBy("user_id")
+        .agg(F.max(F.struct("n", "sum_value")).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.n").alias("n"),
+            F.round("s.sum_value", 2).alias("sum_value"),
+        )
+    )
+    expected = (
+        load_table(spark, SF_UNIT, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    got = sorted(map(tuple, final.collect()))
+    want = sorted(map(tuple, expected.collect()))
+    assert got == want, "recovered final state diverges from the batch twin"
+
+
+def test_tws_path_marker(spark):
+    """The TWS facade must RECORD which stateful API it executed — the gate
+    is environment-dependent, so a green stateful_running_agg_tws row is
+    only interpretable alongside this marker."""
+    from sparkstreamingstateful_spark.streaming import queries as sq
+
+    QUERIES["stateful_running_agg_tws"](spark, SF_UNIT)
+    expect = (
+        "transformWithStateInPandas"
+        if sq._tws_available()
+        else "applyInPandasWithState_fallback"
+    )
+    assert sq.TWS_PATH_USED == expect
+
+
 def test_console_sink(spark):
     """S5: console sink runs (smoke)."""
     feed = chunked_events_dir(SF_UNIT, n_chunks=2, sentinels=False)
