@@ -197,6 +197,48 @@ def test_tws_path_marker(spark):
     assert sq.TWS_PATH_USED == expect
 
 
+def test_events_ts_unit_duality(spark, tmp_path):
+    """The events loader must read BOTH physical ts generations —
+    timestamp[ns] (legacy, long-nanos + div-1000 conversion) and
+    timestamp[us] (direct) — to identical TimestampNTZ rows, batch and
+    streaming. A testdata regeneration flipped ns→us mid-build once; this
+    pins both paths so a future flip (either direction) fails loud here,
+    not as a silent 1000× timestamp skew in 30 oracle checks."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sparkstreamingstateful_spark.catalog import events_ts_unit
+    from sparkstreamingstateful_spark.streaming.runner import run_stream
+
+    src = pq.read_table(os.path.join(SF_UNIT, "events.parquet")).slice(0, 2000)
+    i = src.schema.get_field_index("ts")
+    ts_us = src.column("ts").cast(pa.timestamp("us"))
+    dirs = {}
+    for unit, col in (("us", ts_us), ("ns", ts_us.cast(pa.timestamp("ns")))):
+        d = tmp_path / unit
+        d.mkdir()
+        pq.write_table(src.set_column(i, "ts", col), str(d / "events.parquet"))
+        dirs[unit] = str(d)
+        assert events_ts_unit(str(d / "events.parquet")) == unit
+
+    # batch loader: identical rows (ts lands as TimestampNTZ both ways)
+    batch = {
+        u: load_table(spark, d, "events").orderBy("event_id").collect()
+        for u, d in dirs.items()
+    }
+    assert batch["us"] == batch["ns"]
+    assert len(batch["us"]) == src.num_rows
+
+    # streaming loader: identical materialized rows from a chunked feed
+    stream = {}
+    for u, d in dirs.items():
+        feed = chunked_events_dir(d, n_chunks=2, sentinels=False)
+        res = run_stream(read_stream_events(spark, feed).select("event_id", "ts"))
+        stream[u] = sorted(map(tuple, res.collect()))
+    assert stream["us"] == stream["ns"]
+    assert len(stream["us"]) == src.num_rows
+
+
 def test_console_sink(spark):
     """S5: console sink runs (smoke)."""
     feed = chunked_events_dir(SF_UNIT, n_chunks=2, sentinels=False)
