@@ -32,6 +32,18 @@ _cache: dict[tuple, str] = {}
 _max_ts_us: dict[str, int] = {}
 
 
+_num_rows: dict[str, int] = {}
+
+
+def events_num_rows(sf_dir: str) -> int:
+    """Row count of the events table — parquet footer metadata only."""
+    if sf_dir not in _num_rows:
+        _num_rows[sf_dir] = pq.ParquetFile(
+            f"{sf_dir}/events.parquet"
+        ).metadata.num_rows
+    return _num_rows[sf_dir]
+
+
 def events_max_ts(sf_dir: str):
     """Max real event time (µs-truncated, naive UTC datetime) for ``sf_dir``.
 

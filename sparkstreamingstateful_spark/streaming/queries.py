@@ -37,6 +37,21 @@ def _stream(spark: SparkSession, sf_dir: str, **feed_kwargs) -> DataFrame:
     return read_stream_events(spark, feed)
 
 
+def _parts(sf_dir: str) -> int:
+    """State-store partition count for the PYTHON-stateful queries
+    (applyInPandasWithState), sized to the feed (r4 sweep, running agg:
+    sf0.001 {4:2.2, 8:2.4, 16:2.7} s; sf0.1 {4:5.1, 8:3.6, 16:3.2} s —
+    and sessionize 11.5→7.2 s, cdc_upsert 7.0→3.9 s at 16): the pandas
+    group-apply does real per-row Python work, so parallelism pays once
+    batches are fat. JVM-side state (windowed aggs, stream-stream join,
+    dropDuplicates) keeps the runner default of 4 — measured WORSE at 16
+    (stream_stream_join 5.2→8.1 s, late_drop 3.3→4.9 s: tiny per-row
+    cost, 4× more state-store round-trips). A production deployment with
+    a fixed checkpoint would pin O(cores) once; here each run owns a
+    fresh checkpoint, so the count may track the feed."""
+    return 4 if feeder.events_num_rows(sf_dir) < 50_000 else 16
+
+
 def _ntz(col):
     # LTZ→NTZ is an identity cast under the UTC session timezone
     return col.cast("timestamp_ntz")
@@ -242,7 +257,7 @@ def stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "update",
         "NoTimeout",
     )
-    res = run_stream(updates, output_mode="update")
+    res = run_stream(updates, output_mode="update", state_partitions=_parts(sf_dir))
     final = (
         res.filter(F.col("user_id") >= 0)
         .groupBy("user_id")
@@ -287,7 +302,7 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "update",
         "NoTimeout",
     )
-    res = run_stream(updates, output_mode="update")
+    res = run_stream(updates, output_mode="update", state_partitions=_parts(sf_dir))
     final = (
         res.filter(F.col("user_id") >= 0)
         .groupBy("user_id")
@@ -346,7 +361,7 @@ def stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "EventTimeTimeout",
         )
     )
-    res = run_stream(sessions, output_mode="append")
+    res = run_stream(sessions, output_mode="append", state_partitions=_parts(sf_dir))
     return res.filter(F.col("user_id") >= 0).select(
         "user_id",
         _ntz(F.expr("timestamp_micros(sess_start_us)")).alias("sess_start"),
@@ -376,7 +391,7 @@ def stateful_dedup_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append",
         "NoTimeout",
     )
-    res = run_stream(firsts, output_mode="append")
+    res = run_stream(firsts, output_mode="append", state_partitions=_parts(sf_dir))
     return res.filter(F.col("user_id") >= 0).select("event_id", "user_id", "day")
 
 
@@ -476,7 +491,7 @@ def stateful_running_agg_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             "update",
             "NoTimeout",
         )
-    res = run_stream(updates, output_mode="update")
+    res = run_stream(updates, output_mode="update", state_partitions=_parts(sf_dir))
     final = (
         res.filter(F.col("user_id") >= 0)
         .groupBy("user_id")

@@ -23,12 +23,12 @@ def run_stream(
     ``state_partitions`` caps the stateful-operator partition count for
     this query (picked up from the session conf at query start and then
     pinned in the checkpoint). Stateful micro-batches pay a
-    Python-worker/state-store round-trip per partition per batch, so at
-    test scale fewer, fuller partitions win (measured sf0.1,
-    stateful_running_agg: 8 parts 23.6 s → 4 parts 15.5 s → 2 parts
-    13.9 s under identical conditions; 4 keeps a parallelism margin); a
-    production deployment with real key cardinality would raise this to
-    O(cores) and keep it fixed for the checkpoint's lifetime.
+    Python-worker/state-store round-trip per partition per batch, so the
+    right count tracks rows-per-batch: small feeds want few, fuller
+    partitions (fixed cost dominates), large feeds want more (real work
+    dominates) — registered queries size it via ``queries._parts`` (r4
+    sweep in its docstring). A production deployment with real key
+    cardinality would pin O(cores) once for the checkpoint's lifetime.
     """
     spark = df.sparkSession
     name = "sss_mem_" + uuid.uuid4().hex[:12]
