@@ -1,0 +1,213 @@
+"""Scale probe: measure how the scale-sensitive operators behave on a K×
+corpus, as evidence for the 100 TB posture claims (SCALING.md).
+
+Builds /tmp derived tables that are K structure-preserving replicas of the
+sf0.1 tables — "more data of the same shape", not noise:
+
+* ``documents``: replica i keeps doc structure but suffixes every token
+  with ``_ri`` — token sets are renamed CONSISTENTLY within a replica, so
+  every within-replica Jaccard equals the original corpus's, while vocab
+  across replicas is disjoint (zero cross-replica candidates). A perfect
+  linear-scaling probe for the prefix-filter / LSH families: planted pair
+  count and candidate count must scale exactly ×K.
+* ``embeddings``: replica i applies a deterministic random ORTHOGONAL
+  rotation (QR of a seeded Gaussian) — within-replica cosines are exactly
+  preserved (isometry), cross-replica cosines distribute ≈N(0, 1/dim) and
+  never cross the near-dup threshold. (Sign-flips were tried first and
+  leaked: clustered vectors concentrate mass in few dimensions, so a
+  Rademacher-weighted overlap stays large across replicas — measured 3.3×
+  super-linear pair growth at 10×.)
+* ``events``: replica i shifts event_id and user_id past the original
+  ranges — per-user session/window structure replicates ×K.
+* ``lineitem``: replica i shifts l_orderkey — the Q1 agg reads ×K rows
+  into the same 6 groups.
+
+Run:  python scripts/scale_probe.py [K ...]   (default: 3 10)
+Writes SCALING.md at the repo root with wall-clock + output-row tables.
+Wall-clock comparisons are within-session only (this VM drifts ±35%
+between sessions — .claude/skills/verify/SKILL.md).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sparkstreamingstateful_spark import registry
+from sparkstreamingstateful_spark.session import get_spark
+
+SRC = "/root/testdata/sf0.1"
+# (key, table it scales with) — batch keys whose cost is corpus-driven;
+# streaming keys excluded (micro-batch fixed cost dominates, measured).
+PROBES = [
+    ("agg_hash_q1", "lineitem"),
+    ("events_sessionize_batch", "events"),
+    ("window_time_range", "events"),
+    ("cdc_upsert_latest", "events"),
+    # text_language_id excluded: the per-replica token suffixes defeat its
+    # lexicons (0 classified rows on scaled corpora) — the probe corpus is
+    # not language-valid, which says nothing about the operator.
+    ("dedup_near", "documents"),
+    ("dedup_ngram_jaccard", "documents"),
+    ("dedup_minhash_lsh", "documents"),
+    ("dedup_cluster_cc", "documents"),
+    ("embed_near_dup", "embeddings"),
+    ("embed_ann_ivf", "embeddings"),
+]
+
+
+def _suffix_tokens(col: pa.ChunkedArray, tag: str) -> pa.Array:
+    # token → token_tag, applied to every whitespace token of every doc
+    toks = pc.split_pattern(col.combine_chunks(), " ")
+    flat = pc.list_flatten(toks)
+    flat = pc.binary_join_element_wise(flat, pa.scalar(tag), "")
+    return pa.ListArray.from_arrays(toks.offsets, flat).cast(pa.list_(pa.string()))
+
+
+def build(k: int) -> str:
+    out = f"/tmp/sss_scale_{k}x"
+    if os.path.isdir(out) and os.path.exists(f"{out}/.done"):
+        return out
+    os.makedirs(out, exist_ok=True)
+
+    li = pq.read_table(f"{SRC}/lineitem.parquet")
+    okey = li.column("l_orderkey")
+    span = pc.max(okey).as_py() + 1
+    reps = []
+    for i in range(k):
+        reps.append(
+            li.set_column(
+                li.schema.get_field_index("l_orderkey"),
+                "l_orderkey",
+                pc.add(okey, i * span),
+            )
+        )
+    pq.write_table(pa.concat_tables(reps), f"{out}/lineitem.parquet")
+
+    ev = pq.read_table(f"{SRC}/events.parquet")
+    eid, uid = ev.column("event_id"), ev.column("user_id")
+    espan, uspan = pc.max(eid).as_py() + 1, pc.max(uid).as_py() + 1
+    reps = []
+    for i in range(k):
+        t = ev.set_column(
+            ev.schema.get_field_index("event_id"), "event_id", pc.add(eid, i * espan)
+        )
+        t = t.set_column(
+            t.schema.get_field_index("user_id"), "user_id", pc.add(uid, i * uspan)
+        )
+        reps.append(t)
+    pq.write_table(pa.concat_tables(reps), f"{out}/events.parquet")
+
+    d = pq.read_table(f"{SRC}/documents.parquet")
+    did = d.column("doc_id")
+    dspan = pc.max(did).as_py() + 1
+    reps = []
+    for i in range(k):
+        toks = _suffix_tokens(d.column("text"), f"_r{i}")
+        text = pc.binary_join(toks, " ")
+        t = d.set_column(d.schema.get_field_index("doc_id"), "doc_id", pc.add(did, i * dspan))
+        t = t.set_column(t.schema.get_field_index("text"), "text", text)
+        reps.append(t)
+    pq.write_table(pa.concat_tables(reps), f"{out}/documents.parquet")
+
+    em = pq.read_table(f"{SRC}/embeddings.parquet")
+    vid = em.column("vec_id")
+    vspan = pc.max(vid).as_py() + 1
+    dim = len(em.column("embedding")[0])
+    reps = []
+    for i in range(k):
+        import numpy as np
+
+        if i:
+            rng = np.random.default_rng(i * 7919 + 1)
+            rot, _ = np.linalg.qr(rng.standard_normal((dim, dim)))
+            rot = rot.astype("float32")
+        else:
+            rot = np.eye(dim, dtype="float32")
+        flat = pc.list_flatten(em.column("embedding").combine_chunks())
+        arr = flat.to_numpy(zero_copy_only=False).reshape(-1, dim) @ rot
+        emb = pa.FixedSizeListArray.from_arrays(
+            pa.array(arr.reshape(-1), pa.float32()), dim
+        ).cast(pa.list_(pa.float32()))
+        t = em.set_column(em.schema.get_field_index("vec_id"), "vec_id", pc.add(vid, i * vspan))
+        t = t.set_column(t.schema.get_field_index("embedding"), "embedding", emb)
+        reps.append(t)
+    pq.write_table(pa.concat_tables(reps), f"{out}/embeddings.parquet")
+
+    open(f"{out}/.done", "w").write("ok")
+    return out
+
+
+def main() -> None:
+    ks = [int(a) for a in sys.argv[1:]] or [3, 10]
+    queries, _ = registry.collect()
+    spark = get_spark(app_name="sss-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    dirs = {1: SRC}
+    for k in ks:
+        print(f"building {k}x ...", flush=True)
+        dirs[k] = build(k)
+
+    # warm-up
+    queries["agg_hash_q1"](spark, SRC).write.format("noop").mode("overwrite").save()
+
+    results: dict[str, dict[int, tuple[float, int]]] = {}
+    for key, table in PROBES:
+        results[key] = {}
+        for k, d in dirs.items():
+            t0 = time.perf_counter()
+            df = queries[key](spark, d)
+            n = df.count()
+            results[key][k] = (round(time.perf_counter() - t0, 2), n)
+            print(f"{key} @{k}x: {results[key][k]}", flush=True)
+
+    lines = [
+        "# SCALING — measured K× scale-up of the corpus-driven operators",
+        "",
+        f"Generated by `python scripts/scale_probe.py {' '.join(map(str, ks))}`"
+        " on sf0.1-derived data (see the script docstring for how each",
+        "table is replicated structure-preservingly). `rows` is the operator's",
+        "output size; `t` is wall-clock seconds on local[32]. Within-session",
+        "numbers only — cross-session wall-clock drifts ±35% on this VM.",
+        "",
+        "| key | " + " | ".join(f"t @{k}× | rows @{k}×" for k in dirs) + " |",
+        "|---|" + "---|" * (2 * len(dirs)),
+    ]
+    for key, table in PROBES:
+        cells = []
+        for k in dirs:
+            t, n = results[key][k]
+            cells.append(f"{t:.2f}")
+            cells.append(f"{n:,}")
+        lines.append(f"| `{key}` ({table}) | " + " | ".join(cells) + " |")
+    lines += [
+        "",
+        "Reading the table: scan/agg/window families should be ≈flat to",
+        "K× (plan depth independent of volume); the text similarity family",
+        "must show BOTH t and output rows growing ≈K× (the replica",
+        "construction guarantees the true pair set scales exactly K×, so",
+        "super-linear growth would expose an all-pairs shape);",
+        "embed_near_dup emits its full SRP candidate set by design, so its",
+        "rows grow with bucket occupancy (≈n²/2^sig_bits per band for",
+        "decorrelated vectors) and its t must track candidates — the",
+        "signature width is the occupancy knob at real scale. See the",
+        "committed SCALING.md for the hand-annotated analysis of one run.",
+        "",
+    ]
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"), "w") as f:
+        f.write("\n".join(lines))
+    print("wrote SCALING.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
