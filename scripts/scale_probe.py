@@ -61,6 +61,14 @@ PROBES = [
     ("dedup_cluster_cc", "documents"),
     ("embed_near_dup", "embeddings"),
     ("embed_ann_ivf", "embeddings"),
+    # streaming: same chunk COUNT at every K (3 data files → 3 micro-
+    # batches), so these isolate how per-batch cost grows with rows/batch —
+    # the micro-batch fixed overhead (state store, Python workers) should
+    # amortize and growth should be strongly sub-linear
+    ("stateful_running_agg", "events(stream)"),
+    ("stream_cdc_upsert", "events(stream)"),
+    ("stream_window_tumbling", "events(stream)"),
+    ("stateful_sessionize", "events(stream)"),
 ]
 
 
@@ -104,7 +112,14 @@ def build(k: int) -> str:
             t.schema.get_field_index("user_id"), "user_id", pc.add(uid, i * uspan)
         )
         reps.append(t)
-    pq.write_table(pa.concat_tables(reps), f"{out}/events.parquet")
+    # keep the table globally time-ordered (each replica spans the full
+    # time range): the streaming feeder's chunk-per-micro-batch contract
+    # assumes file order == event-time order, and an unsorted concat makes
+    # every chunk span the whole range — batch 2+ then delivers
+    # behind-the-watermark groups to the state functions (a robustness
+    # scenario, covered by its own test, but not the intended probe)
+    ev_k = pa.concat_tables(reps)
+    pq.write_table(ev_k.sort_by([("ts", "ascending"), ("event_id", "ascending")]), f"{out}/events.parquet")
 
     d = pq.read_table(f"{SRC}/documents.parquet")
     did = d.column("doc_id")

@@ -446,10 +446,12 @@ def _record_tws_path(path: str) -> None:
 
 def _tws_available() -> bool:
     """transformWithStateInPandas needs a working google.protobuf (its
-    state-server protocol is protobuf-based); this container ships a broken
-    protobuf install (`cannot import name 'descriptor'`), so the TWS path
-    is gated and falls back to applyInPandasWithState — identical
-    semantics, same oracle (SURVEY §7.2.1 facade)."""
+    state-server protocol is protobuf-based); this container ships no
+    usable protobuf (verified r4: `import google` itself fails; r3 saw a
+    broken install missing `descriptor`), so the TWS path is gated and
+    falls back to applyInPandasWithState — identical semantics, same
+    oracle (SURVEY §7.2.1 facade). Self-activates if the env is fixed;
+    TWS_PATH_USED records which path actually ran."""
     try:
         from google.protobuf import descriptor  # noqa: F401
 

@@ -104,8 +104,21 @@ def sessionize_fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.D
             start_us, last_us, n, s = ts_us, ts_us, 1, float(r.value)
         else:
             last_us, n, s = ts_us, n + 1, s + float(r.value)
-    state.update((int(start_us), int(last_us), int(n), float(s)))
-    state.setTimeoutTimestamp(last_us // 1000 + GAP_MS)
+    timeout_ms = last_us // 1000 + GAP_MS
+    if timeout_ms <= state.getCurrentWatermarkMs():
+        # Late-arriving group (out-of-order file feeds deliver rows older
+        # than the watermark to the state function — measured on a
+        # non-time-ordered 10× feed): the watermark has already passed
+        # this session's idle deadline, so no on-time event can ever
+        # extend it. Close it inline — setTimeoutTimestamp would throw
+        # INVALID_TIMEOUT_TIMESTAMP for a past timestamp and kill the
+        # query.
+        closed.append((key[0], start_us, n, s))
+        if state.exists:
+            state.remove()
+    else:
+        state.update((int(start_us), int(last_us), int(n), float(s)))
+        state.setTimeoutTimestamp(timeout_ms)
     yield pd.DataFrame(
         closed, columns=["user_id", "sess_start_us", "n_events", "sum_value"]
     )

@@ -239,6 +239,61 @@ def test_events_ts_unit_duality(spark, tmp_path):
     assert len(stream["us"]) == src.num_rows
 
 
+def test_sessionize_survives_late_groups(spark, tmp_path):
+    """Robustness: a NON-time-ordered feed (each chunk spans the full time
+    range — the shape of out-of-order file arrival on a real lake)
+    delivers whole groups BEHIND the watermark to the state function.
+    sessionize_fn must close such sessions inline rather than set an
+    event-time timeout in the past (INVALID_TIMEOUT_TIMESTAMP kills the
+    query — found by the 10× scale probe). Emissions for late users are
+    best-effort fragments per watermark semantics; the contract here is:
+    the query completes, every user surfaces, and (user, sess_start) is
+    never emitted twice."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from sparkstreamingstateful_spark.streaming import stateful
+    from sparkstreamingstateful_spark.streaming.runner import run_stream
+
+    src = pq.read_table(os.path.join(SF_UNIT, "events.parquet"))
+    uid = src.column("user_id")
+    eid = src.column("event_id")
+    uspan, espan = pc.max(uid).as_py() + 1, pc.max(eid).as_py() + 1
+    rep = src.set_column(
+        src.schema.get_field_index("user_id"), "user_id", pc.add(uid, uspan)
+    ).set_column(
+        src.schema.get_field_index("event_id"), "event_id", pc.add(eid, espan)
+    )
+    d = tmp_path / "unordered"
+    d.mkdir()
+    # two full-range replicas back to back, NOT sorted by ts: chunk 2's
+    # watermark (from chunk 1's max ≈ global max) is ahead of everything
+    # replica 2 delivers
+    pq.write_table(pa.concat_tables([src, rep]), str(d / "events.parquet"))
+    feed = chunked_events_dir(str(d), n_chunks=2, sentinels=True)
+
+    ev = read_stream_events(spark, feed)
+    sessions = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            stateful.sessionize_fn,
+            stateful.SESSION_OUTPUT,
+            stateful.SESSION_STATE,
+            "append",
+            "EventTimeTimeout",
+        )
+    )
+    res = run_stream(sessions, output_mode="append").filter(F.col("user_id") >= 0)
+    rows = res.collect()
+    users = {r.user_id for r in rows}
+    assert {u.as_py() for u in uid.combine_chunks().unique()} <= users
+    assert {u.as_py() + uspan for u in uid.combine_chunks().unique()} <= users
+    keys = [(r.user_id, r.sess_start_us) for r in rows]
+    assert len(keys) == len(set(keys)), "duplicate (user, sess_start) emission"
+
+
 def test_console_sink(spark):
     """S5: console sink runs (smoke)."""
     feed = chunked_events_dir(SF_UNIT, n_chunks=2, sentinels=False)
