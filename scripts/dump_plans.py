@@ -50,6 +50,14 @@ SHOWCASE = [
      "windows share ONE shuffle on the key"),
     ("events_rollup_cascade", "minute→hour→day partial reaggregation: the "
      "day level reads hour partials, never the raw fact table"),
+    ("scan_partition_pruning", "Hive-layout day partitions: PartitionFilters "
+     "prune at the DIRECTORY level — 3 of ~30 day dirs listed, the rest "
+     "never opened"),
+    ("join_bucketed_colocated", "both facts bucketed on the join key: "
+     "fact-fact join + same-key agg with ZERO exchanges (Bucketed: true) — "
+     "the core 100 TB co-located join strategy"),
+    ("scd2_intervals", "SCD2 dimension build: row_number + lead computed in "
+     "ONE window pass — a single shuffle on the business key"),
 ]
 
 
