@@ -58,29 +58,115 @@ def query(name: str, oracle: str | None = None):
 # Evidence-priority ordering. The correctness driver checks exactly the
 # FIRST 50 registered keys each round (count cap, measured r1/r2), so
 # iteration order is the lever that decides which keys get hard oracle
-# signal. Round-4 rotation (per VERDICT r3 items 1-2): the window holds
-# (a) the two TPC-H keys that have NEVER had a driver row (registered
-# past slot 50 in the final r3 commit) plus multimodal_features, re-fixed
-# and promoted R→H after it crashed the driver's canonicalizer in r3,
-# (b) the keys whose oracle or derived-layout caching changed this round
-# (empty-set guard in the prefix-filter oracles; content-fingerprinted
-# /tmp layout caches), and (c) a refresh backfill of the OLDEST greens —
-# the r1-era join/agg/window/sortset families, untouched since round 1,
-# then the r2-era scalar/nested/subquery block. Cheap keys lead so a
-# driver timeout still yields the new evidence; streaming keys (fixed
-# multi-second micro-batch cost each, all r2/r3-green) stay out of the
-# window to protect the driver's 50-key budget.
+# signal. Round-5 rotation (per VERDICT r4 item 1): the window leads with
+# (a) the 13 streaming keys that run on the streaming/queries.py +
+# streaming/stateful.py code REWRITTEN in r4 (sentinel-budget cut,
+# state-partition sizing, inline late-session close, ts-unit sniffing) —
+# 11 of them last saw the driver in ROUND 2, and stream_cdc_upsert /
+# stateful_running_agg_tws (r3 evidence) execute the same rewritten
+# files. The most-changed code is the least-recently-checked; that is
+# the point of this window. Then (b) the two keys whose implementation
+# changes THIS round (cluster_cc chain hardening, near_dup sig_bits
+# parameter), (c) the 18 remaining r2-era greens so max evidence age
+# over hash-checkable keys becomes r3, (d) the two r1 rows-only keys
+# (agg_approx / sample_seeded — rows-only BY CONSTRUCTION, but their
+# rows-recorded evidence is 4 rounds stale), and (e) the oldest r3 greens to fill
+# slot 50. Unlike r4 the expensive streaming keys lead deliberately:
+# a driver timeout that drops the tail loses only r3-era refresh, never
+# the streaming evidence this round exists to collect.
 _KEY_PRIORITY = [
-    # (a) never driver-checked / red-row refix — the r4 point of the window
+    # (a) streaming keys on r4-rewritten code — the point of the window
+    "stateful_sessionize",
+    "stateful_running_agg",
+    "stateful_dedup_keyed",
+    "stream_window_late_drop",
+    "stream_window_tumbling",
+    "stream_window_sliding",
+    "stream_window_session",
+    "stream_dedup",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_text_analysis",
+    "stream_cdc_upsert",
+    "stateful_running_agg_tws",
+    # (b) implementation changes this round (r5)
+    "dedup_cluster_cc",
+    "embed_near_dup",
+    # (c) r2-era greens — backfill so max H-evidence age becomes r3
+    "sql_tpch_q3like",
+    "sql_tpch_q5like",
+    "udf_python",
+    "udf_pandas",
+    "udaf_applyInPandas",
+    "udtf_python",
+    "map_in_pandas",
+    "text_tokenize_wordcount",
+    "text_quality_score",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_simhash",
+    "multimodal_binary",
+    "doc_chunking",
+    "corpus_sample_stratified",
+    "pii_scrub",
+    "dedup_cross_source",
+    "embed_ann_ivf",
+    # (d) r1 rows-only refresh (no hash possible by construction)
+    "agg_approx",
+    "sample_seeded",
+    # (e) oldest r3 greens fill the window
+    "join_asof",
+    "agg_hash_q1",
+    "agg_percentiles",
+    "events_resample_1h",
+    "window_distribution",
+    "sql_parameterized",
+    "values_inline",
+    "json_extract",
+    "struct_ops",
+    "text_stats",
+    "text_language_id",
+    "text_token_count",
+    "text_edit_distance",
+    "seq_packing",
+    "pipeline_end_to_end",
+    # --- 50-key boundary ---
+    # Below: r3 greens not yet rotated forward, then the fully-fresh r4
+    # greens; they rotate forward in later rounds.
+    "scan_parquet",
+    "scan_projection_pushdown",
+    "write_roundtrip",
+    "project_compute",
+    "filter_basic",
+    "filter_conditional",
+    "scalar_string",
+    "scalar_date",
+    "scalar_hash",
+    "unpivot_melt",
+    "join_inner",
+    "join_broadcast",
+    "dedup_minhash_lsh",
+    "multimodal_frame_sample",
+    "map_in_arrow",
+    "udf_arrow",
+    "udaf_pandas_window",
+    "embed_pairwise_label",
+    "cdc_upsert_latest",
+    "cdc_diff_snapshots",
+    "scd2_intervals",
+    "events_sessionize_batch",
+    "events_funnel",
+    "events_cohort_retention",
+    "events_rollup_cascade",
+    "window_time_range",
+    # r4 greens (freshest evidence)
     "sql_tpch_q7like",
     "sql_tpch_q18like",
-    "multimodal_features",  # r3 crash → serialized feature_q, now H
-    # (b) oracle/caching changed this round — need fresh rows
+    "multimodal_features",
     "dedup_near",
     "dedup_ngram_jaccard",
     "scan_partition_pruning",
     "join_bucketed_colocated",
-    # (c) refresh backfill: r1-era greens, oldest evidence first
     "join_left",
     "join_right",
     "join_full",
@@ -114,7 +200,6 @@ _KEY_PRIORITY = [
     "array_explode",
     "embed_similarity_topk",
     "embed_centroids",
-    # (c) r2-era greens complete the window
     "scalar_math",
     "scalar_cast",
     "agg_collect",
@@ -125,83 +210,6 @@ _KEY_PRIORITY = [
     "subquery_in",
     "subquery_correlated_exists",
     "cte_query",
-    # --- 50-key boundary ---
-    # Below: remaining r2 greens, streaming (r2/r3-green, expensive), then
-    # the r3-refreshed block; they rotate forward in later rounds.
-    "sql_tpch_q3like",
-    "sql_tpch_q5like",
-    "udf_python",
-    "udf_pandas",
-    "udaf_applyInPandas",
-    "udtf_python",
-    "map_in_pandas",
-    "text_tokenize_wordcount",
-    "text_quality_score",
-    "doc_fingerprint",
-    "dedup_exact",
-    "dedup_simhash",
-    "stream_text_analysis",
-    "multimodal_binary",
-    "doc_chunking",
-    "corpus_sample_stratified",
-    "pii_scrub",
-    "dedup_cross_source",
-    "embed_ann_ivf",
-    "stream_window_tumbling",
-    "stream_window_sliding",
-    "stream_window_session",
-    "stream_dedup",
-    "stream_static_join",
-    "stream_stream_join",
-    "stateful_running_agg",
-    "stateful_sessionize",
-    "stateful_dedup_keyed",
-    "stream_window_late_drop",
-    "json_extract",
-    "text_stats",
-    "text_language_id",
-    "seq_packing",
-    "pipeline_end_to_end",
-    "join_asof",
-    "struct_ops",
-    "values_inline",
-    "text_token_count",
-    "unpivot_melt",
-    "agg_percentiles",
-    "events_resample_1h",
-    "window_distribution",
-    "sql_parameterized",
-    "udf_arrow",
-    "udaf_pandas_window",
-    "map_in_arrow",
-    "multimodal_frame_sample",
-    "dedup_minhash_lsh",
-    "dedup_cluster_cc",
-    "stateful_running_agg_tws",
-    "embed_pairwise_label",
-    "embed_near_dup",
-    "cdc_upsert_latest",
-    "events_funnel",
-    "events_cohort_retention",
-    "events_rollup_cascade",
-    "window_time_range",
-    "text_edit_distance",
-    "scd2_intervals",
-    "events_sessionize_batch",
-    "cdc_diff_snapshots",
-    "stream_cdc_upsert",
-    "agg_hash_q1",
-    "scan_parquet",
-    "scan_projection_pushdown",
-    "write_roundtrip",
-    "project_compute",
-    "filter_basic",
-    "filter_conditional",
-    "scalar_string",
-    "scalar_date",
-    "scalar_hash",
-    "join_inner",
-    "join_broadcast",
 ]
 
 
