@@ -218,9 +218,16 @@ def main() -> None:
         "committed SCALING.md for the hand-annotated analysis of one run.",
         "",
     ]
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"), "w") as f:
+    # Write to SCALING_raw.md — NOT SCALING.md, which is the committed
+    # hand-annotated analysis (30x spot-check narrative etc.) that a raw
+    # regeneration would silently clobber.
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALING_raw.md",
+    )
+    with open(out, "w") as f:
         f.write("\n".join(lines))
-    print("wrote SCALING.md")
+    print(f"wrote {out}")
     spark.stop()
 
 

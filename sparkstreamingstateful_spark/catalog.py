@@ -172,6 +172,16 @@ def events_ts_unit(path: str) -> str:
             members = sorted(_glob.glob(os.path.join(path, "*.parquet")))
             if not members:
                 raise FileNotFoundError(f"no parquet files under {path}")
+            # Chunk dirs are homogeneous by construction (one feeder run
+            # writes every file) — but a stale feeder output mixed with
+            # regenerated chunks would be silently read under one schema
+            # and skew downstream, so reject mixed units loudly instead.
+            types = {str(pq.read_schema(m).field("ts").type) for m in members}
+            if len(types) > 1:
+                raise TypeError(
+                    f"mixed events.ts physical types {sorted(types)} under "
+                    f"{path} — stale chunks alongside regenerated ones?"
+                )
             f = members[0]
         t = pq.read_schema(f).field("ts").type
         if pa.types.is_integer(t) or (pa.types.is_timestamp(t) and t.unit == "ns"):

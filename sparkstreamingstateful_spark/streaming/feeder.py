@@ -63,8 +63,12 @@ def events_max_ts(sf_dir: str):
 
 def _to_us(scalar, ts_type) -> int:
     """Max-ts scalar → epoch µs, whatever the on-disk ts representation
-    (timestamp[ns] → floor-div, timestamp[us]/[ms]/[s] → exact)."""
-    if pa.types.is_timestamp(ts_type) and ts_type.unit == "ns":
+    (timestamp[ns] / raw int64 nanos → floor-div, timestamp[us]/[ms]/[s]
+    → exact). Raw integer columns are classified 'ns' — same rule as
+    catalog.events_ts_unit — so the two sniffs can never disagree."""
+    if pa.types.is_integer(ts_type) or (
+        pa.types.is_timestamp(ts_type) and ts_type.unit == "ns"
+    ):
         return scalar.cast(pa.int64()).as_py() // 1000
     return scalar.cast(pa.timestamp("us")).cast(pa.int64()).as_py()
 
@@ -74,10 +78,17 @@ def _sentinel_table(max_ts_us: int, day_offset: int, idx: int, ts_type) -> pa.Ta
     physical type (the streaming source declares ONE schema for the whole
     chunk dir, so sentinel files must not diverge from data files)."""
     us = max_ts_us + day_offset * 86_400 * 1_000_000
+    if pa.types.is_integer(ts_type):
+        # Raw-integer ts columns hold NANOS (catalog.events_ts_unit's 'ns'
+        # classification); a µs-valued int64 sentinel would sit 1000x in
+        # the past and stall the watermark forever.
+        ts_arr = pa.array([us * 1000], pa.int64()).cast(ts_type)
+    else:
+        ts_arr = pa.array([us], pa.timestamp("us")).cast(ts_type)
     return pa.table(
         {
             "event_id": pa.array([-1 - idx], pa.int64()),
-            "ts": pa.array([us], pa.timestamp("us")).cast(ts_type),
+            "ts": ts_arr,
             "user_id": pa.array([-1], pa.int64()),
             "event_type": pa.array(["__sentinel__"]),
             "value": pa.array([0.0], pa.float64()),

@@ -294,6 +294,77 @@ def test_sessionize_survives_late_groups(spark, tmp_path):
     assert len(keys) == len(set(keys)), "duplicate (user, sess_start) emission"
 
 
+def test_feeder_raw_int64_nanos_ts(tmp_path):
+    """An events file whose ts column is RAW int64 nanos (which
+    catalog.events_ts_unit explicitly classifies as 'ns') must produce
+    (a) a correct µs max-ts — not 1000× inflated — and (b) sentinel rows
+    valued in NANOS, ahead of all real data. Before the r5 fix, _to_us
+    fell into the timestamp-cast branch for integers (inflating max_ts
+    1000×) and _sentinel_table emitted µs-valued int64 sentinels 1000×
+    in the PAST, stalling the watermark so append streams emit nothing."""
+    import datetime
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from sparkstreamingstateful_spark.catalog import events_ts_unit
+    from sparkstreamingstateful_spark.streaming import feeder
+
+    src = pq.read_table(os.path.join(SF_UNIT, "events.parquet")).slice(0, 1000)
+    i = src.schema.get_field_index("ts")
+    ns_ints = src.column("ts").cast(pa.timestamp("ns")).cast(pa.int64())
+    d = tmp_path / "rawns"
+    d.mkdir()
+    pq.write_table(src.set_column(i, "ts", ns_ints), str(d / "events.parquet"))
+    assert events_ts_unit(str(d / "events.parquet")) == "ns"
+
+    max_us_true = (
+        src.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+    )
+    max_us_true = pc.max(max_us_true).as_py()
+    got = feeder.events_max_ts(str(d))
+    want = datetime.datetime(1970, 1, 1) + datetime.timedelta(
+        microseconds=max_us_true
+    )
+    assert got == want, f"max_ts {got} != {want} (1000x skew?)"
+
+    feed = feeder.chunked_events_dir(str(d), n_chunks=2, sentinels=True)
+    files = sorted(glob.glob(os.path.join(feed, "*.parquet")))
+    assert len(files) == 4  # 2 chunks + 2 sentinels
+    max_data_ns = pc.max(ns_ints).as_py()
+    for f in files[-2:]:
+        t = pq.read_table(f)
+        assert t.column("ts").type == pa.int64()  # schema matches data files
+        sent_ns = t.column("ts")[0].as_py()
+        assert sent_ns > max_data_ns, "sentinel must be ahead of all data"
+        days = (sent_ns - max_data_ns) / (86_400 * 1e9)
+        assert 29 < days < 32, f"sentinel offset {days} days — unit skew"
+
+
+def test_events_ts_unit_rejects_mixed_dir(tmp_path):
+    """A chunk dir mixing ts physical units (stale feeder output alongside
+    regenerated chunks) must be rejected loudly, not silently read under
+    the first file's schema."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from sparkstreamingstateful_spark.catalog import events_ts_unit
+
+    src = pq.read_table(os.path.join(SF_UNIT, "events.parquet")).slice(0, 100)
+    i = src.schema.get_field_index("ts")
+    us = src.set_column(i, "ts", src.column("ts").cast(pa.timestamp("us")))
+    ns = src.set_column(i, "ts", src.column("ts").cast(pa.timestamp("ns")))
+    d = tmp_path / "mixed"
+    d.mkdir()
+    pq.write_table(us, str(d / "0000.parquet"))
+    pq.write_table(ns, str(d / "0001.parquet"))
+    with pytest.raises(TypeError, match="mixed events.ts"):
+        events_ts_unit(str(d))
+
+
 def test_console_sink(spark):
     """S5: console sink runs (smoke)."""
     feed = chunked_events_dir(SF_UNIT, n_chunks=2, sentinels=False)
