@@ -861,6 +861,85 @@ _EDGES_SQL = """
 """
 
 
+def connected_components(sym: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components of a symmetric edge list ``(src, dst)`` →
+    ``(node, label)`` where label is the component's min node id.
+
+    Min-label propagation with POINTER-JUMP SHORTCUTTING: each iteration
+    does (1) a neighbor-min step (one join + min-agg: label ← min over
+    neighbors' labels) and (2) a pointer-jump step (one self-join:
+    label ← label(label)) — the Shiloach–Vishkin shortcut, the same
+    doubling device behind the two-phase large-star/small-star algorithm
+    of Kiveris et al., "Connected Components in MapReduce and Beyond"
+    (SoCC'14). The neighbor step alone moves the min ONE hop per
+    iteration (O(diameter) rounds — a pathological duplicate CHAIN
+    a~b~…~z blows any fixed cap); the jump step doubles the shortcut
+    distance each round, so convergence is O(log diameter) and the
+    20-iteration cap covers diameters beyond any real corpus.
+
+    Labels are monotone non-increasing and always node ids within the
+    component, so the fixed point is exactly min-id-per-component and a
+    converged pass (changed == 0 across BOTH steps) certifies labels are
+    stable under neighbor-min — equal across every edge, hence constant
+    per component. ``localCheckpoint`` truncates lineage each iteration
+    so plans don't grow; the driver only ever sees a changed counter,
+    never the data."""
+    labels = (
+        sym.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    converged = False
+    for _ in range(max_iters):
+        neigh = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nl"))
+        )
+        # carry the previous label through so the convergence check is a
+        # filter-count on the materialized result, not a second join
+        stepped = (
+            labels.join(neigh, labels.node == neigh.src, "left")
+            .select(
+                "node",
+                F.col("label").alias("old_label"),
+                F.least(F.col("label"), F.coalesce("nl", "label")).alias("label"),
+            )
+            # materialize before the self-join below: keeps the jump's two
+            # sides reading one computed result, not re-running the step
+            .localCheckpoint()
+        )
+        hops = stepped.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
+        jumped = (
+            stepped.join(hops, stepped.label == hops.p_node, "left")
+            .select(
+                "node",
+                "old_label",
+                F.least(
+                    F.col("label"), F.coalesce("p_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = jumped.filter(F.col("label") != F.col("old_label")).count()
+        labels = jumped.select("node", "label")
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        # Unconverged labels are WRONG components (they would silently
+        # hash-mismatch an exact transitive closure). With shortcutting
+        # this cap covers diameter ≫ 2^max_iters-ish; exhaustion means a
+        # pathological graph and must be loud.
+        raise RuntimeError(
+            f"connected_components: label propagation did not converge in "
+            f"{max_iters} iterations"
+        )
+    return labels
+
+
 @query(
     "dedup_cluster_cc",
     oracle=f"""
@@ -889,15 +968,13 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering picks ONE keeper per group (the min doc_id), the standard
     last stage of corpus dedup.
 
-    Spark side: iterative min-label propagation (the dataframe form of
-    large-star/small-star) — per iteration one join + min-agg, with
-    ``localCheckpoint`` truncating the lineage so plans don't grow with
-    iterations. Label propagation converges to the unique fixed point
-    (min node id per component), so the result is deterministic and the
-    oracle can replay it with a recursive-CTE transitive closure. At
-    100 TB the edge graph is the LSH output (tiny relative to the
-    corpus: near-dup pairs only), so iterations are cheap; the driver
-    only ever sees a converged/changed counter, never the data."""
+    Spark side: ``connected_components`` (min-label propagation with
+    pointer-jump shortcutting, O(log diameter) rounds — see its
+    docstring). The result is the unique fixed point (min node id per
+    component), deterministic, so the oracle can replay it with a
+    recursive-CTE transitive closure. At 100 TB the edge graph is the
+    LSH output (tiny relative to the corpus: near-dup pairs only), so
+    iterations are cheap."""
     pairs = dedup_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
     sym = (
         pairs.union(
@@ -908,46 +985,7 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         # MinHash+LSH candidate pipeline that produced the edge list
         .localCheckpoint()
     )
-    labels = (
-        sym.select(F.col("src").alias("node")).distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
-    )
-    max_iters, converged = 20, False
-    for _ in range(max_iters):
-        neigh = (
-            sym.join(labels, sym.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nl"))
-        )
-        # carry the previous label through the checkpoint so the
-        # convergence check is a filter-count on the materialized result,
-        # not a second join against the old labels (one join per iteration
-        # instead of two)
-        stepped = (
-            labels.join(neigh, labels.node == neigh.src, "left")
-            .select(
-                "node",
-                F.col("label").alias("old_label"),
-                F.least(F.col("label"), F.coalesce("nl", "label")).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        changed = stepped.filter(F.col("label") != F.col("old_label")).count()
-        labels = stepped.select("node", "label")
-        if changed == 0:
-            converged = True
-            break
-    if not converged:
-        # Unconverged labels are WRONG components (they would silently
-        # hash-mismatch the oracle's exact transitive closure). Min-label
-        # propagation needs ≤ graph-diameter iterations — near-dup
-        # clusters are shallow, so exhaustion means a pathological graph
-        # and must be loud.
-        raise RuntimeError(
-            f"dedup_cluster_cc: label propagation did not converge in "
-            f"{max_iters} iterations — component diameter exceeds the cap"
-        )
+    labels = connected_components(sym)
     comp = labels.select("node", F.col("label").alias("component"))
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return comp.join(sizes, "component").select(

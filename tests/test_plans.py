@@ -133,8 +133,32 @@ def test_cluster_cc_checkpoint_truncated_and_bounded(spark):
     assert "documents.parquet" not in plan, "iterations re-scan the corpus"
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     # the loud non-convergence guard must stay in the source
-    src = inspect.getsource(llm_text.dedup_cluster_cc)
+    src = inspect.getsource(llm_text.connected_components)
     assert "max_iters" in src and "RuntimeError" in src
+
+
+def test_connected_components_long_chain(spark):
+    # A duplicate CHAIN (0~1~2~…~n) has diameter n: plain min-label
+    # propagation moves the min ONE hop per iteration and blows any fixed
+    # cap. Pointer-jump shortcutting must converge a 2000-link chain well
+    # inside the default 20-iteration cap (O(log diameter)), with every
+    # node labeled by the chain min.
+    from pyspark.sql import functions as F
+
+    from sparkstreamingstateful_spark.operators.llm_text import (
+        connected_components,
+    )
+
+    n = 2000
+    edges = spark.range(n).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = connected_components(sym)
+    assert labels.count() == n + 1
+    assert labels.filter(F.col("label") != 0).count() == 0, (
+        "chain not fully labeled with the component min"
+    )
 
 
 def test_partition_pruning(spark):
