@@ -206,7 +206,7 @@ def embed_pairwise_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SRP_BANDS, _SRP_ROWS, _SRP_DIM = 4, 8, 64
 
 
-def _srp_planes() -> list[list[float]]:
+def _srp_planes(n_planes: int = _SRP_BANDS * _SRP_ROWS) -> list[list[float]]:
     import hashlib
 
     return [
@@ -216,7 +216,7 @@ def _srp_planes() -> list[list[float]]:
             else -1.0
             for p in range(_SRP_DIM)
         ]
-        for k in range(_SRP_BANDS * _SRP_ROWS)
+        for k in range(n_planes)
     ]
 
 
@@ -260,11 +260,26 @@ def _srp_band_sql() -> str:
     FROM scored
     """,
 )
-def embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embed_near_dup(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_bands: int = _SRP_BANDS,
+    sig_bits: int = _SRP_ROWS,
+) -> DataFrame:
     """Embedding-cosine near-dup via SRP-LSH (sign-random-projection
-    hashing, Charikar STOC'02): 32 deterministic ±1 hyperplanes → 4 bands
-    of 8 sign bits → candidate pairs = equi-join on (band, signature) →
-    exact cosine on candidates, near-dup flag at ≥ 0.99.
+    hashing, Charikar STOC'02): deterministic ±1 hyperplanes → ``n_bands``
+    bands of ``sig_bits`` sign bits → candidate pairs = equi-join on
+    (band, signature) → exact cosine on candidates, near-dup flag at
+    ≥ 0.99. Defaults (4×8) are the driver-checked configuration the
+    oracle replays.
+
+    ``sig_bits`` is the bucket-OCCUPANCY knob at scale: expected
+    candidates per band ≈ n²/2^sig_bits for decorrelated vectors
+    (measured to hold in SCALING.md), so a 100 TB corpus raises
+    sig_bits to keep per-bucket work bounded, trading per-band recall
+    (1−θ/π)^sig_bits — which ``n_bands`` then restores. The knob is a
+    parameter so that configuration is code, not prose.
 
     r3 re-scope (the 100 TB shape): the r2 version was exact all-pairs
     within label blocks — per-block work grew quadratically with the
@@ -281,12 +296,13 @@ def embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring from the shared md5 codebook."""
     e = load_table(spark, sf_dir, "embeddings")
     dv = e.select("vec_id", _dvec("embedding").alias("v"))
+    planes = _srp_planes(n_bands * sig_bits)
 
     def band_sig(b: int):
         bits = None
-        for j in range(_SRP_ROWS):
+        for j in range(sig_bits):
             plane = F.array(
-                *[F.lit(c) for c in _PLANES[b * _SRP_ROWS + j]]
+                *[F.lit(c) for c in planes[b * sig_bits + j]]
             )
             bit = F.when(_dot(F.col("v"), plane) > 0, F.lit(1 << j)).otherwise(
                 F.lit(0)
@@ -302,7 +318,7 @@ def embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.struct(
                         F.lit(b).alias("band"), band_sig(b).alias("sig")
                     )
-                    for b in range(_SRP_BANDS)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("bs"),

@@ -118,6 +118,23 @@ def test_simhash_near_dups_close(spark):
         assert avg_near <= avg_rand, (avg_near, avg_rand)
 
 
+def test_near_dup_sig_bits_knob(spark):
+    """The sig_bits occupancy knob (the 100 TB configuration lever —
+    expected candidates per band ≈ n²/2^sig_bits) must be a working
+    parameter: widening signatures shrinks the candidate set, never
+    invents pairs, and the default call stays the oracle-pinned 4×8."""
+    from sparkstreamingstateful_spark.operators.llm_vector import embed_near_dup
+
+    default = embed_near_dup(spark, SF_UNIT)
+    wide = embed_near_dup(spark, SF_UNIT, sig_bits=12)
+    assert wide.columns == default.columns
+    n_default, n_wide = default.count(), wide.count()
+    # occupancy: ~n²/2^8 vs ~n²/2^12 collisions per band — a 16× gap,
+    # far outside chance fluctuation at this corpus size
+    assert n_wide < n_default, (n_wide, n_default)
+    assert n_wide > 0, "12-bit buckets emptied the candidate set at sf0.001"
+
+
 def test_filter_pushdown_invariance(spark):
     """Property: filter∘join ≡ join∘filter (Catalyst pushdown soundness)."""
     o = load_table(spark, SF_UNIT, "orders")
