@@ -50,12 +50,18 @@ def main() -> None:
             print(f"# bench error {key}: {exc}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    from sparkstreamingstateful_spark.streaming import queries as sq
+
     payload = {
         "metric": "suite_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_dir,
+        # Which stateful API stateful_running_agg_tws actually executed —
+        # the TWS gate is environment-dependent (protobuf health), so each
+        # round's artifact must record which path produced its numbers.
+        "tws_path": sq.TWS_PATH_USED,
     }
     print(json.dumps(payload))
     # The driver's BENCH_r* capture keeps only the stdout TAIL, which
