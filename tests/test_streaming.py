@@ -294,6 +294,159 @@ def test_sessionize_survives_late_groups(spark, tmp_path):
     assert len(keys) == len(set(keys)), "duplicate (user, sess_start) emission"
 
 
+def test_sessionize_kill_restart_unsorted_10x(spark, tmp_path):
+    """ST11c — the interaction the r4 scale probe left untested:
+    checkpoint recovery UNDER out-of-order delivery at 10× volume.
+    A 10-replica unsorted feed (each chunk spans the full time range)
+    runs through sessionize twice: straight through, and killed after
+    ≥1 commit then restarted from the same checkpoint.
+
+    Contract (discovered writing this test, pinned here):
+
+    * Groups whose events are ALL behind the late-events watermark are
+      dropped wholly by Spark BEFORE the state function — correct
+      watermark semantics, so late replicas surface exactly the users
+      with at least one event inside the watermark window (the
+      late-events filter lags the eviction watermark by one batch,
+      which is why chunk-1 replicas still surface fully, and why r4's
+      in-function INVALID_TIMEOUT_TIMESTAMP fix sees only partially-
+      late groups).
+    * Recovery must not change the answer: the kill/restart run's sink
+      equals the straight run's, row for row (per-batch OVERWRITE sink
+      keeps at-least-once replay exactly-once).
+    * (user, sess_start) is never emitted twice, and the query
+      completes on both paths."""
+    import time
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from sparkstreamingstateful_spark.streaming import stateful
+
+    src = pq.read_table(os.path.join(SF_UNIT, "events.parquet"))
+    uid, eid = src.column("user_id"), src.column("event_id")
+    uspan = pc.max(uid).as_py() + 1
+    espan = pc.max(eid).as_py() + 1
+    ui = src.schema.get_field_index("user_id")
+    ei = src.schema.get_field_index("event_id")
+    reps = [
+        src.set_column(ui, "user_id", pc.add(uid, k * uspan)).set_column(
+            ei, "event_id", pc.add(eid, k * espan)
+        )
+        for k in range(10)
+    ]
+    d = tmp_path / "unordered10x"
+    d.mkdir()
+    pq.write_table(pa.concat_tables(reps), str(d / "events.parquet"))
+    feed = chunked_events_dir(str(d), n_chunks=5, sentinels=True)
+
+    def run_pipeline(kill: bool) -> list[tuple]:
+        ckpt = tempfile.mkdtemp(prefix="sss_sess10x_ckpt_")
+        out = tempfile.mkdtemp(prefix="sss_sess10x_out_")
+
+        def write_batch(df, batch_id):
+            # overwrite, not append: a replayed batch id rewrites its own
+            # dir, so the sink is exactly-once under at-least-once replay
+            df.write.mode("overwrite").parquet(os.path.join(out, f"b{batch_id}"))
+
+        def start():
+            ev = read_stream_events(spark, feed)
+            sessions = (
+                ev.withWatermark("ts", "10 minutes")
+                .groupBy("user_id")
+                .applyInPandasWithState(
+                    stateful.sessionize_fn,
+                    stateful.SESSION_OUTPUT,
+                    stateful.SESSION_STATE,
+                    "append",
+                    "EventTimeTimeout",
+                )
+            )
+            return (
+                sessions.writeStream.foreachBatch(write_batch)
+                .outputMode("append")
+                .queryName("sess10x_" + uuid.uuid4().hex[:8])
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        q = start()
+        commits = os.path.join(ckpt, "commits")
+        if kill:
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                if os.path.isdir(commits) and any(
+                    not f.startswith(".") for f in os.listdir(commits)
+                ):
+                    break
+                time.sleep(0.05)
+            q.stop()
+            try:
+                q.awaitTermination()
+            except Exception:
+                pass  # interrupt surfacing from a mid-batch kill is expected
+            q = start()
+        q.awaitTermination()
+        done = [f for f in os.listdir(commits) if not f.startswith(".")]
+        # one batch per feed file (7) + possibly a state-flush batch
+        assert len(done) >= 7, f"expected >=7 committed batches, got {sorted(done)}"
+        return sorted(
+            map(
+                tuple,
+                spark.read.parquet(os.path.join(out, "b*"))
+                .filter(F.col("user_id") >= 0)
+                .collect(),
+            )
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        straight = run_pipeline(kill=False)
+        recovered = run_pipeline(kill=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    assert recovered == straight, (
+        "kill/restart changed the result: "
+        f"{len(recovered)} vs {len(straight)} rows"
+    )
+
+    rows = straight
+    users = {r[0] for r in rows}
+    base_users = {u.as_py() for u in uid.combine_chunks().unique()}
+    # users whose LAST event predates the late-events watermark (max ts −
+    # 10 min): their whole group arrives behind the watermark in chunks
+    # 2+, and Spark's late-row filter drops it before the state function
+    ts = src.column("ts")
+    max_us = pc.max(ts.cast(pa.timestamp("us")).cast(pa.int64())).as_py()
+    cutoff = max_us - 10 * 60 * 1_000_000
+    import collections
+
+    last_by_user = collections.defaultdict(int)
+    for u, t in zip(
+        uid.to_pylist(), ts.cast(pa.timestamp("us")).cast(pa.int64()).to_pylist()
+    ):
+        last_by_user[u] = max(last_by_user[u], t)
+    wholly_late = {u for u, t in last_by_user.items() if t < cutoff}
+    for k in range(10):
+        missing = {u + k * uspan for u in base_users} - users
+        if k < 4:
+            # chunks 0-1: on-time or protected by the one-batch filter lag
+            assert not missing, f"replica {k}: {len(missing)} users missing"
+        else:
+            want = {u + k * uspan for u in wholly_late}
+            assert missing == want, (
+                f"replica {k}: dropped set diverges from watermark "
+                f"semantics: {sorted(missing ^ want)[:6]}"
+            )
+    keys = [(r[0], r[1]) for r in rows]
+    assert len(keys) == len(set(keys)), "duplicate (user, sess_start) emission"
+
+
 def test_feeder_raw_int64_nanos_ts(tmp_path):
     """An events file whose ts column is RAW int64 nanos (which
     catalog.events_ts_unit explicitly classifies as 'ns') must produce
