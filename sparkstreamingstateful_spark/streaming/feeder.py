@@ -4,15 +4,20 @@ streaming file source replays them as K micro-batches
 
 Variants:
 
-* ``sentinels=True`` appends two far-future marker events (user_id=-1).
+* ``sentinels=True`` appends ONE far-future marker event (user_id=-1).
   In append mode, windows/sessions only emit once the watermark passes
-  them; end-of-stream alone never closes the final windows. The first
-  sentinel advances the watermark past all real event time; the second
-  triggers one more micro-batch in which that watermark evicts/times-out
-  all remaining real state. Queries must NOT filter sentinels inside the
-  streaming plan — Catalyst pushes such filters below the
-  EventTimeWatermark node and the watermark never advances (measured);
-  filter the materialized result instead.
+  them; end-of-stream alone never closes the final windows. The sentinel
+  advances the watermark past all real event time; the no-data flush
+  micro-batch that ``availableNow`` runs after the last file (watermark
+  changed + stateful ops pending ⇒ ``noDataMicroBatches``, on by
+  default and asserted in runner.py) then evicts/times-out all
+  remaining real state. (r1–r4 used TWO sentinels — the second existed
+  only to host that final batch; the flush batch provides it for free,
+  one micro-batch cheaper per sentinel feed — verified against all
+  watermark-dependent oracles at sf0.01.) Queries must NOT filter
+  sentinels inside the streaming plan — Catalyst pushes such filters
+  below the EventTimeWatermark node and the watermark never advances
+  (measured); filter the materialized result instead.
 * ``replay=(i, ...)`` re-appends chunks after the originals — duplicate
   delivery for dedup tests (at-least-once source simulation).
 * ``late_chunk=i`` holds chunk i back until the end — out-of-order arrival
@@ -27,7 +32,7 @@ import tempfile
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-SENTINEL_DAYS = (30, 31)
+SENTINEL_DAYS = (30,)
 _cache: dict[tuple, str] = {}
 _max_ts_us: dict[str, int] = {}
 

@@ -10,10 +10,10 @@ node and stalls it — measured in M5).
 
 Micro-batch budget: every chunk file is one micro-batch at a fixed
 multi-hundred-ms cost (state-store + Python-worker round-trip), so each
-query feeds only the batches its semantics need — sentinels are reserved
+query feeds only the batches its semantics need — the sentinel is reserved
 for append-mode watermark eviction (windows/sessions/late-drop); update-mode
 stateful queries, the stateless join, and the inner stream-stream join emit
-without them and skip the two sentinel batches entirely. Three data chunks
+without it and skip the sentinel batch entirely. Three data chunks
 (≥2 state-crossing micro-batches) prove cross-batch state everywhere except
 late-drop, which pins the 4-chunk layout its oracle encodes.
 """
@@ -101,7 +101,7 @@ def stream_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_raw"))
     )
     res = run_stream(agg, output_mode="append")
-    # sentinel windows: two isolated far-future events → windows with n=1
+    # sentinel windows: isolated far-future event(s) → windows with n=1
     # at event time beyond all real data; strip by time bound. The cutoff
     # comes from the feeder (single-column pyarrow scan, cached) — not a
     # Spark batch action, which would rescan events once per query run.

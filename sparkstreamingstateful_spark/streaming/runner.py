@@ -31,6 +31,14 @@ def run_stream(
     cardinality would pin O(cores) once for the checkpoint's lifetime.
     """
     spark = df.sparkSession
+    # The single-sentinel feed design (feeder.py) relies on the no-data
+    # flush micro-batch to apply the final watermark and evict remaining
+    # state; it is on by default, but pin it so a cluster-side override
+    # can't silently turn sentinel feeds into never-emitting streams.
+    assert (
+        spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+        == "true"
+    ), "single-sentinel feeds require noDataMicroBatches"
     name = "sss_mem_" + uuid.uuid4().hex[:12]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))

@@ -11,7 +11,10 @@ from pyspark.sql import functions as F
 
 from sparkstreamingstateful_spark import registry
 from sparkstreamingstateful_spark.catalog import load_table, read_stream_events
-from sparkstreamingstateful_spark.streaming.feeder import chunked_events_dir
+from sparkstreamingstateful_spark.streaming.feeder import (
+    SENTINEL_DAYS,
+    chunked_events_dir,
+)
 
 from .conftest import SF_UNIT
 
@@ -391,8 +394,11 @@ def test_sessionize_kill_restart_unsorted_10x(spark, tmp_path):
             q = start()
         q.awaitTermination()
         done = [f for f in os.listdir(commits) if not f.startswith(".")]
-        # one batch per feed file (7) + possibly a state-flush batch
-        assert len(done) >= 7, f"expected >=7 committed batches, got {sorted(done)}"
+        # one batch per feed file (5 chunks + sentinel(s)) + a flush batch
+        n_files = 5 + len(SENTINEL_DAYS)
+        assert len(done) >= n_files, (
+            f"expected >={n_files} committed batches, got {sorted(done)}"
+        )
         return sorted(
             map(
                 tuple,
@@ -485,9 +491,10 @@ def test_feeder_raw_int64_nanos_ts(tmp_path):
 
     feed = feeder.chunked_events_dir(str(d), n_chunks=2, sentinels=True)
     files = sorted(glob.glob(os.path.join(feed, "*.parquet")))
-    assert len(files) == 4  # 2 chunks + 2 sentinels
+    n_sent = len(feeder.SENTINEL_DAYS)
+    assert len(files) == 2 + n_sent
     max_data_ns = pc.max(ns_ints).as_py()
-    for f in files[-2:]:
+    for f in files[-n_sent:]:
         t = pq.read_table(f)
         assert t.column("ts").type == pa.int64()  # schema matches data files
         sent_ns = t.column("ts")[0].as_py()
