@@ -158,6 +158,92 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _text_layout(
+    spark: SparkSession, sf_dir: str, table: str, cols: list[str], fmt: str
+) -> str:
+    """Write a projected table once per (sf_dir, content) as CSV/JSON under
+    tmp (same content-fingerprint cache discipline as the partitioned and
+    bucketed layouts) and return the path."""
+    tag = f"{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}_{_src_fingerprint(sf_dir, table)}"
+    out = os.path.join(tempfile.gettempdir(), f"sss_{fmt}_{table}_{tag}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        w = load_table(spark, sf_dir, table).select(*cols).write.mode("overwrite")
+        if fmt == "csv":
+            w.option("header", True).csv(out)
+        else:
+            w.json(out)
+    return out
+
+
+@query(
+    "scan_csv",
+    oracle="""
+    SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS sum_bal
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CSV source (S6b): supplier written once as headered CSV
+    (quoted strings — s_name may carry delimiters), re-read with an
+    EXPLICIT schema (schema inference is a full extra pass over the data
+    — never in a query path), aggregated. Spark serializes doubles via
+    shortest-roundtrip repr, so the parsed values are bit-identical to
+    the parquet originals and the oracle runs on the supplier view
+    directly — the H-check proves the CSV write→read cycle is lossless
+    for longs/ints/doubles/strings, not just that CSV parses."""
+    from pyspark.sql import types as T
+
+    cols = ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]
+    out = _text_layout(spark, sf_dir, "supplier", cols, "csv")
+    schema = T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    )
+    back = spark.read.schema(schema).option("header", True).csv(out)
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("s_acctbal"), 2).alias("sum_bal"),
+    )
+
+
+@query(
+    "scan_json",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch JSON-lines source (S6c): orders projected to
+    (key, status, price), written once as JSON lines, re-read with an
+    EXPLICIT schema, aggregated — same lossless-roundtrip H-check as
+    scan_csv on the JSON path (the format every event-log ingest starts
+    from before parquet compaction)."""
+    from pyspark.sql import types as T
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    out = _text_layout(spark, sf_dir, "orders", cols, "json")
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
 @query(
     "write_roundtrip",
     oracle="""

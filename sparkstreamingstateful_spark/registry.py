@@ -89,9 +89,12 @@ _KEY_PRIORITY = [
     "stream_text_analysis",
     "stream_cdc_upsert",
     "stateful_running_agg_tws",
-    # (b) implementation changes this round (r5)
+    # (b) implementation changes this round (r5) + the two NEW r5 keys
+    # (batch CSV/JSON sources — never driver-checked)
     "dedup_cluster_cc",
     "embed_near_dup",
+    "scan_csv",
+    "scan_json",
     # (c) r2-era greens — backfill so max H-evidence age becomes r3
     "sql_tpch_q3like",
     "sql_tpch_q5like",
@@ -128,11 +131,13 @@ _KEY_PRIORITY = [
     "text_language_id",
     "text_token_count",
     "text_edit_distance",
+    # --- 50-key boundary ---
+    # Below: r3 greens not yet rotated forward (seq_packing /
+    # pipeline_end_to_end ceded their slots to the new scan_csv/scan_json
+    # keys), then the fully-fresh r4 greens; they rotate forward in later
+    # rounds.
     "seq_packing",
     "pipeline_end_to_end",
-    # --- 50-key boundary ---
-    # Below: r3 greens not yet rotated forward, then the fully-fresh r4
-    # greens; they rotate forward in later rounds.
     "scan_parquet",
     "scan_projection_pushdown",
     "write_roundtrip",
