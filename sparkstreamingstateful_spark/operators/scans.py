@@ -253,9 +253,10 @@ def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Write customer to parquet, re-read, aggregate — the H-check proves the
-    write→read cycle is lossless (CSV/JSON roundtrips are covered in
-    tests/test_scans.py; parquet is the only lossless-for-doubles format)."""
+    """Write customer to parquet, re-read, aggregate — the H-check proves
+    the write→read cycle is lossless (CSV/JSON get the same H-checked
+    treatment in scan_csv/scan_json above; tests/test_sources.py holds
+    the exact-row roundtrip test)."""
     c = load_table(spark, sf_dir, "customer")
     out = os.path.join(tempfile.mkdtemp(prefix="sss_roundtrip_"), "customer_pq")
     c.write.mode("overwrite").parquet(out)
