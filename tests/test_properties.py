@@ -132,3 +132,55 @@ def test_groupby_sum_invariant_under_repartition(spark, rows):
         map(tuple, df.repartition(7, "val").groupBy("key").agg(F.sum("val")).collect())
     )
     assert base == repart
+
+
+EDGES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=0, max_value=30),
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@given(edges=EDGES)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """connected_components (min-label + pointer-jump shortcut) must equal
+    a plain union-find on ARBITRARY graphs — self-loops, parallel edges,
+    stars, chains, disjoint islands — not just the LSH pair shapes the
+    oracle replays. Guards the r5 shortcutting step (label←label(label)
+    is easy to get subtly wrong: a bad jump can skip across components
+    or stall below the fixed point)."""
+    from sparkstreamingstateful_spark.operators.llm_text import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    sym = pairs.selectExpr("a AS src", "b AS dst").union(
+        pairs.selectExpr("b AS src", "a AS dst")
+    )
+    got = {
+        (r.node, r.label) for r in connected_components(sym).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in edges for n in e}
+    want = {(n, find(n)) for n in nodes}
+    assert got == want
