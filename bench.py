@@ -50,7 +50,14 @@ def main() -> None:
             print(f"# bench error {key}: {exc}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    from sparkstreamingstateful_spark.streaming import queries as sq
+    try:
+        from sparkstreamingstateful_spark.streaming import queries as sq
+
+        tws_path = sq.TWS_PATH_USED
+    except ModuleNotFoundError:
+        # registry.collect() tolerates absent operator modules; a missing
+        # streaming module must not lose the whole bench payload
+        tws_path = None
 
     payload = {
         "metric": "suite_wall_clock",
@@ -61,7 +68,7 @@ def main() -> None:
         # Which stateful API stateful_running_agg_tws actually executed —
         # the TWS gate is environment-dependent (protobuf health), so each
         # round's artifact must record which path produced its numbers.
-        "tws_path": sq.TWS_PATH_USED,
+        "tws_path": tws_path,
     }
     print(json.dumps(payload))
     # The driver's BENCH_r* capture keeps only the stdout TAIL, which

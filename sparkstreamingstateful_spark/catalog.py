@@ -176,14 +176,19 @@ def events_ts_unit(path: str) -> str:
             # writes every file) — but a stale feeder output mixed with
             # regenerated chunks would be silently read under one schema
             # and skew downstream, so reject mixed units loudly instead.
-            types = {str(pq.read_schema(m).field("ts").type) for m in members}
-            if len(types) > 1:
+            # (Checked once per path per process — the verdict is cached
+            # below; the feeder never mutates a dir after creating it, so
+            # first-read validation is the meaningful window.)
+            member_types = [pq.read_schema(m).field("ts").type for m in members]
+            if len({str(t_) for t_ in member_types}) > 1:
                 raise TypeError(
-                    f"mixed events.ts physical types {sorted(types)} under "
+                    f"mixed events.ts physical types "
+                    f"{sorted({str(t_) for t_ in member_types})} under "
                     f"{path} — stale chunks alongside regenerated ones?"
                 )
-            f = members[0]
-        t = pq.read_schema(f).field("ts").type
+            t = member_types[0]
+        else:
+            t = pq.read_schema(f).field("ts").type
         if pa.types.is_integer(t) or (pa.types.is_timestamp(t) and t.unit == "ns"):
             _ts_unit_cache[path] = "ns"
         elif pa.types.is_timestamp(t):

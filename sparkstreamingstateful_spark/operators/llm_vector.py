@@ -296,7 +296,13 @@ def embed_near_dup(
     scoring from the shared md5 codebook."""
     e = load_table(spark, sf_dir, "embeddings")
     dv = e.select("vec_id", _dvec("embedding").alias("v"))
-    planes = _srp_planes(n_bands * sig_bits)
+    # default config reuses the module-level codebook (2048 md5 calls
+    # otherwise recomputed per invocation)
+    planes = (
+        _PLANES
+        if (n_bands, sig_bits) == (_SRP_BANDS, _SRP_ROWS)
+        else _srp_planes(n_bands * sig_bits)
+    )
 
     def band_sig(b: int):
         bits = None

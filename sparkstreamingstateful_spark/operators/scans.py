@@ -161,10 +161,14 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _text_layout(
     spark: SparkSession, sf_dir: str, table: str, cols: list[str], fmt: str
 ) -> str:
-    """Write a projected table once per (sf_dir, content) as CSV/JSON under
-    tmp (same content-fingerprint cache discipline as the partitioned and
-    bucketed layouts) and return the path."""
-    tag = f"{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}_{_src_fingerprint(sf_dir, table)}"
+    """Write a projected table once per (sf_dir, content, projection) as
+    CSV/JSON under tmp (same content-fingerprint cache discipline as the
+    partitioned and bucketed layouts) and return the path. The projection
+    is part of the cache key: an explicit-schema CSV read applies the
+    schema POSITIONALLY, so serving a stale layout with different/
+    reordered columns would silently mis-assign values, not error."""
+    spec = hashlib.md5(",".join(cols).encode()).hexdigest()[:6]
+    tag = f"{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}_{_src_fingerprint(sf_dir, table)}_{spec}"
     out = os.path.join(tempfile.gettempdir(), f"sss_{fmt}_{table}_{tag}")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         w = load_table(spark, sf_dir, table).select(*cols).write.mode("overwrite")

@@ -35,10 +35,17 @@ def run_stream(
     # flush micro-batch to apply the final watermark and evict remaining
     # state; it is on by default, but pin it so a cluster-side override
     # can't silently turn sentinel feeds into never-emitting streams.
-    assert (
-        spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-        == "true"
-    ), "single-sentinel feeds require noDataMicroBatches"
+    # Explicit raise (not assert — stripped under python -O) and
+    # case-insensitive (Spark parses boolean confs case-insensitively).
+    no_data = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
+    if str(no_data).lower() != "true":
+        raise RuntimeError(
+            "single-sentinel feeds require "
+            "spark.sql.streaming.noDataMicroBatches.enabled=true "
+            f"(found {no_data!r}); see streaming/feeder.py"
+        )
     name = "sss_mem_" + uuid.uuid4().hex[:12]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
