@@ -453,6 +453,93 @@ def test_sessionize_kill_restart_unsorted_10x(spark, tmp_path):
     assert len(keys) == len(set(keys)), "duplicate (user, sess_start) emission"
 
 
+def test_windowed_agg_sentinel_after_restart(spark, tmp_path):
+    """ST11d — the r5 single-sentinel design across a restart boundary:
+    run 1 drains ONLY the data chunks (append-mode windows stay unemitted
+    in the state store), then the sentinel file lands in the feed dir and
+    a NEW run from the same checkpoint must discover it, advance the
+    watermark, and emit every real window in its flush batch. Guards the
+    interaction the sentinel cut depends on: watermark state recovered
+    from the checkpoint + noDataMicroBatches flush after the last file of
+    a LATER availableNow run — i.e. continuous ingestion where stream
+    closure happens in a different process than stream start."""
+    import glob
+    import shutil
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    src_feed = chunked_events_dir(SF_UNIT, n_chunks=3, sentinels=True)
+    files = sorted(glob.glob(os.path.join(src_feed, "*.parquet")))
+    n_sent = len(SENTINEL_DAYS)
+    data_files, sentinel_files = files[:-n_sent], files[-n_sent:]
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    for f in data_files:
+        shutil.copy2(f, feed / os.path.basename(f))
+
+    ckpt = tempfile.mkdtemp(prefix="sss_sentrest_ckpt_")
+    out = tempfile.mkdtemp(prefix="sss_sentrest_out_")
+
+    def write_batch(df, batch_id):
+        df.write.mode("overwrite").parquet(os.path.join(out, f"b{batch_id}"))
+
+    def run_once():
+        ev = read_stream_events(spark, str(feed))
+        agg = (
+            ev.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            agg.writeStream.foreachBatch(write_batch)
+            .outputMode("append")
+            .queryName("sentrest_" + uuid.uuid4().hex[:8])
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # drains data chunks; windows remain in state, unemitted
+    emitted = glob.glob(os.path.join(out, "b*", "*.parquet"))
+    early = (
+        spark.read.parquet(os.path.join(out, "b*"))
+        .filter(F.col("event_type") != "__sentinel__")
+        .count()
+        if emitted
+        else 0
+    )
+
+    for f in sentinel_files:
+        shutil.copy2(f, feed / os.path.basename(f))
+    run_once()  # restart: discovers sentinel, flush batch evicts state
+
+    res = (
+        spark.read.parquet(os.path.join(out, "b*"))
+        .filter(F.col("event_type") != "__sentinel__")
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+            "event_type",
+            "n",
+        )
+    )
+    expected = (
+        load_table(spark, SF_UNIT, "events")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("win_start"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = sorted(map(tuple, res.collect()))
+    want = sorted(map(tuple, expected.collect()))
+    assert got == want, (
+        f"run1 emitted {early} rows; after sentinel restart got "
+        f"{len(got)} vs batch twin {len(want)}"
+    )
+
+
 def test_feeder_raw_int64_nanos_ts(tmp_path):
     """An events file whose ts column is RAW int64 nanos (which
     catalog.events_ts_unit explicitly classifies as 'ns') must produce
