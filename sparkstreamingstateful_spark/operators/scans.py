@@ -249,6 +249,54 @@ def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_text",
+    oracle="""
+    SELECT len(string_split(text, ' ')) // 10 AS tok_bucket,
+           count(*) AS n_lines,
+           CAST(sum(len(text)) AS BIGINT) AS sum_chars,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text-line source (S6d): the corpus ingest format every
+    LLM-data pipeline starts from. documents.text written once as plain
+    .txt (one document per line; the write guards that no document
+    embeds a newline — write.text would emit it raw and silently split
+    the document across lines), re-read with ``spark.read.text``, and
+    per-line stats aggregated by token-count bucket. The oracle computes
+    the same stats from the documents view, so the H-check proves the
+    text write→read cycle preserves every character of every line."""
+    tag = (
+        f"{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}_"
+        f"{_src_fingerprint(sf_dir, 'documents')}"
+    )
+    out = os.path.join(tempfile.gettempdir(), f"sss_text_documents_{tag}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        docs = load_table(spark, sf_dir, "documents").select("text")
+        n_bad = docs.filter(
+            F.col("text").contains("\n") | F.col("text").contains("\r")
+        ).count()
+        if n_bad:
+            raise ValueError(
+                f"{n_bad} documents embed newlines — a line-oriented text "
+                "layout would silently split them; use JSON/parquet"
+            )
+        docs.write.mode("overwrite").text(out)
+    back = spark.read.text(out)
+    toks = F.size(F.split(F.col("value"), " "))
+    return (
+        back.groupBy((toks / 10).cast("long").alias("tok_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.length("value")).alias("sum_chars"),
+            F.sum(toks).alias("sum_tokens"),
+        )
+    )
+
+
+@query(
     "write_roundtrip",
     oracle="""
     SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS sum_bal

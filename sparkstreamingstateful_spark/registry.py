@@ -89,12 +89,13 @@ _KEY_PRIORITY = [
     "stream_text_analysis",
     "stream_cdc_upsert",
     "stateful_running_agg_tws",
-    # (b) implementation changes this round (r5) + the two NEW r5 keys
-    # (batch CSV/JSON sources — never driver-checked)
+    # (b) implementation changes this round (r5) + the three NEW r5 keys
+    # (batch CSV/JSON/text sources — never driver-checked)
     "dedup_cluster_cc",
     "embed_near_dup",
     "scan_csv",
     "scan_json",
+    "scan_text",
     # (c) r2-era greens — backfill so max H-evidence age becomes r3
     "sql_tpch_q3like",
     "sql_tpch_q5like",
@@ -130,12 +131,12 @@ _KEY_PRIORITY = [
     "text_stats",
     "text_language_id",
     "text_token_count",
-    "text_edit_distance",
     # --- 50-key boundary ---
-    # Below: r3 greens not yet rotated forward (seq_packing /
-    # pipeline_end_to_end ceded their slots to the new scan_csv/scan_json
-    # keys), then the fully-fresh r4 greens; they rotate forward in later
-    # rounds.
+    # Below: r3 greens not yet rotated forward (text_edit_distance /
+    # seq_packing / pipeline_end_to_end ceded their slots to the new
+    # scan_csv/scan_json/scan_text keys — never-checked beats refresh),
+    # then the fully-fresh r4 greens; they rotate forward in later rounds.
+    "text_edit_distance",
     "seq_packing",
     "pipeline_end_to_end",
     "scan_parquet",
