@@ -54,9 +54,10 @@ def main() -> None:
         from sparkstreamingstateful_spark.streaming import queries as sq
 
         tws_path = sq.TWS_PATH_USED
-    except ModuleNotFoundError:
-        # registry.collect() tolerates absent operator modules; a missing
-        # streaming module must not lose the whole bench payload
+    except Exception:
+        # registry.collect() tolerates absent operator modules; neither a
+        # missing streaming module nor any transitive import breakage may
+        # lose the whole bench payload after the suite already ran
         tws_path = None
 
     payload = {

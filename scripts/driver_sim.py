@@ -112,7 +112,7 @@ def main() -> int:
         from sparkstreamingstateful_spark.streaming import queries as sq
 
         tws_path = sq.TWS_PATH_USED
-    except ModuleNotFoundError:
+    except Exception:  # never lose the run summary to a diagnostic lookup
         tws_path = None
     print(f"tws_path: {tws_path}", flush=True)
     print(f"total: {time.time() - t_total:.1f}s, failures: {failures}", flush=True)

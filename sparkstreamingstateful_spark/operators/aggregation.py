@@ -83,14 +83,40 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx")  # rows-only: HLL++ sketch differs from DuckDB's sketch
+@query(
+    "agg_approx",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate count-distinct (HyperLogLog++). Accuracy asserted ±5%
-    against the exact count in tests/test_aggregation.py (no cross-engine
-    hash check — sketches differ by construction)."""
+    """Approximate count-distinct (HyperLogLog++). The raw sketch estimate
+    can never hash-match another engine (sketches differ by construction),
+    so the H-checked surface is the error BOUND instead (VERDICT r5 item
+    8): emit the exact distinct count plus a ``within_5pct`` flag
+    comparing the HLL estimate against it; the oracle asserts TRUE. The
+    hash check therefore verifies the sketch's accuracy contract — a
+    broken HLL (or rsd regression) flips the flag and fails the driver.
+    The estimate itself stays own-tested in tests/test_quality.py."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("approx") - F.col("exact_parts"))
+                <= 0.05 * F.col("exact_parts")
+            ).alias("within_5pct"),
+        )
     )
 
 

@@ -58,84 +58,25 @@ def query(name: str, oracle: str | None = None):
 # Evidence-priority ordering. The correctness driver checks exactly the
 # FIRST 50 registered keys each round (count cap, measured r1/r2), so
 # iteration order is the lever that decides which keys get hard oracle
-# signal. Round-5 rotation (per VERDICT r4 item 1): the window leads with
-# (a) the 13 streaming keys that run on the streaming/queries.py +
-# streaming/stateful.py code REWRITTEN in r4 (sentinel-budget cut,
-# state-partition sizing, inline late-session close, ts-unit sniffing) —
-# 11 of them last saw the driver in ROUND 2, and stream_cdc_upsert /
-# stateful_running_agg_tws (r3 evidence) execute the same rewritten
-# files. The most-changed code is the least-recently-checked; that is
-# the point of this window. Then (b) the two keys whose implementation
-# changes THIS round (cluster_cc chain hardening, near_dup sig_bits
-# parameter), (c) the 18 remaining r2-era greens so max evidence age
-# over hash-checkable keys becomes r3, (d) the two r1 rows-only keys
-# (agg_approx / sample_seeded — rows-only BY CONSTRUCTION, but their
-# rows-recorded evidence is 4 rounds stale), and (e) the oldest r3 greens to fill
-# slot 50. Unlike r4 the expensive streaming keys lead deliberately:
-# a driver timeout that drops the tail loses only r3-era refresh, never
-# the streaming evidence this round exists to collect.
+# signal. Round-6 rotation (per VERDICT r5 item 3): the window leads with
+# (a) the five keys NEW or semantically changed this round — the four
+# r6 streaming additions (stream-stream LEFT OUTER join,
+# dropDuplicatesWithinWatermark, chained stateful ops, per-window top-k)
+# and agg_approx, whose oracle is new (R -> H: the H-check now asserts
+# the HLL estimate's ±5% bound instead of pretending sketch equality) —
+# then (b) the 29 keys whose latest green dates to ROUND 3, the oldest
+# evidence in the cumulative union, and (c) 16 of the oldest r4 greens
+# to fill slot 50. Every key checked in r5 moves below the line — its
+# evidence is the freshest there is. Max H-evidence age after this
+# window lands: r4.
 _KEY_PRIORITY = [
-    # (a) streaming keys on r4-rewritten code — the point of the window
-    "stateful_sessionize",
-    "stateful_running_agg",
-    "stateful_dedup_keyed",
-    "stream_window_late_drop",
-    "stream_window_tumbling",
-    "stream_window_sliding",
-    "stream_window_session",
-    "stream_dedup",
-    "stream_static_join",
-    "stream_stream_join",
-    "stream_text_analysis",
-    "stream_cdc_upsert",
-    "stateful_running_agg_tws",
-    # (b) implementation changes this round (r5) + the three NEW r5 keys
-    # (batch CSV/JSON/text sources — never driver-checked)
-    "dedup_cluster_cc",
-    "embed_near_dup",
-    "scan_csv",
-    "scan_json",
-    "scan_text",
-    # (c) r2-era greens — backfill so max H-evidence age becomes r3
-    "sql_tpch_q3like",
-    "sql_tpch_q5like",
-    "udf_python",
-    "udf_pandas",
-    "udaf_applyInPandas",
-    "udtf_python",
-    "map_in_pandas",
-    "text_tokenize_wordcount",
-    "text_quality_score",
-    "doc_fingerprint",
-    "dedup_exact",
-    "dedup_simhash",
-    "multimodal_binary",
-    "doc_chunking",
-    "corpus_sample_stratified",
-    "pii_scrub",
-    "dedup_cross_source",
-    "embed_ann_ivf",
-    # (d) r1 rows-only refresh (no hash possible by construction)
+    # (a) new/changed this round (r6)
+    "stream_stream_join_left",
+    "stream_dedup_watermarked",
+    "stream_window_chained",
+    "stream_topk_per_window",
     "agg_approx",
-    "sample_seeded",
-    # (e) oldest r3 greens fill the window
-    "join_asof",
-    "agg_hash_q1",
-    "agg_percentiles",
-    "events_resample_1h",
-    "window_distribution",
-    "sql_parameterized",
-    "values_inline",
-    "json_extract",
-    "struct_ops",
-    "text_stats",
-    "text_language_id",
-    "text_token_count",
-    # --- 50-key boundary ---
-    # Below: r3 greens not yet rotated forward (text_edit_distance /
-    # seq_packing / pipeline_end_to_end ceded their slots to the new
-    # scan_csv/scan_json/scan_text keys — never-checked beats refresh),
-    # then the fully-fresh r4 greens; they rotate forward in later rounds.
+    # (b) r3-era greens — the oldest evidence in the union
     "text_edit_distance",
     "seq_packing",
     "pipeline_end_to_end",
@@ -165,7 +106,7 @@ _KEY_PRIORITY = [
     "events_cohort_retention",
     "events_rollup_cascade",
     "window_time_range",
-    # r4 greens (freshest evidence)
+    # (c) oldest r4 greens fill the window to slot 50
     "sql_tpch_q7like",
     "sql_tpch_q18like",
     "multimodal_features",
@@ -182,6 +123,10 @@ _KEY_PRIORITY = [
     "join_theta_range",
     "join_multikey",
     "agg_distinct",
+    # --- 50-key boundary ---
+    # Below: remaining r4 greens (rotate forward next round), the
+    # rows-only-by-construction sample_seeded (rows evidence refreshed
+    # r5), then the r5 greens — the freshest evidence in the union.
     "agg_rollup",
     "agg_cube",
     "agg_grouping_sets",
@@ -216,6 +161,56 @@ _KEY_PRIORITY = [
     "subquery_in",
     "subquery_correlated_exists",
     "cte_query",
+    "sample_seeded",
+    # r5 greens (freshest evidence)
+    "stateful_sessionize",
+    "stateful_running_agg",
+    "stateful_dedup_keyed",
+    "stream_window_late_drop",
+    "stream_window_tumbling",
+    "stream_window_sliding",
+    "stream_window_session",
+    "stream_dedup",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_text_analysis",
+    "stream_cdc_upsert",
+    "stateful_running_agg_tws",
+    "dedup_cluster_cc",
+    "embed_near_dup",
+    "scan_csv",
+    "scan_json",
+    "scan_text",
+    "sql_tpch_q3like",
+    "sql_tpch_q5like",
+    "udf_python",
+    "udf_pandas",
+    "udaf_applyInPandas",
+    "udtf_python",
+    "map_in_pandas",
+    "text_tokenize_wordcount",
+    "text_quality_score",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_simhash",
+    "multimodal_binary",
+    "doc_chunking",
+    "corpus_sample_stratified",
+    "pii_scrub",
+    "dedup_cross_source",
+    "embed_ann_ivf",
+    "join_asof",
+    "agg_hash_q1",
+    "agg_percentiles",
+    "events_resample_1h",
+    "window_distribution",
+    "sql_parameterized",
+    "values_inline",
+    "json_extract",
+    "struct_ops",
+    "text_stats",
+    "text_language_id",
+    "text_token_count",
 ]
 
 

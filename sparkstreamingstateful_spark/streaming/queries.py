@@ -425,6 +425,192 @@ def stream_window_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_stream_join_left",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           CAST(c.event_id AS DOUBLE) AS click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 10 MINUTE
+     AND c.ts <= p.ts
+    """,
+)
+def stream_stream_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — purchases with their
+    preceding click within 10 minutes, or NULL if none arrived. Unlike the
+    inner variant (``stream_stream_join``), the null-extended rows for
+    unmatched purchases can only be emitted once the click-side watermark
+    proves no match can still arrive, so this feed needs the sentinel: it
+    drives the watermark past all real event time and the availableNow
+    no-data flush batch emits the final null-extended rows. The side
+    filters keep the sentinel row flowing (a plain event_type filter would
+    drop it below the watermark node and stall eviction — feeder.py); the
+    sentinel self-match is stripped from the materialized result."""
+    feed = chunked_events_dir(sf_dir)  # sentinels=True
+    stream = read_stream_events(spark, feed)
+    purchases = (
+        stream.filter((F.col("event_type") == "purchase") | (F.col("user_id") < 0))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", WATERMARK)
+    )
+    clicks = (
+        stream.filter((F.col("event_type") == "click") | (F.col("user_id") < 0))
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", WATERMARK)
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+        # click_id goes out as DOUBLE on both engines: the driver fetches
+        # the oracle through pandas, where a NULL-bearing BIGINT column
+        # coerces to float64 — matched ids would hash "537" vs "537.0".
+    ).select("purchase_id", F.col("click_id").cast("double").alias("click_id"))
+    res = run_stream(joined, output_mode="append")
+    return res.filter(F.col("purchase_id") >= 0)
+
+
+@query(
+    "stream_dedup_watermarked",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+)
+def stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state dedup of an at-least-once feed via
+    ``dropDuplicatesWithinWatermark`` — the scale-safe form of
+    ``stream_dedup``: a state row is EVICTED once the watermark passes
+    its event time PLUS the delay (state expiry is ``ts + delay``, the
+    guarantee being "duplicates arriving within the delay are removed"),
+    so state is O(rows within the horizon), not O(all rows ever seen).
+    The last chunk is delivered twice; the 15-day delay keeps every
+    original alive until its replay has been absorbed (a shorter delay
+    would let originals expire before the duplicate arrives and leak it
+    into the output — measured), and the far-future sentinel then drives
+    the watermark past every row's expiry so the availableNow flush batch
+    drains the state to just the sentinel row. Eviction is pinned by
+    tests/test_streaming.py via the state-operator metrics in
+    runner.LAST_QUERY_PROGRESS."""
+    ev = _stream(spark, sf_dir, replay=(2,))
+    deduped = ev.withWatermark("ts", "15 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    res = run_stream(deduped, output_mode="append")
+    return res.filter(F.col("user_id") >= 0).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+@query(
+    "stream_window_chained",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS win_start, event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_window_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two chained stateful operators in ONE streaming query (Spark 4
+    multi-stateful support): a 15-minute tumbling pre-aggregation feeding
+    a 1-hour re-aggregation keyed on ``window_time`` of the inner window.
+    This is the canonical streaming rollup-cascade — the wide raw stream
+    is reduced 4× before the hour-level state ever sees it, exactly how a
+    100 TB/day pipeline keeps its coarse-grain state small. The result
+    must equal the single-stage hourly aggregation (the oracle)."""
+    ev = _stream(spark, sf_dir)
+    q15 = (
+        ev.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "15 minutes").alias("w15"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n15"))
+    )
+    hourly = q15.groupBy(
+        F.window(F.window_time("w15"), "1 hour").alias("w"), "event_type"
+    ).agg(F.sum("n15").alias("n"))
+    res = run_stream(hourly, output_mode="append")
+    return res.filter(F.col("event_type") != "__sentinel__").select(
+        _ntz(F.col("w.start")).alias("win_start"), "event_type", "n"
+    )
+
+
+@query(
+    "stream_topk_per_window",
+    oracle="""
+    SELECT win_start, event_type, n, CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT date_trunc('hour', ts) AS win_start, event_type,
+               count(*) AS n,
+               row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                                  ORDER BY count(*) DESC, event_type) AS rk
+        FROM events
+        GROUP BY 1, 2
+    )
+    WHERE rk <= 3
+    """,
+)
+def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-window top-k (ST1 × W5): 1-hour tumbling counts per
+    event type, then top-3 types per window. Ranking is not a streaming-
+    native operator, so it runs per micro-batch in ``foreachBatch`` — safe
+    here because append-mode window finalization is watermark-driven: ALL
+    groups of a window finalize in the same micro-batch (the one whose
+    updated watermark passes the window end), so each batch ranks only
+    complete windows. Batches append to a parquet sink (the production
+    shape) which is read back as the result."""
+    import tempfile
+
+    ev = _stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out_dir = tempfile.mkdtemp(prefix="sss_topk_")
+
+    from pyspark.sql import Window
+
+    def rank_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rk = F.row_number().over(
+            Window.partitionBy("w").orderBy(F.desc("n"), F.col("event_type"))
+        )
+        (
+            batch_df.withColumn("rk", rk)
+            .filter(F.col("rk") <= 3)
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.foreachBatch(rank_batch)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="sss_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    res = spark.read.parquet(out_dir)
+    return res.filter(F.col("event_type") != "__sentinel__").select(
+        _ntz(F.col("w.start")).alias("win_start"), "event_type", "n", "rk"
+    )
+
+
 # Which stateful API `stateful_running_agg_tws` actually executed last —
 # "transformWithStateInPandas" or "applyInPandasWithState_fallback". The
 # TWS gate is environment-dependent (protobuf health), so evidence readers

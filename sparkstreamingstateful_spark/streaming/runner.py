@@ -14,6 +14,13 @@ import uuid
 
 from pyspark.sql import DataFrame
 
+# Progress snapshots of the most recent run_stream() execution (list of
+# per-micro-batch progress dicts, driver-side metadata only — a few KB).
+# Tests read state-operator metrics from here (e.g. asserting
+# dropDuplicatesWithinWatermark actually EVICTS state rows) without the
+# queries having to thread a query handle through their return value.
+LAST_QUERY_PROGRESS: list[dict] = []
+
 
 def run_stream(
     df: DataFrame, *, output_mode: str = "append", state_partitions: int = 4
@@ -59,6 +66,8 @@ def run_stream(
             .start()
         )
         q.awaitTermination()
+        global LAST_QUERY_PROGRESS
+        LAST_QUERY_PROGRESS = [dict(p) for p in (q.recentProgress or [])]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)

