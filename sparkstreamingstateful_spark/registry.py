@@ -75,6 +75,7 @@ _KEY_PRIORITY = [
     "stream_dedup_watermarked",
     "stream_window_chained",
     "stream_topk_per_window",
+    "stateful_sessionize_tws",
     "agg_approx",
     # (b) r3-era greens — the oldest evidence in the union
     "text_edit_distance",
@@ -122,8 +123,8 @@ _KEY_PRIORITY = [
     "join_cross",
     "join_theta_range",
     "join_multikey",
-    "agg_distinct",
     # --- 50-key boundary ---
+    "agg_distinct",
     # Below: remaining r4 greens (rotate forward next round), the
     # rows-only-by-construction sample_seeded (rows evidence refreshed
     # r5), then the r5 greens — the freshest evidence in the union.

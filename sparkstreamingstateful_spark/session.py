@@ -68,6 +68,14 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = 32
 
+    # Make google.protobuf importable (vendored shim if no real install)
+    # BEFORE the JVM launches, so Python worker processes inherit the
+    # PYTHONPATH and the transformWithStateInPandas client can import its
+    # generated protocol module (compat.ensure_protobuf docstring).
+    from .compat import ensure_protobuf
+
+    ensure_protobuf()
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)

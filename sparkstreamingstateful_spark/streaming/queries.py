@@ -611,6 +611,93 @@ def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stateful_sessionize_tws",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM flagged
+    ),
+    sess AS (
+        SELECT user_id, min(ts) AS sess_start,
+               count(*) AS n_events, round(sum(value), 2) AS sum_value
+        FROM numbered
+        GROUP BY user_id, sess_id
+    )
+    SELECT user_id, sess_start, n_events, sum_value,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY sess_start)
+                - 1 AS BIGINT) AS sess_seq
+    FROM sess
+    """,
+)
+def stateful_sessionize_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization on the Spark-4 ``transformWithStateInPandas`` API,
+    exercising the TWS features the running-agg key cannot: EVENT-TIME
+    TIMERS (idle sessions close via ``handleExpiredTimer`` when the
+    watermark passes ``last_ts + 30 min``; the sentinel batch drives the
+    final expiry) and TWO state variables per key (ValueState session
+    accumulator + ListState of closed-session starts, surfaced as the
+    oracle-checked ``sess_seq`` column — see
+    stateful.make_sessionize_processor). Falls back to the
+    ``applyInPandasWithState`` sessionizer (same session set, seq derived
+    per batch twin semantics is NOT available there, so the fallback
+    recomputes sess_seq from the materialized sessions) where no protobuf
+    runtime resolves."""
+    ev = _stream(spark, sf_dir)
+    if _tws_available(spark):
+        _record_tws_path("transformWithStateInPandas")
+        sessions = (
+            ev.withWatermark("ts", WATERMARK)
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                stateful.make_sessionize_processor(),
+                outputStructType=stateful.SESSION_TWS_OUTPUT,
+                outputMode="Append",
+                timeMode="EventTime",
+            )
+        )
+        res = run_stream(sessions, output_mode="append", state_partitions=_parts(sf_dir))
+        seq = F.col("sess_seq")
+    else:
+        _record_tws_path("applyInPandasWithState_fallback")
+        sessions = (
+            ev.withWatermark("ts", WATERMARK)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                stateful.sessionize_fn,
+                stateful.SESSION_OUTPUT,
+                stateful.SESSION_STATE,
+                "append",
+                "EventTimeTimeout",
+            )
+        )
+        res = run_stream(sessions, output_mode="append", state_partitions=_parts(sf_dir))
+        from pyspark.sql import Window
+
+        seq = (
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy("sess_start_us")
+            )
+            - 1
+        ).cast("bigint")
+    return res.filter(F.col("user_id") >= 0).select(
+        "user_id",
+        _ntz(F.expr("timestamp_micros(sess_start_us)")).alias("sess_start"),
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+        seq.alias("sess_seq"),
+    )
+
+
 # Which stateful API `stateful_running_agg_tws` actually executed last —
 # "transformWithStateInPandas" or "applyInPandasWithState_fallback". The
 # TWS gate is environment-dependent (protobuf health), so evidence readers
@@ -630,20 +717,20 @@ def _record_tws_path(path: str) -> None:
         _tws_path_logged = True
 
 
-def _tws_available() -> bool:
-    """transformWithStateInPandas needs a working google.protobuf (its
-    state-server protocol is protobuf-based); this container ships no
-    usable protobuf (verified r4: `import google` itself fails; r3 saw a
-    broken install missing `descriptor`), so the TWS path is gated and
-    falls back to applyInPandasWithState — identical semantics, same
-    oracle (SURVEY §7.2.1 facade). Self-activates if the env is fixed;
+def _tws_available(spark: SparkSession) -> bool:
+    """transformWithStateInPandas needs a google.protobuf runtime (its
+    state-server protocol is protobuf-framed); this container ships none
+    (`import google` fails, verified r4-r6). Since r6 the repo vendors a
+    minimal clean-room runtime (vendor/google/protobuf, wired up by
+    compat.ensure_protobuf_session: sys.path + PYTHONPATH for Spark's
+    Python workers), so the TWS path runs for real here; a native
+    protobuf install is preferred automatically wherever one exists.
+    Falls back to applyInPandasWithState — identical semantics, same
+    oracle (SURVEY §7.2.1 facade) — only if neither runtime resolves.
     TWS_PATH_USED records which path actually ran."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
+    from ..compat import ensure_protobuf_session
 
-        return True
-    except ImportError:
-        return False
+    return ensure_protobuf_session(spark) in ("native", "vendored")
 
 
 @query(
@@ -662,7 +749,7 @@ def stateful_running_agg_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``applyInPandasWithState`` where TWS's protobuf dependency is broken
     (see _tws_available)."""
     ev = _stream(spark, sf_dir, sentinels=False)
-    if _tws_available():
+    if _tws_available(spark):
         _record_tws_path("transformWithStateInPandas")
         updates = ev.groupBy("user_id").transformWithStateInPandas(
             stateful.make_running_agg_processor(),

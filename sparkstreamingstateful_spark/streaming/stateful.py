@@ -234,3 +234,99 @@ def make_running_agg_processor():
             pass
 
     return RunningAgg()
+
+
+# ------------------------------------------------------------ ST8 (TWS)
+SESSION_TWS_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("sess_start_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("sess_seq", T.LongType()),
+    ]
+)
+
+
+def make_sessionize_processor():
+    """``transformWithStateInPandas`` sessionization — the TWS feature-
+    coverage twin of ``sessionize_fn``, deliberately exercising the parts
+    of the new API the running-agg processor cannot: EVENT-TIME TIMERS
+    (``registerTimer`` / ``deleteTimer`` / ``listTimers`` +
+    ``handleExpiredTimer`` close idle sessions when the watermark passes
+    ``last_ts + gap``) and MULTIPLE STATE VARIABLES per key (the open
+    session in a ValueState, the starts of closed sessions in a
+    ListState). The ListState is load-bearing, not decorative: each
+    emitted session carries ``sess_seq`` — how many sessions this user
+    had closed before it — which the DuckDB oracle recomputes as
+    ``row_number() - 1`` over session starts, so a broken list append or
+    read shows up as a hash mismatch, not just a missing metric.
+
+    Built lazily so importing this module never requires the TWS API.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class SessionizeTws(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._sess = handle.getValueState("sess", SESSION_STATE)
+            self._starts = handle.getListState("closed_starts", "start_us BIGINT")
+
+        def _close(self, key, start_us, n, s):
+            seq = sum(1 for _ in self._starts.get()) if self._starts.exists() else 0
+            self._starts.appendValue((int(start_us),))
+            return (key[0], int(start_us), int(n), float(s), int(seq))
+
+        def handleInputRows(self, key, rows, timerValues):
+            pdfs = list(rows)
+            data = pd.concat(pdfs, ignore_index=True).sort_values(["ts", "event_id"])
+            closed: list[tuple] = []
+            if self._sess.exists():
+                start_us, last_us, n, s = self._sess.get()
+            else:
+                start_us = None
+            for r in data.itertuples():
+                ts_us = r.ts.value // 1000
+                if start_us is None:
+                    start_us, last_us, n, s = ts_us, ts_us, 1, float(r.value)
+                elif ts_us - last_us >= GAP_US:
+                    closed.append(self._close(key, start_us, n, s))
+                    start_us, last_us, n, s = ts_us, ts_us, 1, float(r.value)
+                else:
+                    last_us, n, s = ts_us, n + 1, s + float(r.value)
+            deadline_ms = last_us // 1000 + GAP_MS
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            if deadline_ms <= timerValues.getCurrentWatermarkInMs():
+                # watermark already past this session's idle deadline: no
+                # on-time event can extend it — close inline (mirror of
+                # sessionize_fn's late-group branch)
+                closed.append(self._close(key, start_us, n, s))
+                self._sess.clear()
+            else:
+                self._sess.update((int(start_us), int(last_us), int(n), float(s)))
+                self._handle.registerTimer(deadline_ms)
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "sess_start_us", "n_events", "sum_value", "sess_seq"],
+            )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if not self._sess.exists():
+                return
+            start_us, last_us, n, s = self._sess.get()
+            if expiredTimerInfo.getExpiryTimeInMs() < last_us // 1000 + GAP_MS:
+                return  # stale timer for an already-extended session
+            self._sess.clear()
+            yield pd.DataFrame(
+                [self._close(key, start_us, n, s)],
+                columns=["user_id", "sess_start_us", "n_events", "sum_value", "sess_seq"],
+            )
+
+        def close(self) -> None:
+            pass
+
+    return SessionizeTws()

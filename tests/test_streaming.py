@@ -194,7 +194,7 @@ def test_tws_path_marker(spark):
     QUERIES["stateful_running_agg_tws"](spark, SF_UNIT)
     expect = (
         "transformWithStateInPandas"
-        if sq._tws_available()
+        if sq._tws_available(spark)
         else "applyInPandasWithState_fallback"
     )
     assert sq.TWS_PATH_USED == expect
