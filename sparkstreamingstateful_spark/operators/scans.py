@@ -174,6 +174,8 @@ def _text_layout(
         w = load_table(spark, sf_dir, table).select(*cols).write.mode("overwrite")
         if fmt == "csv":
             w.option("header", True).csv(out)
+        elif fmt == "orc":
+            w.orc(out)
         else:
             w.json(out)
     return out
@@ -245,6 +247,87 @@ def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
+    "scan_python_datasource",
+    oracle="""
+    SELECT lang, source, count(*) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    WHERE n_chars >= 200
+    GROUP BY lang, source
+    """,
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via the Spark 4 Python data source API (S6f):
+    documents served through ``sources/pyds.ParquetDirDataSource`` — a
+    from-scratch Python reader with per-(file, row-group) split planning,
+    column pruning (``text`` never leaves the Arrow read), and filter
+    pushdown (``n_chars >= 200`` is accepted by ``pushFilters`` and
+    evaluated inside the reader; Spark drops it from its own plan, so
+    this H-check is what proves the pushdown contract is sound). The
+    documents table is laid out once as a 4-file parquet directory so
+    planning genuinely fans out over multiple splits."""
+    from ..sources import pyds
+
+    tag = (
+        f"{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}_"
+        f"{_src_fingerprint(sf_dir, 'documents')}"
+    )
+    out = os.path.join(tempfile.gettempdir(), f"sss_pyds_documents_{tag}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        load_table(spark, sf_dir, "documents").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(out)
+
+    pyds.register(spark)
+    back = (
+        spark.read.format("sss_pyparquet")
+        .option("path", out)
+        .option("columns", "doc_id,lang,source,n_chars")
+        .load()
+    )
+    return (
+        back.filter(F.col("n_chars") >= 200)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+@query(
+    "scan_orc",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ORC source (S6e): the other columnar warehouse format Spark
+    ships a native vectorized reader for (Hive-era lakes are full of it —
+    a drop-in engine must read both). lineitem's flag/status/qty/price
+    columns are written once as ORC, re-read (ORC files are
+    self-describing: types come from the file footer, no positional
+    schema risk as with CSV), and aggregated. ORC stores doubles as
+    IEEE-754 bits, so the H-check against the parquet-backed oracle
+    proves the ORC write→read cycle is lossless for longs/doubles/
+    strings, not merely that ORC parses. Scale: the same pushdown/
+    pruning contract as parquet (Spark's OrcFileFormat supports predicate
+    pushdown + column pruning via the vectorized reader)."""
+    cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"]
+    out = _text_layout(spark, sf_dir, "lineitem", cols, "orc")
+    back = spark.read.orc(out)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
     )
 
 

@@ -115,6 +115,67 @@ def udaf_applyInPandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "udaf_applyInArrow",
+    oracle="""
+    SELECT p_brand,
+           count(*) AS n,
+           round(sum(p_retailprice), 2) AS sum_price,
+           min(p_size) AS min_size,
+           max(p_size) AS max_size
+    FROM part
+    GROUP BY p_brand
+    """,
+)
+def udaf_applyInArrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-map UDAF on the raw Arrow path (``applyInArrow``): each group
+    arrives as a ``pyarrow.Table`` and leaves as one — no pandas
+    conversion layer at all, so no dtype coercion surprises (pandas would
+    e.g. widen int32 → int64 under NaN) and one less copy per group than
+    ``applyInPandas``. The per-group compute is pure ``pyarrow.compute``
+    kernels (C++, SIMD). Rounding happens Spark-side so both engines use
+    SQL half-away-from-zero semantics."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out_schema = T.StructType(
+        [
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("sum_price", T.DoubleType()),
+            T.StructField("min_size", T.IntegerType()),
+            T.StructField("max_size", T.IntegerType()),
+        ]
+    )
+
+    def stats(table: pa.Table) -> pa.Table:
+        sizes = table.column("p_size")
+        return pa.table(
+            {
+                "p_brand": pa.array([table.column("p_brand")[0].as_py()]),
+                "n": pa.array([table.num_rows], pa.int64()),
+                "sum_price": pa.array(
+                    [pc.sum(table.column("p_retailprice")).as_py()], pa.float64()
+                ),
+                "min_size": pa.array([pc.min(sizes).as_py()], pa.int32()),
+                "max_size": pa.array([pc.max(sizes).as_py()], pa.int32()),
+            }
+        )
+
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.groupBy("p_brand")
+        .applyInArrow(stats, out_schema)
+        .select(
+            "p_brand",
+            "n",
+            F.round("sum_price", 2).alias("sum_price"),
+            "min_size",
+            "max_size",
+        )
+    )
+
+
+@query(
     "udtf_python",
     oracle="""
     SELECT bigram, count(*) AS n

@@ -71,6 +71,10 @@ def query(name: str, oracle: str | None = None):
 # window lands: r4.
 _KEY_PRIORITY = [
     # (a) new/changed this round (r6)
+    "stream_stream_join_full",
+    "scan_orc",
+    "scan_python_datasource",
+    "udaf_applyInArrow",
     "stream_stream_join_left",
     "stream_dedup_watermarked",
     "stream_window_chained",
@@ -119,11 +123,13 @@ _KEY_PRIORITY = [
     "join_right",
     "join_full",
     "join_semi",
+    # --- 50-key boundary (4 more r6 keys joined group (a) late in the
+    # round, pushing the 4 youngest r4 join greens just below the line —
+    # they rotate forward next round with the rest of the r4 cohort) ---
     "join_anti",
     "join_cross",
     "join_theta_range",
     "join_multikey",
-    # --- 50-key boundary ---
     "agg_distinct",
     # Below: remaining r4 greens (rotate forward next round), the
     # rows-only-by-construction sample_seeded (rows evidence refreshed

@@ -1,0 +1,201 @@
+"""Custom Python data source (Spark 4 ``pyspark.sql.datasource`` API) —
+the extensibility surface a connector plugin would use (SURVEY.md §2.1's
+"source plugin" row): a parquet-directory reader implemented entirely in
+Python with REAL split planning, column pruning, and filter pushdown.
+
+This is deliberately a from-scratch connector, not a wrapper over
+``spark.read.parquet``: it exists to prove the plumbing a user would need
+for a format Spark has no built-in reader for (a proprietary log format,
+an object-store manifest, a feature-store API...):
+
+* ``partitions()`` plans one :class:`InputPartition` per (file,
+  row-group) — the same split granularity Spark's own parquet scan uses,
+  so a 1000-file / 10-row-group-each layout yields 10k independent
+  splits that schedule across every executor. No driver-side data read
+  happens at planning time (footer metadata only).
+* ``pushFilters()`` accepts the simple comparison/``In`` predicates and
+  evaluates them INSIDE the reader via Arrow compute expressions (exact
+  row-level filtering); anything else is returned to Spark to re-apply.
+  Spark drops accepted filters from the plan, so correctness of the
+  pushdown contract is H-checked by the registered key's oracle, not
+  just eyeballed.
+* ``read()`` yields Arrow ``RecordBatch``es (the vectorized fast path —
+  no per-row Python), reading ONLY its own row group and ONLY the
+  pruned columns.
+
+Scale: the driver holds one footer read per file at planning time and
+ships (path, row-group, columns, filters) tuples to executors; memory is
+O(one row group) per task regardless of table size.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
+)
+
+_ARROW_TO_DDL = {
+    "int8": "tinyint",
+    "int16": "smallint",
+    "int32": "int",
+    "int64": "bigint",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "large_string": "string",
+    "bool": "boolean",
+    "date32[day]": "date",
+    "binary": "binary",
+    "large_binary": "binary",
+}
+
+
+def _ddl_type(arrow_type) -> str:
+    import pyarrow as pa
+
+    if pa.types.is_timestamp(arrow_type):
+        return "timestamp"
+    try:
+        return _ARROW_TO_DDL[str(arrow_type)]
+    except KeyError:
+        raise ValueError(f"pyds: unmapped arrow type {arrow_type}") from None
+
+
+class ParquetDirDataSource(DataSource):
+    """``spark.read.format("sss_pyparquet").option("path", dir)``.
+
+    Options: ``path`` (required, a directory of ``*.parquet`` files) and
+    ``columns`` (optional comma-separated projection — pruning happens at
+    the Arrow read, columns never reach the JVM)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "sss_pyparquet"
+
+    def _files(self) -> list[str]:
+        path = self.options["path"]
+        files = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+        if not files:
+            raise ValueError(f"pyds: no parquet files under {path}")
+        return files
+
+    def schema(self) -> str:
+        import pyarrow.parquet as pq
+
+        arrow = pq.ParquetFile(self._files()[0]).schema_arrow
+        cols = self.options.get("columns")
+        names = [c.strip() for c in cols.split(",")] if cols else arrow.names
+        return ", ".join(
+            f"{n} {_ddl_type(arrow.field(n).type)}" for n in names
+        )
+
+    def reader(self, schema) -> DataSourceReader:
+        return _ParquetDirReader(self._files(), [f.name for f in schema.fields])
+
+
+class _ParquetDirReader(DataSourceReader):
+    def __init__(self, files: list[str], columns: list[str]) -> None:
+        self.files = files
+        self.columns = columns
+        self.accepted: list[Filter] = []
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Keep the predicates Arrow can evaluate exactly; give the rest
+        back to Spark. Accepted filters MUST be applied in read() — Spark
+        removes them from its own plan."""
+        for f in filters:
+            simple = isinstance(
+                f,
+                (
+                    EqualTo,
+                    GreaterThan,
+                    GreaterThanOrEqual,
+                    LessThan,
+                    LessThanOrEqual,
+                    In,
+                    IsNotNull,
+                ),
+            )
+            # only top-level columns; nested paths go back to Spark
+            if simple and len(f.attribute) == 1:
+                self.accepted.append(f)
+            else:
+                yield f
+
+    def _arrow_predicate(self):
+        import pyarrow.compute as pc
+
+        expr = None
+        for f in self.accepted:
+            field = pc.field(f.attribute[0])
+            if isinstance(f, EqualTo):
+                e = field == f.value
+            elif isinstance(f, GreaterThan):
+                e = field > f.value
+            elif isinstance(f, GreaterThanOrEqual):
+                e = field >= f.value
+            elif isinstance(f, LessThan):
+                e = field < f.value
+            elif isinstance(f, LessThanOrEqual):
+                e = field <= f.value
+            elif isinstance(f, In):
+                e = field.isin(list(f.values))
+            elif isinstance(f, IsNotNull):
+                e = field.is_valid()
+            else:  # pragma: no cover — pushFilters only accepts the above
+                raise AssertionError(f)
+            expr = e if expr is None else expr & e
+        return expr
+
+    def partitions(self) -> Sequence[InputPartition]:
+        import pyarrow.parquet as pq
+
+        # footer metadata only — no data pages are read at planning time
+        return [
+            InputPartition((path, rg))
+            for path in self.files
+            for rg in range(pq.ParquetFile(path).metadata.num_row_groups)
+        ]
+
+    def read(self, partition: InputPartition):
+        import pyarrow.parquet as pq
+
+        path, rg = partition.value
+        table = pq.ParquetFile(path).read_row_group(rg, columns=self.columns)
+        pred = self._arrow_predicate()
+        if pred is not None:
+            table = table.filter(pred)
+        # declared column order, Arrow batches straight to the JVM
+        yield from table.select(self.columns).to_batches()
+
+
+_registered: set[int] = set()
+
+
+def register(spark) -> None:
+    """Idempotent per-session registration. Python-side filter pushdown
+    ships disabled by default (Spark 4.1) and a reader implementing
+    ``pushFilters`` refuses to plan without it — opt in explicitly (a
+    runtime SQL conf, safe on a plain driver session)."""
+    key = id(spark)
+    if key not in _registered:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        spark.dataSource.register(ParquetDirDataSource)
+        _registered.add(key)

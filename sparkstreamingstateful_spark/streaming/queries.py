@@ -483,6 +483,71 @@ def stream_stream_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_join_full",
+    oracle="""
+    SELECT CAST(p.event_id AS DOUBLE) AS purchase_id,
+           CAST(c.event_id AS DOUBLE) AS click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 10 MINUTE
+     AND c.ts <= p.ts
+    """,
+)
+def stream_stream_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — completes the streaming
+    join-mode matrix (inner: ``stream_stream_join``, left outer:
+    ``stream_stream_join_left``). Null-extension now happens on BOTH
+    sides: a purchase with no click within its 10-minute lookback AND a
+    click that preceded no purchase each emit once their own side's
+    state is watermark-evicted (full outer needs watermarks on both
+    inputs — Spark refuses the plan otherwise). The sentinel row flows
+    through both side filters, drives both watermarks past all real
+    event time, and the availableNow flush batch emits every remaining
+    null-extended row; its self-match is stripped from the materialized
+    result (NULL-tolerant guard: a plain ``>= 0`` would also drop every
+    legitimate null-extended row)."""
+    feed = chunked_events_dir(sf_dir)  # sentinels=True
+    stream = read_stream_events(spark, feed)
+    purchases = (
+        stream.filter((F.col("event_type") == "purchase") | (F.col("user_id") < 0))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", WATERMARK)
+    )
+    clicks = (
+        stream.filter((F.col("event_type") == "click") | (F.col("user_id") < 0))
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", WATERMARK)
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "full_outer",
+        # both ids go out as DOUBLE: each side is nullable in full outer,
+        # and the driver's oracle fetch coerces NULL-bearing BIGINT
+        # columns to float64 (same contract as stream_stream_join_left).
+    ).select(
+        F.col("purchase_id").cast("double").alias("purchase_id"),
+        F.col("click_id").cast("double").alias("click_id"),
+    )
+    res = run_stream(joined, output_mode="append")
+    return res.filter(
+        (F.col("purchase_id").isNull() | (F.col("purchase_id") >= 0))
+        & (F.col("click_id").isNull() | (F.col("click_id") >= 0))
+    )
+
+
+@query(
     "stream_dedup_watermarked",
     oracle="""
     SELECT event_id, user_id, event_type, value FROM events

@@ -1,0 +1,140 @@
+"""Custom Python data source (S6f): split planning, column pruning, and
+the filter-pushdown contract — the parts the oracle H-check alone cannot
+pin (it proves end results, not WHERE the filter ran)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, StringContains
+
+from sparkstreamingstateful_spark import registry
+from sparkstreamingstateful_spark.catalog import load_table
+from sparkstreamingstateful_spark.sources import pyds
+
+from .conftest import SF_UNIT
+
+QUERIES, _ = registry.collect()
+
+
+@pytest.fixture()
+def pq_dir(tmp_path):
+    """3 files × 2 row groups each → 6 plannable splits."""
+    for i in range(3):
+        t = pa.table(
+            {
+                "k": pa.array(range(i * 10, i * 10 + 10), pa.int64()),
+                "name": pa.array([f"row{j}" for j in range(10)]),
+                "v": pa.array([float(j) for j in range(10)], pa.float64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / f"{i}.parquet"), row_group_size=5)
+    return str(tmp_path)
+
+
+def test_split_planning_per_rowgroup(spark, pq_dir):
+    # spark fixture: StructType.fromDDL parses through the active session
+    from pyspark.sql.types import StructType
+
+    src = pyds.ParquetDirDataSource({"path": pq_dir})
+
+    schema = StructType.fromDDL(src.schema())
+    parts = src.reader(schema).partitions()
+    assert len(parts) == 6  # 3 files × 2 row groups
+    assert sorted({os.path.basename(p.value[0]) for p in parts}) == [
+        "0.parquet",
+        "1.parquet",
+        "2.parquet",
+    ]
+
+
+def test_pushdown_split_and_reader_side_eval(spark, pq_dir):
+    """pushFilters keeps what Arrow can evaluate, returns the rest; an
+    accepted filter must actually drop rows inside read() (Spark removes
+    it from its own plan, so a no-op acceptance would be a wrong answer,
+    not a slowdown)."""
+    from pyspark.sql.types import StructType
+
+    _ = spark  # StructType.fromDDL needs an active session
+
+    src = pyds.ParquetDirDataSource({"path": pq_dir})
+    reader = src.reader(StructType.fromDDL(src.schema()))
+    returned = list(
+        reader.pushFilters(
+            [
+                GreaterThanOrEqual(("k",), 15),
+                StringContains(("name",), "row"),  # not in the accept list
+            ]
+        )
+    )
+    assert [type(f) for f in returned] == [StringContains]
+    assert [type(f) for f in reader.accepted] == [GreaterThanOrEqual]
+    rows = [
+        r
+        for part in reader.partitions()
+        for batch in reader.read(part)
+        for r in batch.to_pylist()
+    ]
+    assert sorted(r["k"] for r in rows) == list(range(15, 30))
+
+
+def test_differential_vs_native_parquet(spark, pq_dir):
+    """End-to-end through Spark: the custom source under projection +
+    mixed (pushable and non-pushable) predicates must equal the native
+    parquet scan of the same directory."""
+    pyds.register(spark)
+    custom = (
+        spark.read.format("sss_pyparquet")
+        .option("path", pq_dir)
+        .option("columns", "k,name")
+        .load()
+        .filter((F.col("k") % 2 == 0) & (F.col("k") >= 10))  # % not pushable
+    )
+    native = (
+        spark.read.parquet(pq_dir)
+        .select("k", "name")
+        .filter((F.col("k") % 2 == 0) & (F.col("k") >= 10))
+    )
+    assert sorted(map(tuple, custom.collect())) == sorted(map(tuple, native.collect()))
+    assert custom.schema == native.schema
+
+
+def test_registered_key_matches_parquet_path(spark):
+    """The registered key equals the same aggregation computed off the
+    ordinary parquet scan — catches a pushdown or pruning wrong-answer
+    without DuckDB in the loop."""
+    got = sorted(
+        map(tuple, QUERIES["scan_python_datasource"](spark, SF_UNIT).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            load_table(spark, SF_UNIT, "documents")
+            .filter(F.col("n_chars") >= 200)
+            .groupBy("lang", "source")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("sum_chars"))
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+def test_full_outer_join_extends_both_sides(spark):
+    """stream_stream_join_full: null-extension must appear on BOTH sides
+    (unmatched purchases AND unmatched clicks), and the matched core must
+    equal the inner-join key's output."""
+    full = QUERIES["stream_stream_join_full"](spark, SF_UNIT).cache()
+    n_left_null = full.filter(F.col("purchase_id").isNull()).count()
+    n_right_null = full.filter(F.col("click_id").isNull()).count()
+    assert n_left_null > 0, "no unmatched clicks emitted"
+    assert n_right_null > 0, "no unmatched purchases emitted"
+    matched = full.filter(
+        F.col("purchase_id").isNotNull() & F.col("click_id").isNotNull()
+    )
+    inner = QUERIES["stream_stream_join"](spark, SF_UNIT)
+    assert matched.count() == inner.count()
+    full.unpersist()
