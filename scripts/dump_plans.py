@@ -58,6 +58,11 @@ SHOWCASE = [
      "the core 100 TB co-located join strategy"),
     ("scd2_intervals", "SCD2 dimension build: row_number + lead computed in "
      "ONE window pass — a single shuffle on the business key"),
+    ("scan_python_datasource", "custom Python data source (r6): BatchScan "
+     "over the Python reader — the pushed n_chars filter is ABSENT from "
+     "Spark's plan because pushFilters accepted it and the reader "
+     "evaluates it Arrow-side; only the pruned 4 columns cross the "
+     "boundary"),
 ]
 
 

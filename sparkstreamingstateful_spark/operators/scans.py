@@ -250,6 +250,22 @@ def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pyds_documents_layout(spark: SparkSession, sf_dir: str) -> str:
+    """documents laid out once as a 4-file parquet directory (content-
+    fingerprint cached like the other layouts) — the multi-split substrate
+    for both the batch and streaming custom Python data source keys."""
+    tag = (
+        f"{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}_"
+        f"{_src_fingerprint(sf_dir, 'documents')}"
+    )
+    out = os.path.join(tempfile.gettempdir(), f"sss_pyds_documents_{tag}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        load_table(spark, sf_dir, "documents").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(out)
+    return out
+
+
 @query(
     "scan_python_datasource",
     oracle="""
@@ -272,16 +288,7 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     planning genuinely fans out over multiple splits."""
     from ..sources import pyds
 
-    tag = (
-        f"{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}_"
-        f"{_src_fingerprint(sf_dir, 'documents')}"
-    )
-    out = os.path.join(tempfile.gettempdir(), f"sss_pyds_documents_{tag}")
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        load_table(spark, sf_dir, "documents").repartition(4).write.mode(
-            "overwrite"
-        ).parquet(out)
-
+    out = pyds_documents_layout(spark, sf_dir)
     pyds.register(spark)
     back = (
         spark.read.format("sss_pyparquet")

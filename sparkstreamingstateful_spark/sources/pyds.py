@@ -36,6 +36,7 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -186,6 +187,109 @@ class _ParquetDirReader(DataSourceReader):
         yield from table.select(self.columns).to_batches()
 
 
+class ParquetDirStreamDataSource(DataSource):
+    """Streaming twin of :class:`ParquetDirDataSource` — a custom
+    micro-batch source with REAL offset management, the contract every
+    connector plugin (Kafka-like, log-tail, CDC feed) must honor:
+
+    * The offset is an index into the directory's ordered (file,
+      row-group) split list; ``latestOffset()`` advances it by
+      ``splits_per_batch`` per micro-batch, so a K-split layout replays
+      as ⌈K / splits_per_batch⌉ micro-batches.
+    * ``partitions(start, end)`` plans one :class:`InputPartition` per
+      split in the offset range — reads happen on EXECUTORS (unlike the
+      driver-side ``SimpleDataSourceStreamReader`` shortcut), O(one row
+      group) of memory per task.
+    * Replay determinism: the split list is sorted and immutable for a
+      given directory, so re-reading any offset range after a restart
+      yields identical rows — that plus the checkpoint's offset log is
+      what makes the source exactly-once (pinned by
+      tests/test_pyds.py::test_stream_source_replay_deterministic).
+
+    Options: ``path`` (required), ``columns`` (optional projection),
+    ``splits_per_batch`` (default 1)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "sss_pyparquet_stream"
+
+    def schema(self) -> str:
+        return ParquetDirDataSource(dict(self.options)).schema()
+
+    def streamReader(self, schema):
+        import pyarrow.parquet as pq
+
+        path = self.options["path"]
+        files = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+        splits = [
+            (f, rg)
+            for f in files
+            for rg in range(pq.ParquetFile(f).metadata.num_row_groups)
+        ]
+        if not splits:
+            raise ValueError(f"pyds stream: no parquet splits under {path}")
+        return _ParquetDirStreamReader(
+            splits,
+            [f.name for f in schema.fields],
+            int(self.options.get("splits_per_batch", "1")),
+        )
+
+
+class _ParquetDirStreamReader(DataSourceStreamReader):
+    """Subclassing matters: the plan worker dispatches batch-vs-stream
+    reads on ``isinstance(reader, DataSourceStreamReader)`` — a
+    duck-typed reader gets called as a BATCH reader (measured:
+    ``partitions()`` invoked with no offset arguments)."""
+
+    def __init__(
+        self, splits: list[tuple[str, int]], columns: list[str], per_batch: int
+    ) -> None:
+        self.splits = splits
+        self.columns = columns
+        self.per_batch = max(1, per_batch)
+        self._pos = 0  # rate-limit cursor, lives for the query's lifetime
+
+    def initialOffset(self) -> dict:
+        return {"split": 0}
+
+    def latestOffset(self) -> dict:
+        # ``latestOffset`` doubles as the rate limiter (the Python source
+        # API has no admission-control hook): advance at most
+        # ``per_batch`` splits per call, so a K-split layout genuinely
+        # replays as ⌈K/per_batch⌉ micro-batches instead of one. A
+        # file-tail source would re-list the directory here; this layout
+        # is immutable, so the cursor walks the known split list. NOTE:
+        # the cursor restarts at 0 with the reader object — resuming an
+        # EXISTING checkpoint mid-stream would briefly report latest <
+        # committed until the cursor catches up; registered keys always
+        # run a fresh checkpoint (runner.py), where this is unreachable.
+        self._pos = min(self._pos + self.per_batch, len(self.splits))
+        return {"split": self._pos}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        return [
+            InputPartition((*self.splits[i], i))
+            for i in range(start["split"], end["split"])
+        ]
+
+    def read(self, partition: InputPartition):
+        import pyarrow.parquet as pq
+
+        path, rg, _ = partition.value
+        table = pq.ParquetFile(path).read_row_group(rg, columns=self.columns)
+        yield from table.select(self.columns).to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the checkpoint's offset log
+
+    def stop(self) -> None:
+        pass
+
+
 _registered: set[int] = set()
 
 
@@ -198,4 +302,5 @@ def register(spark) -> None:
     if key not in _registered:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
         spark.dataSource.register(ParquetDirDataSource)
+        spark.dataSource.register(ParquetDirStreamDataSource)
         _registered.add(key)

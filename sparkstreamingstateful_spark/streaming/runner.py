@@ -22,6 +22,74 @@ from pyspark.sql import DataFrame
 LAST_QUERY_PROGRESS: list[dict] = []
 
 
+def run_stream_drain(
+    df: DataFrame,
+    *,
+    done,
+    output_mode: str = "complete",
+    state_partitions: int = 4,
+    timeout_s: float = 120.0,
+) -> DataFrame:
+    """Run a streaming DataFrame until ``done(end_offset)`` says the
+    source is exhausted, then stop and return the memory table.
+
+    Exists for custom Python micro-batch sources
+    (``sources/pyds.ParquetDirStreamDataSource``): the availableNow
+    trigger snapshots "latest" ONCE at start, but a Python source's
+    ``latestOffset`` is also its rate limiter (it advances per call), so
+    availableNow would consume exactly one micro-batch and declare
+    victory (measured). Instead: continuous trigger + poll the committed
+    end offset from query progress until the caller's predicate holds.
+    ``done`` receives the parsed ``endOffset`` dict of source 0.
+    """
+    import json
+    import time
+
+    spark = df.sparkSession
+    name = "sss_mem_" + uuid.uuid4().hex[:12]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="sss_ckpt_"))
+            .start()
+        )
+        deadline = time.monotonic() + timeout_s
+        while True:
+            if q.exception() is not None:
+                raise q.exception()
+            p = q.lastProgress
+            if p:
+                end = (p.get("sources") or [{}])[0].get("endOffset")
+                if isinstance(end, str):
+                    # Python-source offsets surface in progress as the
+                    # dict's repr (single quotes), not JSON — measured
+                    # "{'split': 1}". Accept both.
+                    try:
+                        end = json.loads(end)
+                    except json.JSONDecodeError:
+                        import ast
+
+                        end = ast.literal_eval(end)
+                if end is not None and done(end):
+                    break
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"stream not drained after {timeout_s}s; last progress: {p}"
+                )
+            time.sleep(0.05)
+        q.stop()
+        q.awaitTermination()
+        global LAST_QUERY_PROGRESS
+        LAST_QUERY_PROGRESS = [dict(pr) for pr in (q.recentProgress or [])]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
+
+
 def run_stream(
     df: DataFrame, *, output_mode: str = "append", state_partitions: int = 4
 ) -> DataFrame:

@@ -123,6 +123,53 @@ def test_registered_key_matches_parquet_path(spark):
     assert got == want
 
 
+def test_stream_source_replay_deterministic(spark, pq_dir):
+    """Exactly-once rests on replay determinism: re-reading any offset
+    range must yield identical rows (the checkpoint's offset log replays
+    uncommitted batches after a failure). Also pins the offset walk: the
+    rate-limit cursor advances one split per latestOffset call and
+    plans exactly the [start, end) splits."""
+    from pyspark.sql.types import StructType
+
+    src = pyds.ParquetDirStreamDataSource({"path": pq_dir, "splits_per_batch": "1"})
+    schema = StructType.fromDDL(src.schema())
+    reader = src.streamReader(schema)
+    assert reader.initialOffset() == {"split": 0}
+    offsets = [reader.latestOffset() for _ in range(8)]
+    # 6 splits, one per call, then saturates
+    assert [o["split"] for o in offsets] == [1, 2, 3, 4, 5, 6, 6, 6]
+
+    def read_range(lo, hi):
+        return [
+            r
+            for part in reader.partitions({"split": lo}, {"split": hi})
+            for batch in reader.read(part)
+            for r in batch.to_pylist()
+        ]
+
+    first = read_range(2, 5)
+    assert len(first) == 15  # 3 splits × 5 rows per row group
+    assert read_range(2, 5) == first  # replay == original
+    everything = read_range(0, 6)
+    assert sorted(r["k"] for r in everything) == list(range(30))
+
+
+def test_stream_source_microbatch_count(spark):
+    """The registered key must genuinely consume the layout as multiple
+    micro-batches (one per split), not one availableNow gulp."""
+    from sparkstreamingstateful_spark.streaming import runner
+
+    res = QUERIES["stream_python_datasource"](spark, SF_UNIT)
+    assert res.count() > 0
+    data_batches = [
+        p for p in runner.LAST_QUERY_PROGRESS if p.get("numInputRows", 0) > 0
+    ]
+    assert len(data_batches) >= 4, (
+        f"expected ≥4 data micro-batches (4-file layout), "
+        f"saw {len(data_batches)}"
+    )
+
+
 def test_full_outer_join_extends_both_sides(spark):
     """stream_stream_join_full: null-extension must appear on BOTH sides
     (unmatched purchases AND unmatched clicks), and the matched core must
