@@ -307,6 +307,57 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "write_python_datasource",
+    oracle="""
+    SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def write_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python data source SINK (S6h): documents written through
+    ``sources/pyds.JsonlSinkDataSource`` — per-task Arrow-batch streaming
+    into temp files, then a driver-side two-phase commit (rename to
+    final part names + ``_SUCCESS`` manifest; aborted tasks leave no
+    visible files) — and read back via the ordinary JSON reader with an
+    explicit schema. The H-check against the parquet-backed oracle
+    proves the full write-protocol → read cycle is lossless: a dropped
+    batch, double-committed retry, or promoted orphan file would shift
+    the per-source counts."""
+    from pyspark.sql import types as T
+
+    from ..sources import pyds
+
+    pyds.register(spark)
+    tag = (
+        f"{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}_"
+        f"{_src_fingerprint(sf_dir, 'documents')}"
+    )
+    out = os.path.join(tempfile.gettempdir(), f"sss_jsonlsink_documents_{tag}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "source", "n_chars")
+            .write.format("sss_jsonl")
+            .mode("overwrite")
+            .option("path", out)
+            .save()
+        )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(out)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+@query(
     "scan_orc",
     oracle="""
     SELECT l_returnflag, l_linestatus, count(*) AS n,

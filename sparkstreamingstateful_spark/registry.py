@@ -73,6 +73,7 @@ _KEY_PRIORITY = [
     # (a) new/changed this round (r6)
     "stream_stream_join_full",
     "stream_python_datasource",
+    "write_python_datasource",
     "scan_orc",
     "scan_python_datasource",
     "udaf_applyInArrow",
@@ -122,10 +123,10 @@ _KEY_PRIORITY = [
     "join_bucketed_colocated",
     "join_left",
     "join_right",
-    "join_full",
-    # --- 50-key boundary (5 more r6 keys joined group (a) late in the
-    # round, pushing the 5 youngest r4 join greens just below the line —
+    # --- 50-key boundary (6 more r6 keys joined group (a) late in the
+    # round, pushing the 6 youngest r4 join greens just below the line —
     # they rotate forward next round with the rest of the r4 cohort) ---
+    "join_full",
     "join_semi",
     "join_anti",
     "join_cross",

@@ -35,6 +35,7 @@ from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     EqualTo,
@@ -46,6 +47,7 @@ from pyspark.sql.datasource import (
     IsNotNull,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 _ARROW_TO_DDL = {
@@ -290,6 +292,82 @@ class _ParquetDirStreamReader(DataSourceStreamReader):
         pass
 
 
+class JsonlSinkDataSource(DataSource):
+    """Custom Python data source WRITER — the sink half of the connector
+    plugin surface, with the two-phase commit protocol every exactly-once
+    sink needs:
+
+    * Each task streams its partition's Arrow batches
+      (:class:`DataSourceArrowWriter` — no per-row Python) into a
+      ``_tmp_<uuid>.jsonl`` file and returns a commit message naming it.
+    * ``commit()`` (driver, all tasks succeeded) renames every temp file
+      to its final ``part-*.jsonl`` name and writes a ``_SUCCESS``
+      manifest listing parts + row counts — a reader that requires
+      ``_SUCCESS`` never observes a half-written directory, and a failed
+      speculative/retried task's orphan temp file is never promoted.
+    * ``abort()`` (any task failed) deletes the temp files.
+
+    JSON-lines output: the interchange format the corpus pipelines here
+    ingest from (scan_json); floats serialize via Python repr
+    (shortest-roundtrip), so a read-back is value-exact for the
+    long/double/string columns the H-check aggregates."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "sss_jsonl"
+
+    def writer(self, schema, overwrite: bool):
+        path = self.options["path"]
+        os.makedirs(path, exist_ok=True)
+        if overwrite:
+            for f in os.listdir(path):
+                if f.endswith(".jsonl") or f == "_SUCCESS":
+                    os.remove(os.path.join(path, f))
+        return _JsonlWriter(path)
+
+
+class _JsonlWriter(DataSourceArrowWriter):
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+    def write(self, batches) -> "WriterCommitMessage":
+        import json
+        import uuid
+
+        tmp_name = f"_tmp_{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, tmp_name), "w") as f:
+            for batch in batches:
+                for row in batch.to_pylist():  # plain dicts from Arrow
+                    f.write(json.dumps(row) + "\n")
+                    n += 1
+        msg = WriterCommitMessage()
+        msg.tmp_name, msg.rows = tmp_name, n
+        return msg
+
+    def commit(self, messages) -> None:
+        import json
+
+        parts = []
+        for i, m in enumerate(m for m in messages if m is not None):
+            final = f"part-{i:05d}.jsonl"
+            os.replace(
+                os.path.join(self.path, m.tmp_name),
+                os.path.join(self.path, final),
+            )
+            parts.append({"file": final, "rows": m.rows})
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            json.dump({"parts": parts}, f)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.tmp_name))
+                except OSError:
+                    pass
+
+
 _registered: set[int] = set()
 
 
@@ -303,4 +381,5 @@ def register(spark) -> None:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
         spark.dataSource.register(ParquetDirDataSource)
         spark.dataSource.register(ParquetDirStreamDataSource)
+        spark.dataSource.register(JsonlSinkDataSource)
         _registered.add(key)

@@ -170,6 +170,41 @@ def test_stream_source_microbatch_count(spark):
     )
 
 
+def test_sink_commit_protocol(spark, tmp_path):
+    """Two-phase commit: after a successful write the directory holds
+    ONLY final part files + a _SUCCESS manifest whose per-part row counts
+    sum to the input; no temp files survive. Overwrite clears prior
+    parts. Abort removes temp files (writer-level unit check)."""
+    import json
+
+    pyds.register(spark)
+    out = str(tmp_path / "sink")
+    df = spark.range(100).selectExpr(
+        "id AS doc_id", "CAST(id % 7 AS STRING) AS source", "id * 3 AS n_chars"
+    )
+    for _ in range(2):  # second pass exercises overwrite of existing parts
+        df.write.format("sss_jsonl").mode("overwrite").option("path", out).save()
+    names = sorted(os.listdir(out))
+    assert "_SUCCESS" in names
+    assert not [n for n in names if n.startswith("_tmp_")]
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert {p["file"] for p in manifest["parts"]} == {
+        n for n in names if n.endswith(".jsonl")
+    }
+    assert sum(p["rows"] for p in manifest["parts"]) == 100
+    back = spark.read.schema("doc_id long, source string, n_chars long").json(out)
+    assert back.count() == 100
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    # abort path: temp file written, then dropped; nothing promoted
+    w = pyds._JsonlWriter(str(tmp_path / "aborted"))
+    os.makedirs(w.path)
+    msg = w.write(iter(pa.table({"a": [1, 2]}).to_batches()))
+    assert os.path.exists(os.path.join(w.path, msg.tmp_name))
+    w.abort([msg, None])
+    assert os.listdir(w.path) == []
+
+
 def test_full_outer_join_extends_both_sides(spark):
     """stream_stream_join_full: null-extension must appear on BOTH sides
     (unmatched purchases AND unmatched clicks), and the matched core must
