@@ -72,6 +72,7 @@ def query(name: str, oracle: str | None = None):
 _KEY_PRIORITY = [
     # (a) new/changed this round (r6)
     "stream_stream_join_full",
+    "stream_stream_join_right",
     "stream_python_datasource",
     "write_python_datasource",
     "scan_orc",
@@ -122,10 +123,10 @@ _KEY_PRIORITY = [
     "scan_partition_pruning",
     "join_bucketed_colocated",
     "join_left",
-    "join_right",
-    # --- 50-key boundary (6 more r6 keys joined group (a) late in the
-    # round, pushing the 6 youngest r4 join greens just below the line —
+    # --- 50-key boundary (7 more r6 keys joined group (a) late in the
+    # round, pushing the 7 youngest r4 join greens just below the line —
     # they rotate forward next round with the rest of the r4 cohort) ---
+    "join_right",
     "join_full",
     "join_semi",
     "join_anti",

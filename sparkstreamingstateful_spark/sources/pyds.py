@@ -170,12 +170,27 @@ class _ParquetDirReader(DataSourceReader):
     def partitions(self) -> Sequence[InputPartition]:
         import pyarrow.parquet as pq
 
-        # footer metadata only — no data pages are read at planning time
-        return [
-            InputPartition((path, rg))
-            for path in self.files
-            for rg in range(pq.ParquetFile(path).metadata.num_row_groups)
-        ]
+        # footer metadata only — no data pages are read at planning time.
+        # While here, every footer's schema is checked against the first
+        # file's: the declared schema came from file 0 alone, and a
+        # drifted file would otherwise MIS-READ (wrong types into a
+        # fixed DDL), not error.
+        parts, first_schema = [], None
+        for path in self.files:
+            pf = pq.ParquetFile(path)
+            if first_schema is None:
+                first_schema = pf.schema_arrow
+            elif not pf.schema_arrow.equals(first_schema):
+                raise ValueError(
+                    f"pyds: schema drift in {path} vs {self.files[0]} — "
+                    "a parquet directory served by this source must be "
+                    "schema-homogeneous"
+                )
+            parts.extend(
+                InputPartition((path, rg))
+                for rg in range(pf.metadata.num_row_groups)
+            )
+        return parts
 
     def read(self, partition: InputPartition):
         import pyarrow.parquet as pq
@@ -227,11 +242,18 @@ class ParquetDirStreamDataSource(DataSource):
             for f in os.listdir(path)
             if f.endswith(".parquet")
         )
-        splits = [
-            (f, rg)
-            for f in files
-            for rg in range(pq.ParquetFile(f).metadata.num_row_groups)
-        ]
+        splits, first_schema = [], None
+        for f in files:
+            pf = pq.ParquetFile(f)
+            if first_schema is None:
+                first_schema = pf.schema_arrow
+            elif not pf.schema_arrow.equals(first_schema):
+                raise ValueError(
+                    f"pyds stream: schema drift in {f} vs {files[0]} — "
+                    "a parquet directory served by this source must be "
+                    "schema-homogeneous"
+                )
+            splits.extend((f, rg) for rg in range(pf.metadata.num_row_groups))
         if not splits:
             raise ValueError(f"pyds stream: no parquet splits under {path}")
         return _ParquetDirStreamReader(
@@ -310,7 +332,10 @@ class JsonlSinkDataSource(DataSource):
     JSON-lines output: the interchange format the corpus pipelines here
     ingest from (scan_json); floats serialize via Python repr
     (shortest-roundtrip), so a read-back is value-exact for the
-    long/double/string columns the H-check aggregates."""
+    long/double/string columns the H-check aggregates. Known limit:
+    non-finite doubles (NaN/±inf) have no JSON representation —
+    ``json.dumps`` would emit bare ``NaN`` tokens Spark's reader treats
+    as corrupt records; route such columns through parquet/ORC."""
 
     @classmethod
     def name(cls) -> str:

@@ -548,6 +548,66 @@ def stream_stream_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_join_right",
+    oracle="""
+    SELECT CAST(p.event_id AS DOUBLE) AS purchase_id,
+           c.event_id AS click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    RIGHT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 10 MINUTE
+     AND c.ts <= p.ts
+    """,
+)
+def stream_stream_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream RIGHT OUTER interval join — the last of the four
+    join modes (inner ST6, left ST12, full ST17): every click is
+    preserved; a click that preceded no purchase within 10 minutes
+    null-extends once the PURCHASE side's state is watermark-evicted.
+    Mechanically the mirror of the left join (null-extension timing is
+    governed by the opposite side's watermark), but exercised as its own
+    key because Spark plans the two modes with different state-eviction
+    roles for each side — a user reaching for ``right_outer`` should not
+    discover an untested path. Only ``purchase_id`` needs the DOUBLE
+    cast (the only nullable side here)."""
+    feed = chunked_events_dir(sf_dir)  # sentinels=True
+    stream = read_stream_events(spark, feed)
+    purchases = (
+        stream.filter((F.col("event_type") == "purchase") | (F.col("user_id") < 0))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", WATERMARK)
+    )
+    clicks = (
+        stream.filter((F.col("event_type") == "click") | (F.col("user_id") < 0))
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", WATERMARK)
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "right_outer",
+    ).select(
+        F.col("purchase_id").cast("double").alias("purchase_id"),
+        F.col("click_id"),
+    )
+    res = run_stream(joined, output_mode="append")
+    return res.filter(
+        (F.col("purchase_id").isNull() | (F.col("purchase_id") >= 0))
+        & (F.col("click_id") >= 0)
+    )
+
+
+@query(
     "stream_dedup_watermarked",
     oracle="""
     SELECT event_id, user_id, event_type, value FROM events

@@ -123,6 +123,31 @@ def test_registered_key_matches_parquet_path(spark):
     assert got == want
 
 
+def test_schema_drift_rejected(spark, pq_dir):
+    """A drifted file in the directory must fail planning loudly — the
+    declared DDL came from file 0, so reading a drifted file would
+    mis-assign types, not error."""
+    from pyspark.sql.types import StructType
+
+    drifted = pa.table(
+        {
+            "k": pa.array(["not-a-long"]),  # string where file 0 has int64
+            "name": pa.array(["x"]),
+            "v": pa.array([1.0], pa.float64()),
+        }
+    )
+    pq.write_table(drifted, os.path.join(pq_dir, "9.parquet"))
+
+    src = pyds.ParquetDirDataSource({"path": pq_dir})
+    reader = src.reader(StructType.fromDDL(src.schema()))
+    with pytest.raises(ValueError, match="schema drift"):
+        reader.partitions()
+    with pytest.raises(ValueError, match="schema drift"):
+        pyds.ParquetDirStreamDataSource({"path": pq_dir}).streamReader(
+            StructType.fromDDL(src.schema())
+        )
+
+
 def test_stream_source_replay_deterministic(spark, pq_dir):
     """Exactly-once rests on replay determinism: re-reading any offset
     range must yield identical rows (the checkpoint's offset log replays
