@@ -178,6 +178,12 @@ def test_stream_source_replay_deterministic(spark, pq_dir):
     everything = read_range(0, 6)
     assert sorted(r["k"] for r in everything) == list(range(30))
 
+    # rate limiter honors splits_per_batch > 1
+    wide = pyds.ParquetDirStreamDataSource(
+        {"path": pq_dir, "splits_per_batch": "4"}
+    ).streamReader(schema)
+    assert [wide.latestOffset()["split"] for _ in range(3)] == [4, 6, 6]
+
 
 def test_stream_source_microbatch_count(spark):
     """The registered key must genuinely consume the layout as multiple
