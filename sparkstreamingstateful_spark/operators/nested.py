@@ -150,6 +150,42 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "json_variant",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           count(*) FILTER (WHERE json_extract_string(props, '$.missing')
+                            IS NOT NULL) AS n_missing_present
+    FROM events
+    GROUP BY 1
+    """,
+)
+def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through the Spark 4 VARIANT type — the
+    modern engine path for JSON columns (parse once into a binary
+    variant; typed `variant_get` access afterward, no per-access string
+    re-parse as with `get_json_object`, and the encoding is the substrate
+    for shredded-variant pushdown at warehouse scale). `try_variant_get`
+    on an absent path documents the NULL (not error) contract; the
+    oracle recomputes everything with DuckDB's JSON functions."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "bigint")
+    missing = F.try_variant_get(v, "$.missing", "bigint")
+    return (
+        ev.select(k.alias("k"), missing.alias("m"))
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.count("m").alias("n_missing_present"),
+        )
+    )
+
+
+@query(
     "vector_ops",
     oracle="""
     SELECT vec_id,

@@ -195,3 +195,37 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_price": 150000, "status": "O"},
     )
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    WHERE l_quantity < 30
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 `|>` operators, SQL:2023-era pipeline
+    composition): the same relational plan as the classic nested form,
+    written as a linear dataflow — FROM |> WHERE |> AGGREGATE ... GROUP
+    BY |> ORDER BY. Catalyst parses pipes into the identical logical
+    plan (same pushdown, same partial+final aggregate), so this key pins
+    that the modern SQL surface is available AND semantics-equal to the
+    classic form the oracle uses."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_quantity < 30
+        |> AGGREGATE count(*) AS n,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2)
+                         AS revenue
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n, revenue
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )

@@ -73,6 +73,8 @@ _KEY_PRIORITY = [
     # (a) new/changed this round (r6)
     "stream_stream_join_full",
     "stream_stream_join_right",
+    "json_variant",
+    "sql_pipe_syntax",
     "stream_python_datasource",
     "write_python_datasource",
     "scan_orc",
@@ -121,11 +123,11 @@ _KEY_PRIORITY = [
     "dedup_near",
     "dedup_ngram_jaccard",
     "scan_partition_pruning",
+    # --- 50-key boundary (9 more r6 keys joined group (a) late in the
+    # round, pushing the 9 youngest r4 greens just below the line —
+    # they rotate forward next round with the rest of the r4 cohort) ---
     "join_bucketed_colocated",
     "join_left",
-    # --- 50-key boundary (7 more r6 keys joined group (a) late in the
-    # round, pushing the 7 youngest r4 join greens just below the line —
-    # they rotate forward next round with the rest of the r4 cohort) ---
     "join_right",
     "join_full",
     "join_semi",
