@@ -424,3 +424,31 @@ def events_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(counts, ["h", "event_type"], "left")
         .select("h", "event_type", F.coalesce(F.col("c"), F.lit(0)).alias("n"))
     )
+
+
+@query(
+    "agg_listagg",
+    oracle="""
+    SELECT s_nationkey,
+           string_agg(s_name, '|' ORDER BY s_name) AS names,
+           count(*) AS n
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard LISTAGG (Spark 4.0): ordered string concatenation
+    per group — the report-formatting aggregate every warehouse SQL
+    dialect grew its own spelling for (DuckDB: string_agg ... ORDER BY).
+    WITHIN GROUP ordering makes the result deterministic, which is what
+    lets it be hash-checked at all; an unordered concat would be
+    partition-order-dependent and unverifiable. Scale: same partial+
+    final hash-agg shape as any groupBy, with per-group result size the
+    thing to watch (bounded here by suppliers-per-nation)."""
+    s = load_table(spark, sf_dir, "supplier")
+    return s.groupBy("s_nationkey").agg(
+        F.expr("listagg(s_name, '|') WITHIN GROUP (ORDER BY s_name)").alias(
+            "names"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )

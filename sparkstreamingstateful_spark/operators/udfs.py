@@ -332,3 +332,56 @@ def map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "text", "n_chars").mapInArrow(
         check, "doc_id long, calc_len long, len_ok boolean"
     )
+
+
+@query(
+    "udtf_analyze",
+    oracle="""
+    SELECT string_split(text, ' ')[1] AS t0,
+           count(*) AS n,
+           count(DISTINCT string_split(text, ' ')[2]) AS n_second
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF with a DYNAMIC output schema (Spark 4 ``analyze``):
+    the planner calls the UDTF's static ``analyze`` with the constant
+    arguments and the returned schema becomes the plan's — here
+    ``token_prefix(text, 3)`` emits the first 3 whitespace tokens as 3
+    typed columns (NULL-padded), with the column count decided at
+    ANALYSIS time from the literal, not hardcoded. The schema must be
+    built programmatically (StructType ctor) — ``fromDDL`` needs an
+    active session, and ``analyze`` runs in a session-less worker
+    (measured). Aggregated so the oracle pins real values through the
+    dynamic columns."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class TokenPrefix:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            return AnalyzeResult(
+                T.StructType(
+                    [
+                        T.StructField(f"t{i}", T.StringType())
+                        for i in range(int(n.value))
+                    ]
+                )
+            )
+
+        def eval(self, text: str, n: int):
+            toks = text.split(" ")[: int(n)]
+            yield tuple(toks) + (None,) * (int(n) - len(toks))
+
+    spark.udtf.register("sss_token_prefix", TokenPrefix)
+    d = load_table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("udtf_analyze_documents")
+    return spark.sql(
+        """
+        SELECT t.t0, count(*) AS n, count(DISTINCT t.t1) AS n_second
+        FROM udtf_analyze_documents, LATERAL sss_token_prefix(text, 3) t
+        GROUP BY t.t0
+        """
+    )

@@ -75,6 +75,8 @@ _KEY_PRIORITY = [
     "stream_stream_join_right",
     "json_variant",
     "sql_pipe_syntax",
+    "agg_listagg",
+    "udtf_analyze",
     "stream_python_datasource",
     "write_python_datasource",
     "scan_orc",
@@ -121,11 +123,11 @@ _KEY_PRIORITY = [
     "sql_tpch_q18like",
     "multimodal_features",
     "dedup_near",
+    # --- 50-key boundary (11 more r6 keys joined group (a) late in the
+    # round, pushing the 11 youngest r4 greens just below the line —
+    # they rotate forward next round with the rest of the r4 cohort) ---
     "dedup_ngram_jaccard",
     "scan_partition_pruning",
-    # --- 50-key boundary (9 more r6 keys joined group (a) late in the
-    # round, pushing the 9 youngest r4 greens just below the line —
-    # they rotate forward next round with the rest of the r4 cohort) ---
     "join_bucketed_colocated",
     "join_left",
     "join_right",

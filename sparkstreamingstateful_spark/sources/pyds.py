@@ -345,6 +345,8 @@ class JsonlSinkDataSource(DataSource):
         path = self.options["path"]
         os.makedirs(path, exist_ok=True)
         if overwrite:
+            # the .jsonl suffix also matches _tmp_*.jsonl orphans from a
+            # crashed prior run (never promoted, but never welcome)
             for f in os.listdir(path):
                 if f.endswith(".jsonl") or f == "_SUCCESS":
                     os.remove(os.path.join(path, f))
