@@ -33,7 +33,6 @@ from __future__ import annotations
 import os
 import re
 import sys
-import tempfile
 import time
 
 import pyarrow as pa
@@ -93,19 +92,14 @@ WARM_FIRST = {
 
 def _clear_sink_cache(d: str) -> None:
     """Drop write_python_datasource's cached sink dir for source dir
-    ``d`` so its timed run includes the actual sink write."""
+    ``d`` so its timed run includes the actual sink write. The path
+    comes from the operator's own ``jsonl_sink_path`` — a hand-rolled
+    copy here could drift and silently time a cached no-op."""
     import shutil
 
-    from sparkstreamingstateful_spark.operators import scans
+    from sparkstreamingstateful_spark.operators.scans import jsonl_sink_path
 
-    tag = (
-        f"{os.path.basename(os.path.normpath(d)) or 'sf'}_"
-        f"{scans._src_fingerprint(d, 'documents')}"
-    )
-    shutil.rmtree(
-        os.path.join(tempfile.gettempdir(), f"sss_jsonlsink_documents_{tag}"),
-        ignore_errors=True,
-    )
+    shutil.rmtree(jsonl_sink_path(d), ignore_errors=True)
 
 
 def _suffix_tokens(col: pa.ChunkedArray, tag: str) -> pa.Array:

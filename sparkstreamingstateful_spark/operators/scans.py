@@ -306,6 +306,18 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def jsonl_sink_path(sf_dir: str) -> str:
+    """THE cache location for write_python_datasource's sink output — a
+    single definition shared with scripts/scale_probe.py, whose timing
+    depends on DELETING this exact path before a run (a drifted copy
+    would silently time a cached no-op instead of the write)."""
+    tag = (
+        f"{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}_"
+        f"{_src_fingerprint(sf_dir, 'documents')}"
+    )
+    return os.path.join(tempfile.gettempdir(), f"sss_jsonlsink_documents_{tag}")
+
+
 @query(
     "write_python_datasource",
     oracle="""
@@ -329,11 +341,7 @@ def write_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import pyds
 
     pyds.register(spark)
-    tag = (
-        f"{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}_"
-        f"{_src_fingerprint(sf_dir, 'documents')}"
-    )
-    out = os.path.join(tempfile.gettempdir(), f"sss_jsonlsink_documents_{tag}")
+    out = jsonl_sink_path(sf_dir)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         (
             load_table(spark, sf_dir, "documents")

@@ -159,7 +159,9 @@ class _ParquetDirReader(DataSourceReader):
             elif isinstance(f, LessThanOrEqual):
                 e = field <= f.value
             elif isinstance(f, In):
-                e = field.isin(list(f.values))
+                # the dataclass field is `value` (a tuple of values) in
+                # PySpark 4.1.2, not `values`
+                e = field.isin(list(f.value))
             elif isinstance(f, IsNotNull):
                 e = field.is_valid()
             else:  # pragma: no cover — pushFilters only accepts the above
@@ -204,6 +206,37 @@ class _ParquetDirReader(DataSourceReader):
         yield from table.select(self.columns).to_batches()
 
 
+def list_splits(path: str) -> list[tuple[str, int]]:
+    """THE split rule for the streaming source: the sorted (file,
+    row-group) list of a schema-homogeneous parquet directory. A single
+    definition on purpose — the stream reader plans from it and
+    ``stream_python_datasource``'s drain predicate counts it; two
+    hand-rolled copies could drift and make the drain stop early or
+    never fire."""
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    splits, first_schema = [], None
+    for f in files:
+        pf = pq.ParquetFile(f)
+        if first_schema is None:
+            first_schema = pf.schema_arrow
+        elif not pf.schema_arrow.equals(first_schema):
+            raise ValueError(
+                f"pyds stream: schema drift in {f} vs {files[0]} — "
+                "a parquet directory served by this source must be "
+                "schema-homogeneous"
+            )
+        splits.extend((f, rg) for rg in range(pf.metadata.num_row_groups))
+    if not splits:
+        raise ValueError(f"pyds stream: no parquet splits under {path}")
+    return splits
+
+
 class ParquetDirStreamDataSource(DataSource):
     """Streaming twin of :class:`ParquetDirDataSource` — a custom
     micro-batch source with REAL offset management, the contract every
@@ -234,30 +267,8 @@ class ParquetDirStreamDataSource(DataSource):
         return ParquetDirDataSource(dict(self.options)).schema()
 
     def streamReader(self, schema):
-        import pyarrow.parquet as pq
-
-        path = self.options["path"]
-        files = sorted(
-            os.path.join(path, f)
-            for f in os.listdir(path)
-            if f.endswith(".parquet")
-        )
-        splits, first_schema = [], None
-        for f in files:
-            pf = pq.ParquetFile(f)
-            if first_schema is None:
-                first_schema = pf.schema_arrow
-            elif not pf.schema_arrow.equals(first_schema):
-                raise ValueError(
-                    f"pyds stream: schema drift in {f} vs {files[0]} — "
-                    "a parquet directory served by this source must be "
-                    "schema-homogeneous"
-                )
-            splits.extend((f, rg) for rg in range(pf.metadata.num_row_groups))
-        if not splits:
-            raise ValueError(f"pyds stream: no parquet splits under {path}")
         return _ParquetDirStreamReader(
-            splits,
+            list_splits(self.options["path"]),
             [f.name for f in schema.fields],
             int(self.options.get("splits_per_batch", "1")),
         )
@@ -395,18 +406,18 @@ class _JsonlWriter(DataSourceArrowWriter):
                     pass
 
 
-_registered: set[int] = set()
-
-
 def register(spark) -> None:
     """Idempotent per-session registration. Python-side filter pushdown
     ships disabled by default (Spark 4.1) and a reader implementing
     ``pushFilters`` refuses to plan without it — opt in explicitly (a
-    runtime SQL conf, safe on a plain driver session)."""
-    key = id(spark)
-    if key not in _registered:
+    runtime SQL conf, safe on a plain driver session). Idempotence rides
+    on a session conf marker, NOT ``id(spark)``: a stopped session's id
+    can be reused by a brand-new one (CPython id recycling), which would
+    silently skip registration; the conf dies with the session, so the
+    marker can never outlive it."""
+    if spark.conf.get("spark.sss.pyds.registered", None) != "true":
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
         spark.dataSource.register(ParquetDirDataSource)
         spark.dataSource.register(ParquetDirStreamDataSource)
         spark.dataSource.register(JsonlSinkDataSource)
-        _registered.add(key)
+        spark.conf.set("spark.sss.pyds.registered", "true")

@@ -717,6 +717,12 @@ def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(out_dir)
         )
 
+    from .runner import require_no_data_batches
+
+    # this key drives its own writeStream (foreachBatch sink), so it owes
+    # the same sentinel-flush guard run_stream applies — without it a
+    # disabled no-data batch would silently drop the final windows
+    require_no_data_batches(spark)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
@@ -925,21 +931,15 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``run_stream_drain``). The H-check proves offset-sliced delivery is
     exactly-once and complete: any dropped, re-read, or half-read split
     would shift the per-language counts."""
-    import os
-
-    import pyarrow.parquet as pq
-
     from ..operators.scans import pyds_documents_layout
     from ..sources import pyds
     from .runner import run_stream_drain
 
     out = pyds_documents_layout(spark, sf_dir)
     pyds.register(spark)
-    n_splits = sum(
-        pq.ParquetFile(os.path.join(out, f)).metadata.num_row_groups
-        for f in os.listdir(out)
-        if f.endswith(".parquet")
-    )
+    # the source's own split rule — the drain predicate and the reader's
+    # planning must count the same list or the drain misfires
+    n_splits = len(pyds.list_splits(out))
     stream = (
         spark.readStream.format("sss_pyparquet_stream")
         .option("path", out)

@@ -22,6 +22,27 @@ from pyspark.sql import DataFrame
 LAST_QUERY_PROGRESS: list[dict] = []
 
 
+def require_no_data_batches(spark) -> None:
+    """The single-sentinel feed design (feeder.py) relies on the no-data
+    flush micro-batch to apply the final watermark and evict remaining
+    state; it is on by default, but pin it so a cluster-side override
+    can't silently turn sentinel feeds into never-emitting streams.
+    Explicit raise (not assert — stripped under python -O) and
+    case-insensitive (Spark parses boolean confs case-insensitively).
+    Every sentinel-fed streaming execution must call this — including
+    queries that drive their own writeStream instead of run_stream
+    (stream_topk_per_window's foreachBatch pipeline)."""
+    no_data = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
+    if str(no_data).lower() != "true":
+        raise RuntimeError(
+            "single-sentinel feeds require "
+            "spark.sql.streaming.noDataMicroBatches.enabled=true "
+            f"(found {no_data!r}); see streaming/feeder.py"
+        )
+
+
 def run_stream_drain(
     df: DataFrame,
     *,
@@ -57,31 +78,37 @@ def run_stream_drain(
             .option("checkpointLocation", tempfile.mkdtemp(prefix="sss_ckpt_"))
             .start()
         )
-        deadline = time.monotonic() + timeout_s
-        while True:
-            if q.exception() is not None:
-                raise q.exception()
-            p = q.lastProgress
-            if p:
-                end = (p.get("sources") or [{}])[0].get("endOffset")
-                if isinstance(end, str):
-                    # Python-source offsets surface in progress as the
-                    # dict's repr (single quotes), not JSON — measured
-                    # "{'split': 1}". Accept both.
-                    try:
-                        end = json.loads(end)
-                    except json.JSONDecodeError:
-                        import ast
+        try:
+            deadline = time.monotonic() + timeout_s
+            while True:
+                if q.exception() is not None:
+                    raise q.exception()
+                p = q.lastProgress
+                if p:
+                    end = (p.get("sources") or [{}])[0].get("endOffset")
+                    if isinstance(end, str):
+                        # Python-source offsets surface in progress as the
+                        # dict's repr (single quotes), not JSON — measured
+                        # "{'split': 1}". Accept both.
+                        try:
+                            end = json.loads(end)
+                        except json.JSONDecodeError:
+                            import ast
 
-                        end = ast.literal_eval(end)
-                if end is not None and done(end):
-                    break
-            if time.monotonic() > deadline:
-                raise TimeoutError(
-                    f"stream not drained after {timeout_s}s; last progress: {p}"
-                )
-            time.sleep(0.05)
-        q.stop()
+                            end = ast.literal_eval(end)
+                    if end is not None and done(end):
+                        break
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"stream not drained after {timeout_s}s; "
+                        f"last progress: {p}"
+                    )
+                time.sleep(0.05)
+        finally:
+            # the timeout/exception paths must not leak a forever-running
+            # query (it would keep polling latestOffset and hold executor
+            # slots against every later query in the session)
+            q.stop()
         q.awaitTermination()
         global LAST_QUERY_PROGRESS
         LAST_QUERY_PROGRESS = [dict(pr) for pr in (q.recentProgress or [])]
@@ -106,21 +133,7 @@ def run_stream(
     cardinality would pin O(cores) once for the checkpoint's lifetime.
     """
     spark = df.sparkSession
-    # The single-sentinel feed design (feeder.py) relies on the no-data
-    # flush micro-batch to apply the final watermark and evict remaining
-    # state; it is on by default, but pin it so a cluster-side override
-    # can't silently turn sentinel feeds into never-emitting streams.
-    # Explicit raise (not assert — stripped under python -O) and
-    # case-insensitive (Spark parses boolean confs case-insensitively).
-    no_data = spark.conf.get(
-        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
-    )
-    if str(no_data).lower() != "true":
-        raise RuntimeError(
-            "single-sentinel feeds require "
-            "spark.sql.streaming.noDataMicroBatches.enabled=true "
-            f"(found {no_data!r}); see streaming/feeder.py"
-        )
+    require_no_data_batches(spark)
     name = "sss_mem_" + uuid.uuid4().hex[:12]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))

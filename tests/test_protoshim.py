@@ -188,3 +188,71 @@ def test_unsupported_schema_features_fail_loud():
     fdp = ld(1, b"x/bad.proto") + ld(2, b"pkg") + ld(4, msg)
     with pytest.raises(NotImplementedError, match="minimal runtime"):
         descriptor_pool.DescriptorPool().AddSerializedFile(fdp)
+
+
+def test_repeated_parse_roundtrip(sm):
+    """Repeated fields filled ONLY by parsing must re-serialize intact
+    (self-consistency, not a golden vector: the r6 fix routes the
+    parse-side appends through the same presence chain as the public
+    mutators)."""
+    # repeated bytes on the worker's hot response type
+    fnum = sm.StateResponseWithListGet.DESCRIPTOR.fields_by_name["value"].number
+    tag = bytes([(fnum << 3) | 2])
+    payload = tag + b"\x02ab" + tag + b"\x01c"
+    r = sm.StateResponseWithListGet()
+    r.ParseFromString(payload)
+    assert list(r.value) == [b"ab", b"c"]
+    assert r.SerializeToString() == payload
+
+    # repeated message (timer list)
+    inner = sm.TimerInfo(key=b"k", timestampMs=7).SerializeToString()
+    tfnum = sm.StateResponseWithTimer.DESCRIPTOR.fields_by_name["timer"].number
+    tpayload = bytes([(tfnum << 3) | 2, len(inner)]) + inner
+    resp = sm.StateResponseWithTimer()
+    resp.MergeFromString(tpayload)
+    assert len(resp.timer) == 1
+    assert resp.timer[0].timestampMs == 7
+    assert resp.timer[0].key == b"k"
+    assert resp.SerializeToString() == tpayload
+
+
+def test_nested_repeated_parse_marks_parent_presence():
+    """The r6 review finding: a child vivified on a parent and populated
+    ONLY through parsing repeated content must become present on the
+    parent (the pre-fix list.append bypassed _notify_mutation, so the
+    parent re-serialized WITHOUT the child). Also pins packed-varint
+    decoding and that unpacked repeated elements APPEND rather than
+    overwrite the container. Synthetic descriptors: the state proto has
+    no nested-message-with-repeated pair to exercise this with."""
+    if ensure_protobuf() != "vendored":
+        pytest.skip("shim-internal semantics; native runtime active")
+    from google.protobuf.descriptor import Descriptor, FieldDescriptor
+    from google.protobuf.message import Message
+
+    child_d = Descriptor(
+        "C", "t.C",
+        [FieldDescriptor("xs", 1, FieldDescriptor.TYPE_INT64,
+                         FieldDescriptor.LABEL_REPEATED)],
+        [], [], [],
+    )
+    parent_d = Descriptor(
+        "P", "t.P",
+        [FieldDescriptor("c", 1, FieldDescriptor.TYPE_MESSAGE,
+                         FieldDescriptor.LABEL_OPTIONAL, type_name="t.C")],
+        [], [], [],
+    )
+    parent_d.fields[0].message_type = child_d
+    C = type("C", (Message,), {"DESCRIPTOR": child_d})
+    child_d._concrete_class = C
+    P = type("P", (Message,), {"DESCRIPTOR": parent_d})
+    parent_d._concrete_class = P
+
+    p = P()
+    # packed: field 1, LEN, varints [1, 300] (300 = 0xac 0x02)
+    p.c.MergeFromString(bytes([0x0A, 3, 1, 0xAC, 0x02]))
+    assert list(p.c.xs) == [1, 300]
+    assert p.HasField("c"), "parse-only repeated content must mark presence"
+    assert p.SerializeToString() != b"", "parent must re-emit the child"
+    # unpacked element appends; pre-fix code overwrote the container
+    p.c.MergeFromString(bytes([0x08, 5]))
+    assert list(p.c.xs) == [1, 300, 5]

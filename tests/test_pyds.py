@@ -63,23 +63,28 @@ def test_pushdown_split_and_reader_side_eval(spark, pq_dir):
 
     src = pyds.ParquetDirDataSource({"path": pq_dir})
     reader = src.reader(StructType.fromDDL(src.schema()))
+    from pyspark.sql.datasource import In
+
     returned = list(
         reader.pushFilters(
             [
                 GreaterThanOrEqual(("k",), 15),
+                In(("name",), ("row5", "row6", "row7")),
                 StringContains(("name",), "row"),  # not in the accept list
             ]
         )
     )
     assert [type(f) for f in returned] == [StringContains]
-    assert [type(f) for f in reader.accepted] == [GreaterThanOrEqual]
+    assert [type(f) for f in reader.accepted] == [GreaterThanOrEqual, In]
     rows = [
         r
         for part in reader.partitions()
         for batch in reader.read(part)
         for r in batch.to_pylist()
     ]
-    assert sorted(r["k"] for r in rows) == list(range(15, 30))
+    # k >= 15 AND name IN (row5, row6, row7): names repeat per file, so
+    # the survivors are k ∈ {15,16,17,25,26,27}
+    assert sorted(r["k"] for r in rows) == [15, 16, 17, 25, 26, 27]
 
 
 def test_differential_vs_native_parquet(spark, pq_dir):
@@ -87,18 +92,19 @@ def test_differential_vs_native_parquet(spark, pq_dir):
     mixed (pushable and non-pushable) predicates must equal the native
     parquet scan of the same directory."""
     pyds.register(spark)
+    pred = (
+        (F.col("k") % 2 == 0)  # % not pushable
+        & (F.col("k") >= 10)
+        & F.col("name").isin("row0", "row2", "row4", "row6")  # In IS pushed
+    )
     custom = (
         spark.read.format("sss_pyparquet")
         .option("path", pq_dir)
         .option("columns", "k,name")
         .load()
-        .filter((F.col("k") % 2 == 0) & (F.col("k") >= 10))  # % not pushable
+        .filter(pred)
     )
-    native = (
-        spark.read.parquet(pq_dir)
-        .select("k", "name")
-        .filter((F.col("k") % 2 == 0) & (F.col("k") >= 10))
-    )
+    native = spark.read.parquet(pq_dir).select("k", "name").filter(pred)
     assert sorted(map(tuple, custom.collect())) == sorted(map(tuple, native.collect()))
     assert custom.schema == native.schema
 
