@@ -158,6 +158,16 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dir_tag(sf_dir: str, table: str) -> str:
+    """Shared cache-tag for per-(sf_dir, table-content) derived layouts:
+    dir basename + content fingerprint. One definition — three layout
+    caches key on it, and a drifted copy would serve stale content."""
+    return (
+        f"{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}_"
+        f"{_src_fingerprint(sf_dir, table)}"
+    )
+
+
 def _text_layout(
     spark: SparkSession, sf_dir: str, table: str, cols: list[str], fmt: str
 ) -> str:
@@ -168,7 +178,7 @@ def _text_layout(
     schema POSITIONALLY, so serving a stale layout with different/
     reordered columns would silently mis-assign values, not error."""
     spec = hashlib.md5(",".join(cols).encode()).hexdigest()[:6]
-    tag = f"{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}_{_src_fingerprint(sf_dir, table)}_{spec}"
+    tag = f"{_dir_tag(sf_dir, table)}_{spec}"
     out = os.path.join(tempfile.gettempdir(), f"sss_{fmt}_{table}_{tag}")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         w = load_table(spark, sf_dir, table).select(*cols).write.mode("overwrite")
@@ -254,10 +264,7 @@ def pyds_documents_layout(spark: SparkSession, sf_dir: str) -> str:
     """documents laid out once as a 4-file parquet directory (content-
     fingerprint cached like the other layouts) — the multi-split substrate
     for both the batch and streaming custom Python data source keys."""
-    tag = (
-        f"{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}_"
-        f"{_src_fingerprint(sf_dir, 'documents')}"
-    )
+    tag = _dir_tag(sf_dir, "documents")
     out = os.path.join(tempfile.gettempdir(), f"sss_pyds_documents_{tag}")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         load_table(spark, sf_dir, "documents").repartition(4).write.mode(
@@ -311,10 +318,7 @@ def jsonl_sink_path(sf_dir: str) -> str:
     single definition shared with scripts/scale_probe.py, whose timing
     depends on DELETING this exact path before a run (a drifted copy
     would silently time a cached no-op instead of the write)."""
-    tag = (
-        f"{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}_"
-        f"{_src_fingerprint(sf_dir, 'documents')}"
-    )
+    tag = _dir_tag(sf_dir, "documents")
     return os.path.join(tempfile.gettempdir(), f"sss_jsonlsink_documents_{tag}")
 
 
@@ -417,10 +421,7 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-line stats aggregated by token-count bucket. The oracle computes
     the same stats from the documents view, so the H-check proves the
     text write→read cycle preserves every character of every line."""
-    tag = (
-        f"{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}_"
-        f"{_src_fingerprint(sf_dir, 'documents')}"
-    )
+    tag = _dir_tag(sf_dir, "documents")
     out = os.path.join(tempfile.gettempdir(), f"sss_text_documents_{tag}")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         docs = load_table(spark, sf_dir, "documents").select("text")
