@@ -62,40 +62,56 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_left",
     oracle="""
-    SELECT c_custkey, o_orderkey
+    SELECT c_custkey, CAST(o_orderkey AS DOUBLE) AS o_orderkey
     FROM customer LEFT JOIN orders ON o_custkey = c_custkey
     """,
 )
 def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer-join oracle contract (same as the stream-stream outer joins):
+    the NULLABLE side goes out as DOUBLE on both engines. The driver
+    fetches the oracle through pandas, where a NULL-bearing BIGINT column
+    coerces to float64 — and whether NULLs exist is DATA-dependent
+    (sf0.01 has no customer without orders; sf0.1 does — caught by the
+    r6 sf0.1 driver-sim as "101401" vs "101401.0" hash mismatches)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left").select("c_custkey", "o_orderkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", F.col("o_orderkey").cast("double").alias("o_orderkey")
+    )
 
 
 @query(
     "join_right",
     oracle="""
-    SELECT c_custkey, o_orderkey
+    SELECT c_custkey, CAST(o_orderkey AS DOUBLE) AS o_orderkey
     FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
     """,
 )
 def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # nullable side → DOUBLE both engines; see join_left's docstring
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    return o.join(c, o.o_custkey == c.c_custkey, "right").select("c_custkey", "o_orderkey")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "c_custkey", F.col("o_orderkey").cast("double").alias("o_orderkey")
+    )
 
 
 @query(
     "join_full",
     oracle="""
-    SELECT c_custkey, o_orderkey
+    SELECT CAST(c_custkey AS DOUBLE) AS c_custkey,
+           CAST(o_orderkey AS DOUBLE) AS o_orderkey
     FROM customer FULL JOIN orders ON o_custkey = c_custkey
     """,
 )
 def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BOTH sides nullable in full outer → DOUBLE both engines (join_left)
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "full").select("c_custkey", "o_orderkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        F.col("c_custkey").cast("double").alias("c_custkey"),
+        F.col("o_orderkey").cast("double").alias("o_orderkey"),
+    )
 
 
 @query(

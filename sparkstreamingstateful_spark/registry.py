@@ -77,6 +77,12 @@ _KEY_PRIORITY = [
     "sql_pipe_syntax",
     "agg_listagg",
     "udtf_analyze",
+    # changed r6: the outer-join oracle contract now casts nullable key
+    # columns to DOUBLE (the sf0.1 driver-sim caught data-dependent
+    # NULL→float64 coercion the sf0.01 gate could never see)
+    "join_left",
+    "join_right",
+    "join_full",
     "stream_python_datasource",
     "write_python_datasource",
     "scan_orc",
@@ -120,18 +126,16 @@ _KEY_PRIORITY = [
     "window_time_range",
     # (c) oldest r4 greens fill the window to slot 50
     "sql_tpch_q7like",
+    # --- 50-key boundary (group (a) grew to 20 keys across the round —
+    # 17 new + the 3 recontracted outer joins — pushing the youngest r4
+    # greens just below the line; they rotate forward next round with
+    # the rest of the r4 cohort) ---
     "sql_tpch_q18like",
     "multimodal_features",
     "dedup_near",
-    # --- 50-key boundary (11 more r6 keys joined group (a) late in the
-    # round, pushing the 11 youngest r4 greens just below the line —
-    # they rotate forward next round with the rest of the r4 cohort) ---
     "dedup_ngram_jaccard",
     "scan_partition_pruning",
     "join_bucketed_colocated",
-    "join_left",
-    "join_right",
-    "join_full",
     "join_semi",
     "join_anti",
     "join_cross",
