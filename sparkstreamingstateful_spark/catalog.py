@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import glob as _glob
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -221,8 +222,14 @@ def _normalize_events(df: DataFrame) -> DataFrame:
 # DataFrame handles are cheap logical plans, but each spark.read.parquet()
 # builds a fresh file index (a driver-side listing + footer RPC that measures
 # in seconds on slow metadata stores, and in minutes on a 100 TB lake) —
-# cache the handle per (session, sf_dir, table).
-_df_cache: dict[tuple[int, str, str], DataFrame] = {}
+# cache the handle per (session, sf_dir, table). Weak-keyed by the
+# SparkSession object itself: an id()-keyed dict is vulnerable to CPython
+# id recycling (a new session allocated at a stopped session's address
+# would be served DataFrames bound to the dead session), and the weak
+# entry dies with the session instead of accumulating.
+_df_cache: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -231,8 +238,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     The schema is passed to the reader explicitly: no inference job runs,
     and the scan's ReadSchema starts from the declared types.
     """
-    key = (id(spark._jsparkSession), sf_dir, name)
-    cached = _df_cache.get(key)
+    per_session = _df_cache.setdefault(spark, {})
+    key = (sf_dir, name)
+    cached = per_session.get(key)
     if cached is not None:
         return cached
     configure(spark)
@@ -241,7 +249,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     )
     if name == "events" and events_ts_unit(table_path(sf_dir, name)) == "ns":
         df = _normalize_events(df)
-    _df_cache[key] = df
+    per_session[key] = df
     return df
 
 

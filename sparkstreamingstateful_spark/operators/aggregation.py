@@ -332,8 +332,10 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew joins — here pinned as an oracle-checked query so the rewrite's
     correctness (salting must not change results) stays under test.
     """
+    from .salted import with_salt
+
     li = load_table(spark, sf_dir, "lineitem")
-    salted = li.withColumn("_salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(16)))
+    salted = with_salt(li, "l_orderkey", 16)
     partial = salted.groupBy("l_returnflag", "_salt").agg(
         F.count(F.lit(1)).alias("pn"), F.sum("l_extendedprice").alias("ps")
     )

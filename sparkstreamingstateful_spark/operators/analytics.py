@@ -184,7 +184,7 @@ _SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
         SELECT user_id, event_id, ts, value,
                CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
-                            > {_SESSION_GAP_US}
+                            >= {_SESSION_GAP_US}
                     THEN 1 ELSE 0 END AS new_sess
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -215,13 +215,18 @@ def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from a running sum of the break flags — two window passes over ONE
     shuffle on ``user_id`` (same partitioning, Spark reuses the
     exchange), then a hash agg per session. Gap compares use integer
-    epoch-micros so the boundary is engine-exact."""
+    epoch-micros so the boundary is engine-exact. Boundary rule is
+    ``gap >= 30 min`` splits — the SAME convention as stateful_sessionize
+    (stateful.GAP_US) and Spark's session_window, so batch and streaming
+    session counts agree even on exact-gap data (r6 review: this key
+    used ``>`` while its streaming twins used ``>=``; each matched its
+    own oracle, but the twin claim was false at the boundary)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     lag_us = F.lag(us).over(w)
     new_sess = F.when(
-        lag_us.isNull() | (us - lag_us > _SESSION_GAP_US), F.lit(1)
+        lag_us.isNull() | (us - lag_us >= _SESSION_GAP_US), F.lit(1)
     ).otherwise(F.lit(0))
     w_cum = (
         Window.partitionBy("user_id")

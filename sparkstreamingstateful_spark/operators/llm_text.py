@@ -29,6 +29,21 @@ def _tokens(col="text"):
     return F.split(F.col(col), " ")
 
 
+def _shingle_idx(toks):
+    """Start-index array for 3-gram shingles, SAFE for documents with
+    fewer than 3 tokens: ``sequence(0, n-3)`` on a 1–2-token doc yields a
+    DESCENDING [0, -1] and ``toks[i+2]`` then indexes out of bounds —
+    an [INVALID_ARRAY_INDEX] crash under default ANSI mode (measured on
+    4.1.2), phantom shingles with ANSI off. Short docs get an empty
+    index array, matching the oracles' empty ``range(1, len(l) - 1)``.
+    The current corpus has no short docs (the H-checks never tripped
+    this), but a real ingest certainly does."""
+    n = F.size(toks)
+    return F.when(n >= 3, F.sequence(F.lit(0), n - 3)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
 # --------------------------------------------------------------- L1
 @query(
     "text_stats",
@@ -247,7 +262,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     set_fp = F.md5(F.array_join(F.sort_array(F.array_distinct(toks)), " "))
     min_shingle = F.array_min(
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 3),
+            _shingle_idx(toks),
             lambda i: F.md5(F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2])),
         )
     )
@@ -500,7 +515,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _tokens()
     shingles = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 3),
+            _shingle_idx(toks),
             lambda i: F.xxhash64(
                 F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2])
             ),
@@ -609,7 +624,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near-dups ≈ 0.99).
     shingles = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 3),
+            _shingle_idx(toks),
             lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]),
         )
     )

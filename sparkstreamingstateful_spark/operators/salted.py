@@ -1,6 +1,10 @@
-"""Salted replicate join building blocks — the distribution mechanism for
-all-pairs similarity work (dedup_near, dedup_ngram_jaccard, embed_near_dup,
-embed_pairwise_label).
+"""Salted replicate join building blocks — the explicit skew-distribution
+pattern for hot keys (used by ``agg_salted_skew``; the pairwise-similarity
+family that originally motivated it — dedup_near, dedup_ngram_jaccard,
+embed_near_dup, embed_pairwise_label — was re-scoped in r2–r4 to prefix
+filtering / LSH / broadcast-probe shapes that need no salting; the r1
+measurements below are kept as the recipe for when a salted replicate
+join IS the right tool, e.g. a skewed fact-fact join).
 
 Shape: the probe (left) side gets a deterministic hash salt in [0, parts);
 the build (right) side is replicated ``parts``× via an in-row explode; the

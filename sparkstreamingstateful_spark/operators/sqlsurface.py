@@ -10,19 +10,28 @@ query-authoring differences.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import register_views
 from ..registry import query
 
-_REGISTERED: set[tuple[int, str]] = set()
+# last sf_dir whose views were registered, per session (weak-keyed: the
+# entry dies with the session, immune to id() recycling)
+_REGISTERED: "weakref.WeakKeyDictionary[SparkSession, str]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _views(spark: SparkSession, sf_dir: str) -> None:
-    key = (id(spark._jsparkSession), sf_dir)
-    if key not in _REGISTERED:
+    # Temp views are GLOBAL per session, so the cache must track the
+    # CURRENT registration, not the set of ever-registered dirs: with a
+    # set, alternating sf_dirs A → B → A would skip re-registration on
+    # the return to A and silently run A's query against B's tables.
+    if _REGISTERED.get(spark) != sf_dir:
         register_views(spark, sf_dir)
-        _REGISTERED.add(key)
+        _REGISTERED[spark] = sf_dir
 
 
 def _sql_query(name: str, sql: str, oracle: str | None = None):

@@ -33,7 +33,12 @@ def udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.udf(T.StringType())
     def normalize(s: str) -> str:
-        return s.strip().lower() if s is not None else None
+        # strip(' ') not strip(): bare strip removes ALL whitespace
+        # (tabs/\r/unicode) while the oracle's trim(text) removes only
+        # spaces — same contract as udf_arrow's normalize; divergence is
+        # data-dependent (no tabbed docs in this corpus, but a real
+        # ingest has them)
+        return s.strip(" ").lower() if s is not None else None
 
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", normalize("text").alias("norm_text"))

@@ -14,7 +14,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -37,7 +37,6 @@ def write_bucketed(
     bucket_col: str,
     *,
     n_buckets: int = 8,
-    spark: SparkSession | None = None,
 ) -> None:
     """Save as a bucketed managed table (bucket pruning + shuffle-free
     joins for every query that joins/aggregates on ``bucket_col``)."""

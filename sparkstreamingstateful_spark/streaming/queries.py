@@ -785,7 +785,7 @@ def stateful_sessionize_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     runtime resolves."""
     ev = _stream(spark, sf_dir)
     if _tws_available(spark):
-        _record_tws_path("transformWithStateInPandas")
+        _record_tws_path("stateful_sessionize_tws", "transformWithStateInPandas")
         sessions = (
             ev.withWatermark("ts", WATERMARK)
             .groupBy("user_id")
@@ -799,7 +799,7 @@ def stateful_sessionize_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         res = run_stream(sessions, output_mode="append", state_partitions=_parts(sf_dir))
         seq = F.col("sess_seq")
     else:
-        _record_tws_path("applyInPandasWithState_fallback")
+        _record_tws_path("stateful_sessionize_tws", "applyInPandasWithState_fallback")
         sessions = (
             ev.withWatermark("ts", WATERMARK)
             .groupBy("user_id")
@@ -829,23 +829,29 @@ def stateful_sessionize_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Which stateful API `stateful_running_agg_tws` actually executed last —
+# Which stateful API each *_tws key actually executed last —
 # "transformWithStateInPandas" or "applyInPandasWithState_fallback". The
 # TWS gate is environment-dependent (protobuf health), so evidence readers
-# need to know which path produced a given green result; the marker is set
-# at plan-build time and logged once per process.
+# need to know which path produced a given green result; markers are set
+# at plan-build time and logged once per (key, path) per process.
+# TWS_PATH_USED stays the single bench/driver summary value (both keys
+# share one gate, so they can only diverge if the environment changes
+# mid-process — TWS_PATHS records per-key provenance for exactly that
+# case).
 TWS_PATH_USED: str | None = None
-_tws_path_logged = False
+TWS_PATHS: dict[str, str] = {}
+_tws_paths_logged: set[tuple[str, str]] = set()
 
 
-def _record_tws_path(path: str) -> None:
-    global TWS_PATH_USED, _tws_path_logged
+def _record_tws_path(key: str, path: str) -> None:
+    global TWS_PATH_USED
     TWS_PATH_USED = path
-    if not _tws_path_logged:
+    TWS_PATHS[key] = path
+    if (key, path) not in _tws_paths_logged:
         import sys
 
-        print(f"[sparkstreamingstateful] stateful_running_agg_tws path: {path}", file=sys.stderr)
-        _tws_path_logged = True
+        print(f"[sparkstreamingstateful] {key} path: {path}", file=sys.stderr)
+        _tws_paths_logged.add((key, path))
 
 
 def _tws_available(spark: SparkSession) -> bool:
@@ -881,7 +887,7 @@ def stateful_running_agg_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     (see _tws_available)."""
     ev = _stream(spark, sf_dir, sentinels=False)
     if _tws_available(spark):
-        _record_tws_path("transformWithStateInPandas")
+        _record_tws_path("stateful_running_agg_tws", "transformWithStateInPandas")
         updates = ev.groupBy("user_id").transformWithStateInPandas(
             stateful.make_running_agg_processor(),
             outputStructType=stateful.RUNNING_AGG_OUTPUT,
@@ -889,7 +895,7 @@ def stateful_running_agg_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeMode="None",
         )
     else:
-        _record_tws_path("applyInPandasWithState_fallback")
+        _record_tws_path("stateful_running_agg_tws", "applyInPandasWithState_fallback")
         updates = ev.groupBy("user_id").applyInPandasWithState(
             stateful.running_agg_fn,
             stateful.RUNNING_AGG_OUTPUT,

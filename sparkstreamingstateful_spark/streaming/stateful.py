@@ -103,7 +103,12 @@ def sessionize_fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.D
             closed.append((key[0], start_us, n, s))
             start_us, last_us, n, s = ts_us, ts_us, 1, float(r.value)
         else:
-            last_us, n, s = ts_us, n + 1, s + float(r.value)
+            # max(): a within-watermark LATE row (older than the open
+            # session's last event, delivered in a later batch) merges
+            # but must not REWIND the idle deadline — a rewound last_us
+            # makes the next on-time row see an inflated gap and falsely
+            # split the session the globally-sorted oracle keeps whole
+            last_us, n, s = max(last_us, ts_us), n + 1, s + float(r.value)
     timeout_ms = last_us // 1000 + GAP_MS
     if timeout_ms <= state.getCurrentWatermarkMs():
         # Late-arriving group (out-of-order file feeds deliver rows older
@@ -335,7 +340,9 @@ def make_sessionize_processor():
                     n_closed += 1
                     start_us, last_us, n, s = ts_us, ts_us, 1, float(r.value)
                 else:
-                    last_us, n, s = ts_us, n + 1, s + float(r.value)
+                    # max(): same no-rewind rule as sessionize_fn — a
+                    # late merged row must not shorten the idle deadline
+                    last_us, n, s = max(last_us, ts_us), n + 1, s + float(r.value)
             deadline_ms = last_us // 1000 + GAP_MS
             if deadline_ms <= timerValues.getCurrentWatermarkInMs():
                 # watermark already past this session's idle deadline: no

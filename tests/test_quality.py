@@ -167,3 +167,23 @@ def test_write_roundtrip_csv_json(spark, tmp_path):
             writer.json(out)
             back = spark.read.schema(c.schema).json(out)
         assert sorted(map(tuple, back.collect())) == sorted(map(tuple, c.collect()))
+
+
+def test_shingle_short_doc_safe(spark):
+    """r6 review: sequence(0, n-3) on a <3-token doc is descending and
+    toks[i+2] crashes under ANSI; _shingle_idx must give short docs an
+    EMPTY shingle set (matching the oracles' empty range) and leave
+    3-token docs with exactly one shingle."""
+    from sparkstreamingstateful_spark.operators.llm_text import (
+        _shingle_idx,
+        _tokens,
+    )
+
+    df = spark.createDataFrame(
+        [("one",), ("two tokens",), ("three token doc",), ("a b c d",)],
+        "text string",
+    )
+    out = df.select(
+        F.size(_shingle_idx(_tokens())).alias("n_shingles")
+    ).collect()
+    assert [r["n_shingles"] for r in out] == [0, 0, 1, 2]
