@@ -85,6 +85,7 @@ _KEY_PRIORITY = [
     "join_full",
     "stream_python_datasource",
     "write_python_datasource",
+    "stream_sink_python_datasource",
     "scan_orc",
     "scan_python_datasource",
     "udaf_applyInArrow",
@@ -124,12 +125,11 @@ _KEY_PRIORITY = [
     "events_cohort_retention",
     "events_rollup_cascade",
     "window_time_range",
-    # (c) oldest r4 greens fill the window to slot 50
+    # --- 50-key boundary: group (a) grew to 21 keys across the round
+    # (18 new + the 3 recontracted outer joins), which with the 29
+    # r3-era greens fills the window exactly; the whole r4 cohort sits
+    # just below and rotates forward next round ---
     "sql_tpch_q7like",
-    # --- 50-key boundary (group (a) grew to 20 keys across the round —
-    # 17 new + the 3 recontracted outer joins — pushing the youngest r4
-    # greens just below the line; they rotate forward next round with
-    # the rest of the r4 cohort) ---
     "sql_tpch_q18like",
     "multimodal_features",
     "dedup_near",

@@ -37,6 +37,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     Filter,
@@ -363,6 +364,21 @@ class JsonlSinkDataSource(DataSource):
                     os.remove(os.path.join(path, f))
         return _JsonlWriter(path)
 
+    def streamWriter(self, schema, overwrite: bool):
+        """STREAMING sink flavor (``df.writeStream.format("sss_jsonl")``):
+        same per-task temp-file protocol, but commit is per MICRO-BATCH
+        and must be IDEMPOTENT — after a failure between the sink commit
+        and the checkpoint write, Spark re-runs the batch and calls
+        ``commit`` again with the same batchId. The ``_COMMITTED`` log
+        (one line per committed batch) makes the replay a no-op: temps
+        of an already-committed batch are discarded instead of promoted,
+        so downstream readers never see duplicated rows — the
+        exactly-once contract every real streaming sink (Kafka
+        transactional producer, Delta commit log) implements."""
+        path = self.options["path"]
+        os.makedirs(path, exist_ok=True)
+        return _JsonlStreamWriter(path)
+
 
 class _JsonlWriter(DataSourceArrowWriter):
     def __init__(self, path: str) -> None:
@@ -404,6 +420,50 @@ class _JsonlWriter(DataSourceArrowWriter):
                     os.remove(os.path.join(self.path, m.tmp_name))
                 except OSError:
                     pass
+
+
+class _JsonlStreamWriter(DataSourceStreamArrowWriter):
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+    def _committed(self) -> set[int]:
+        log = os.path.join(self.path, "_COMMITTED")
+        if not os.path.exists(log):
+            return set()
+        with open(log) as f:
+            return {int(line) for line in f if line.strip()}
+
+    def write(self, batches) -> "WriterCommitMessage":
+        # identical temp-file protocol to the batch writer
+        return _JsonlWriter(self.path).write(batches)
+
+    def commit(self, messages, batchId: int) -> None:
+        msgs = [m for m in messages if m is not None]
+        if batchId in self._committed():
+            # replayed micro-batch: the previous attempt's output is
+            # already visible — discard this attempt's temps (promoting
+            # them would double every row of the batch)
+            for m in msgs:
+                try:
+                    os.remove(os.path.join(self.path, m.tmp_name))
+                except OSError:
+                    pass
+            return
+        for i, m in enumerate(msgs):
+            os.replace(
+                os.path.join(self.path, m.tmp_name),
+                os.path.join(self.path, f"batch-{batchId:05d}-part-{i:05d}.jsonl"),
+            )
+        # log AFTER promotion: a crash between rename and log replays the
+        # batch, sees no log entry, and re-promotes — the renames are
+        # per-file atomic and replayed temps carry fresh names, so the
+        # worst case is the window Spark itself owns (commit-then-crash
+        # before checkpoint), which the log turns into a no-op
+        with open(os.path.join(self.path, "_COMMITTED"), "a") as f:
+            f.write(f"{batchId}\n")
+
+    def abort(self, messages, batchId: int) -> None:
+        _JsonlWriter(self.path).abort(messages)
 
 
 def register(spark) -> None:

@@ -960,3 +960,55 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_drain(
         agg, done=lambda end: end.get("split", 0) >= n_splits
     )
+
+
+@query(
+    "stream_sink_python_datasource",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING sink via the Spark 4 Python data source API
+    (S6i) — the last quadrant of the connector matrix (batch read S6f,
+    stream read S6g, batch write S6h): events streamed through
+    ``writeStream.format("sss_jsonl")``, whose per-micro-batch commit
+    appends to a ``_COMMITTED`` log that makes replayed batches no-ops
+    (the exactly-once sink contract; idempotence pinned by
+    tests/test_pyds.py::test_stream_sink_commit_idempotent). The sink
+    directory is read back with the ordinary JSON reader and aggregated;
+    the H-check proves per-batch promotion delivered every row exactly
+    once. ``ts`` stays out of the projection — the JSONL sink documents
+    itself as long/double/string-only (datetimes have no JSON form)."""
+    import os
+    import tempfile as _tf
+
+    from ..operators.scans import _dir_tag
+    from ..sources import pyds
+
+    pyds.register(spark)
+    out = os.path.join(
+        _tf.gettempdir(), f"sss_jsonlsink_stream_{_dir_tag(sf_dir, 'events')}"
+    )
+    if not os.path.exists(os.path.join(out, "_COMMITTED")):
+        feed = chunked_events_dir(sf_dir, sentinels=False)
+        ev = read_stream_events(spark, feed).select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        q = (
+            ev.writeStream.format("sss_jsonl")
+            .option("path", out)
+            .option("checkpointLocation", _tf.mkdtemp(prefix="sss_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    back = spark.read.schema(
+        "event_id long, user_id long, event_type string, value double"
+    ).json(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

@@ -257,3 +257,32 @@ def test_full_outer_join_extends_both_sides(spark):
     inner = QUERIES["stream_stream_join"](spark, SF_UNIT)
     assert matched.count() == inner.count()
     full.unpersist()
+
+
+def test_stream_sink_commit_idempotent(spark, tmp_path):
+    """Streaming-sink exactly-once: replaying a micro-batch (commit
+    called twice with the same batchId — Spark does this after a crash
+    between sink commit and checkpoint write) must not duplicate rows;
+    a genuinely new batchId must append."""
+    import json
+
+    sink = str(tmp_path / "stream_sink")
+    os.makedirs(sink)
+    w = pyds._JsonlStreamWriter(sink)
+
+    def batch_rows():
+        return iter(pa.table({"a": [1, 2, 3]}).to_batches())
+
+    w.commit([w.write(batch_rows())], batchId=0)
+    files_after_first = sorted(f for f in os.listdir(sink) if f.endswith(".jsonl"))
+    # replay of batch 0: temps discarded, nothing promoted
+    w.commit([w.write(batch_rows())], batchId=0)
+    assert sorted(f for f in os.listdir(sink) if f.endswith(".jsonl")) == files_after_first
+    # new batch appends
+    w.commit([w.write(batch_rows())], batchId=1)
+    rows = []
+    for f in sorted(os.listdir(sink)):
+        if f.endswith(".jsonl"):
+            rows += [json.loads(line) for line in open(os.path.join(sink, f))]
+    assert sorted(r["a"] for r in rows) == [1, 1, 2, 2, 3, 3]
+    assert open(os.path.join(sink, "_COMMITTED")).read().split() == ["0", "1"]
