@@ -83,10 +83,10 @@ def scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed by sf_dir so repeated calls (tests + driver) reuse the layout.
     """
     ev = load_table(spark, sf_dir, "events")
-    base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    tag = f"{base}_{_src_fingerprint(sf_dir, 'events')}"
     out = os.path.join(
-        tempfile.gettempdir(), f"sss_part_events_{tag}", "by_day"
+        tempfile.gettempdir(),
+        f"sss_part_events_{_dir_tag(sf_dir, 'events')}",
+        "by_day",
     )
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
@@ -160,8 +160,9 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dir_tag(sf_dir: str, table: str) -> str:
     """Shared cache-tag for per-(sf_dir, table-content) derived layouts:
-    dir basename + content fingerprint. One definition — three layout
-    caches key on it, and a drifted copy would serve stale content."""
+    dir basename + content fingerprint. One definition — the partitioned
+    /text/pyds/sink layout caches all key on it, and a drifted copy
+    would serve stale content."""
     return (
         f"{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}_"
         f"{_src_fingerprint(sf_dir, table)}"
