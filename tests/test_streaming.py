@@ -814,3 +814,77 @@ def test_stateful_skew_stress(spark, tmp_path):
     assert t_skew < 4 * max(t_uniform, 1.0), (
         f"skew collapse: uniform {t_uniform:.1f}s vs skewed {t_skew:.1f}s"
     )
+
+
+def test_tws_skew_stress(spark, tmp_path):
+    """Hot-key stress for the NATIVE transformWithStateInPandas path
+    (newly executable in r6): 90% of events rehomed to one user_id. TWS
+    pays a state-server round-trip per KEY per batch, so a hot key
+    concentrates pandas work but NOT protocol cost — correctness must
+    hold (running agg equals batch counts) and wall-clock must stay
+    inside the same sub-linear bound as the applyInPandasWithState
+    twin's stress test."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from sparkstreamingstateful_spark.streaming import queries as sq
+    from sparkstreamingstateful_spark.streaming import stateful
+    from sparkstreamingstateful_spark.streaming.runner import run_stream
+
+    if not sq._tws_available(spark):
+        pytest.skip("transformWithStateInPandas unavailable (protobuf gate)")
+
+    src = pq.read_table(os.path.join(SF_UNIT, "events.parquet"))
+    n = src.num_rows
+    hot = pa.array([0] * (n * 9 // 10), pa.int64())
+    tail = src.column("user_id").slice(n * 9 // 10).combine_chunks()
+    skewed = src.set_column(
+        src.schema.get_field_index("user_id"),
+        "user_id",
+        pa.chunked_array([hot, tail]),
+    )
+
+    def feed_of(table, sub):
+        d = tmp_path / sub
+        d.mkdir()
+        for i in range(3):
+            lo, hi = i * n // 3, (i + 1) * n // 3
+            p = str(d / f"{i:04d}.parquet")
+            pq.write_table(table.slice(lo, hi - lo), p)
+            os.utime(p, (1_600_000_000 + i, 1_600_000_000 + i))
+        return str(d)
+
+    def run(feed):
+        ev = read_stream_events(spark, feed)
+        updates = ev.groupBy("user_id").transformWithStateInPandas(
+            stateful.make_running_agg_processor(),
+            outputStructType=stateful.RUNNING_AGG_OUTPUT,
+            outputMode="Update",
+            timeMode="None",
+        )
+        res = run_stream(updates, output_mode="update", state_partitions=4)
+        return (
+            res.groupBy("user_id")
+            .agg(F.max(F.struct("n", "sum_value")).alias("s"))
+            .select("user_id", F.col("s.n").alias("n"))
+        )
+
+    t0 = time.perf_counter()
+    run(feed_of(src, "uniform")).count()
+    t_uniform = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    got = {r["user_id"]: r["n"] for r in run(feed_of(skewed, "skewed")).collect()}
+    t_skew = time.perf_counter() - t0
+
+    want = {
+        k.as_py(): v.as_py()
+        for k, v in zip(*pc.value_counts(skewed.column("user_id")).flatten())
+    }
+    assert got == want, "skewed-feed TWS state diverges from batch counts"
+    assert t_skew < 4 * max(t_uniform, 1.0), (
+        f"TWS skew collapse: uniform {t_uniform:.1f}s vs skewed {t_skew:.1f}s"
+    )
