@@ -111,7 +111,14 @@ def _suffix_tokens(col: pa.ChunkedArray, tag: str) -> pa.Array:
 
 
 def build(k: int) -> str:
-    out = f"/tmp/sss_scale_{k}x"
+    # content-fingerprinted cache dir (CLAUDE.md rule: never key a
+    # derived layout by path alone) — a regenerated /root/testdata
+    # source must invalidate the replicas, or the probe would compare
+    # fresh 1x numbers against stale Kx replicas and report bogus ratios
+    from sparkstreamingstateful_spark.operators.scans import _src_fingerprint
+
+    fp = _src_fingerprint(SRC, "lineitem", "events", "documents", "embeddings")
+    out = f"/tmp/sss_scale_{k}x_{fp}"
     if os.path.isdir(out) and os.path.exists(f"{out}/.done"):
         return out
     os.makedirs(out, exist_ok=True)

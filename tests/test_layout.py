@@ -59,6 +59,7 @@ def test_bucketed_join_no_shuffle(spark):
     a = spark.table(f"b_orders_{sfx}")
     b = spark.table(f"b_lineitem_{sfx}")
     # disable broadcast so the join exercises the bucketed sort-merge path
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         joined = a.join(b, a.o_orderkey == b.l_orderkey)
@@ -66,4 +67,7 @@ def test_bucketed_join_no_shuffle(spark):
         assert n_shuffles == 0, executed_plan(joined)
         assert joined.count() == lineitem.count()  # FK: every line has its order
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        # the saved value, not the hardcoded Spark default — a session
+        # with a non-default threshold would otherwise be silently
+        # rewritten for every later plan-shape test
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

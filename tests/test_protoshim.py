@@ -162,10 +162,10 @@ def test_unsupported_schema_features_fail_loud():
     # the pool refuses field types outside the implemented subset instead
     # of mis-encoding them: hand-build a FileDescriptorProto declaring a
     # double field (type 1). Layout per descriptor.proto field numbers.
-    from sparkstreamingstateful_spark.compat import VENDOR_DIR
-    import sys
-
-    if VENDOR_DIR not in sys.path:
+    # decide by the RESOLVED runtime, not the sys.path side effect other
+    # tests leave behind (running this test in isolation on a shim-only
+    # container would otherwise skip with a false "native active" reason)
+    if ensure_protobuf() != "vendored":
         pytest.skip("native protobuf active; pool-gate test is shim-specific")
     from google.protobuf import descriptor_pool
     from google.protobuf.internal import wire

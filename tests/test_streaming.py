@@ -1,12 +1,15 @@
 """Streaming-specific tests beyond the oracle gate (SURVEY.md §5.2.2-3):
-checkpoint recovery (ST11), watermark late-drop (ST10), rate source (S4),
-foreachBatch parquet sink (S5), and sink output-mode coverage."""
+checkpoint recovery (ST11), watermark late-drop (ST10), foreachBatch
+parquet sink (S5), sink output-mode coverage, and hot-key stress for
+both Python-stateful APIs. (The rate source S4 is covered in
+tests/test_sources.py through the sources.streams wrapper.)"""
 
 from __future__ import annotations
 
 import os
 import tempfile
 
+import pytest
 from pyspark.sql import functions as F
 
 from sparkstreamingstateful_spark import registry
@@ -30,23 +33,6 @@ def test_late_data_dropped(spark):
     assert n_late >= n_all * 0.5, "only the late chunk should be missing"
 
 
-def test_rate_source(spark):
-    """S4: the rate source produces schema'd rows under availableNow."""
-    import uuid
-
-    rate = spark.readStream.format("rate").option("rowsPerSecond", "50").load()
-    name = "rate_" + uuid.uuid4().hex[:8]
-    q = (
-        rate.writeStream.format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    df = spark.table(name)
-    assert set(df.columns) == {"timestamp", "value"}
-
-
 def test_foreachbatch_parquet_sink_and_recovery(spark):
     """S5 + ST11: foreachBatch→parquet with checkpointing; kill after the
     first batches, restart from the same checkpoint, assert exactly-once
@@ -56,7 +42,11 @@ def test_foreachbatch_parquet_sink_and_recovery(spark):
     out = tempfile.mkdtemp(prefix="sss_recov_out_")
 
     def write_batch(df, batch_id):
-        df.write.mode("append").parquet(os.path.join(out, f"b{batch_id}"))
+        # overwrite, not append: exactly-once rests on a replayed batch
+        # id REWRITING its own dir — with append, a kill landing between
+        # the parquet commit and the checkpoint commit would duplicate
+        # that batch's rows on restart
+        df.write.mode("overwrite").parquet(os.path.join(out, f"b{batch_id}"))
 
     def start():
         ev = read_stream_events(spark, feed)
@@ -112,7 +102,11 @@ def test_stateful_kill_restart_recovery(spark):
     out = tempfile.mkdtemp(prefix="sss_strec_out_")
 
     def write_batch(df, batch_id):
-        df.write.mode("append").parquet(os.path.join(out, f"b{batch_id}"))
+        # overwrite, not append: exactly-once rests on a replayed batch
+        # id REWRITING its own dir — with append, a kill landing between
+        # the parquet commit and the checkpoint commit would duplicate
+        # that batch's rows on restart
+        df.write.mode("overwrite").parquet(os.path.join(out, f"b{batch_id}"))
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
@@ -738,26 +732,26 @@ def test_left_join_nulls_require_watermark(spark):
     assert full.select("purchase_id").distinct().count() == n_purchases
 
 
-def test_stateful_skew_stress(spark, tmp_path):
-    """Hot-key stress for the Python-stateful path (VERDICT r5 item 7):
-    90% of events rehomed to one user_id. The uniform synthetic feed can
-    never surface a skew collapse, so this pins (a) correctness — keyed
-    state concentrates on one group and must still equal the batch GROUP
-    BY — and (b) that wall-clock degrades sub-linearly vs the uniform
-    feed (the hot key serializes one partition's pandas work, not the
-    whole query)."""
+def _skew_stress(spark, tmp_path, make_updates, label):
+    """Shared hot-key stress harness: 90% of events rehomed to one
+    user_id (rows 0..0.9n -> user 0, rest keep their id), fed as 3
+    mtime-ordered chunks. ``make_updates(ev)`` supplies the stateful
+    running-agg transform under test. Asserts (a) correctness — keyed
+    state must equal the batch value_counts — and (b) the sub-linear
+    wall-clock bound: 4x leaves room for the documented ±35% VM noise;
+    a true single-partition collapse on 9x the work would far exceed
+    it. ONE definition for both stateful APIs — a drifted copy of the
+    skew recipe or the bound would silently let the twins diverge."""
     import time
 
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    from sparkstreamingstateful_spark.streaming import stateful
     from sparkstreamingstateful_spark.streaming.runner import run_stream
 
     src = pq.read_table(os.path.join(SF_UNIT, "events.parquet"))
     n = src.num_rows
-    # rows 0..0.9n → user 0 (hot), rest keep their id: ~90/10 skew
     hot = pa.array([0] * (n * 9 // 10), pa.int64())
     tail = src.column("user_id").slice(n * 9 // 10).combine_chunks()
     skewed = src.set_column(
@@ -778,14 +772,9 @@ def test_stateful_skew_stress(spark, tmp_path):
 
     def run(feed):
         ev = read_stream_events(spark, feed)
-        updates = ev.groupBy("user_id").applyInPandasWithState(
-            stateful.running_agg_fn,
-            stateful.RUNNING_AGG_OUTPUT,
-            stateful.RUNNING_AGG_STATE,
-            "update",
-            "NoTimeout",
+        res = run_stream(
+            make_updates(ev), output_mode="update", state_partitions=4
         )
-        res = run_stream(updates, output_mode="update", state_partitions=4)
         return (
             res.groupBy("user_id")
             .agg(F.max(F.struct("n", "sum_value")).alias("s"))
@@ -794,86 +783,7 @@ def test_stateful_skew_stress(spark, tmp_path):
 
     t0 = time.perf_counter()
     uni = run(feed_of(src, "uniform"))
-    uni.count()
-    t_uniform = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    skew = run(feed_of(skewed, "skewed"))
-    got = {r["user_id"]: r["n"] for r in skew.collect()}
-    t_skew = time.perf_counter() - t0
-
-    want = {
-        k.as_py(): v.as_py()
-        for k, v in zip(*pc.value_counts(skewed.column("user_id")).flatten())
-    }
-    assert got == want, "skewed-feed state diverges from batch counts"
-    assert uni.count() == 15  # uniform baseline sanity (sf0.001 cardinality)
-    # sub-linear bound: a hot key holding 90% of rows must not serialize
-    # the whole query. 4× leaves room for the documented ±35% VM noise;
-    # a true single-partition collapse on 9× the work would far exceed it.
-    assert t_skew < 4 * max(t_uniform, 1.0), (
-        f"skew collapse: uniform {t_uniform:.1f}s vs skewed {t_skew:.1f}s"
-    )
-
-
-def test_tws_skew_stress(spark, tmp_path):
-    """Hot-key stress for the NATIVE transformWithStateInPandas path
-    (newly executable in r6): 90% of events rehomed to one user_id. TWS
-    pays a state-server round-trip per KEY per batch, so a hot key
-    concentrates pandas work but NOT protocol cost — correctness must
-    hold (running agg equals batch counts) and wall-clock must stay
-    inside the same sub-linear bound as the applyInPandasWithState
-    twin's stress test."""
-    import time
-
-    import pyarrow as pa
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-
-    from sparkstreamingstateful_spark.streaming import queries as sq
-    from sparkstreamingstateful_spark.streaming import stateful
-    from sparkstreamingstateful_spark.streaming.runner import run_stream
-
-    if not sq._tws_available(spark):
-        pytest.skip("transformWithStateInPandas unavailable (protobuf gate)")
-
-    src = pq.read_table(os.path.join(SF_UNIT, "events.parquet"))
-    n = src.num_rows
-    hot = pa.array([0] * (n * 9 // 10), pa.int64())
-    tail = src.column("user_id").slice(n * 9 // 10).combine_chunks()
-    skewed = src.set_column(
-        src.schema.get_field_index("user_id"),
-        "user_id",
-        pa.chunked_array([hot, tail]),
-    )
-
-    def feed_of(table, sub):
-        d = tmp_path / sub
-        d.mkdir()
-        for i in range(3):
-            lo, hi = i * n // 3, (i + 1) * n // 3
-            p = str(d / f"{i:04d}.parquet")
-            pq.write_table(table.slice(lo, hi - lo), p)
-            os.utime(p, (1_600_000_000 + i, 1_600_000_000 + i))
-        return str(d)
-
-    def run(feed):
-        ev = read_stream_events(spark, feed)
-        updates = ev.groupBy("user_id").transformWithStateInPandas(
-            stateful.make_running_agg_processor(),
-            outputStructType=stateful.RUNNING_AGG_OUTPUT,
-            outputMode="Update",
-            timeMode="None",
-        )
-        res = run_stream(updates, output_mode="update", state_partitions=4)
-        return (
-            res.groupBy("user_id")
-            .agg(F.max(F.struct("n", "sum_value")).alias("s"))
-            .select("user_id", F.col("s.n").alias("n"))
-        )
-
-    t0 = time.perf_counter()
-    run(feed_of(src, "uniform")).count()
+    n_uniform_keys = uni.count()
     t_uniform = time.perf_counter() - t0
 
     t0 = time.perf_counter()
@@ -884,7 +794,48 @@ def test_tws_skew_stress(spark, tmp_path):
         k.as_py(): v.as_py()
         for k, v in zip(*pc.value_counts(skewed.column("user_id")).flatten())
     }
-    assert got == want, "skewed-feed TWS state diverges from batch counts"
+    assert got == want, f"{label}: skewed-feed state diverges from batch counts"
+    assert n_uniform_keys == 15  # uniform baseline sanity (sf0.001 cardinality)
     assert t_skew < 4 * max(t_uniform, 1.0), (
-        f"TWS skew collapse: uniform {t_uniform:.1f}s vs skewed {t_skew:.1f}s"
+        f"{label} skew collapse: uniform {t_uniform:.1f}s vs skewed {t_skew:.1f}s"
     )
+
+
+def test_stateful_skew_stress(spark, tmp_path):
+    """Hot-key stress for the applyInPandasWithState path (VERDICT r5
+    item 7): the hot key serializes one partition's pandas work, not the
+    whole query — see _skew_stress."""
+    from sparkstreamingstateful_spark.streaming import stateful
+
+    def updates(ev):
+        return ev.groupBy("user_id").applyInPandasWithState(
+            stateful.running_agg_fn,
+            stateful.RUNNING_AGG_OUTPUT,
+            stateful.RUNNING_AGG_STATE,
+            "update",
+            "NoTimeout",
+        )
+
+    _skew_stress(spark, tmp_path, updates, "applyInPandasWithState")
+
+
+def test_tws_skew_stress(spark, tmp_path):
+    """Hot-key stress for the NATIVE transformWithStateInPandas path
+    (newly executable in r6): TWS pays a state-server round-trip per KEY
+    per batch, so a hot key concentrates pandas work but NOT protocol
+    cost — same correctness and sub-linear bound as the twin."""
+    from sparkstreamingstateful_spark.streaming import queries as sq
+    from sparkstreamingstateful_spark.streaming import stateful
+
+    if not sq._tws_available(spark):
+        pytest.skip("transformWithStateInPandas unavailable (protobuf gate)")
+
+    def updates(ev):
+        return ev.groupBy("user_id").transformWithStateInPandas(
+            stateful.make_running_agg_processor(),
+            outputStructType=stateful.RUNNING_AGG_OUTPUT,
+            outputMode="Update",
+            timeMode="None",
+        )
+
+    _skew_stress(spark, tmp_path, updates, "transformWithStateInPandas")
