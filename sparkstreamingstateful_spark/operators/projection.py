@@ -265,3 +265,42 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     )
+
+
+@query(
+    "scalar_try_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_linenumber = 1 THEN NULL
+                ELSE round(l_extendedprice / (l_linenumber - 1), 4)
+           END AS safe_div,
+           CAST(NULL AS BIGINT) AS overflow_add
+    FROM lineitem
+    """,
+)
+def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic (Spark `try_*` family): this engine runs
+    under default ANSI mode, where bare division by zero and integer
+    overflow ERROR the query — `try_divide` / `try_add` are the
+    NULL-on-failure escape hatch a migrating user must reach for.
+    `safe_div` divides by (linenumber-1), NULL exactly where the divisor
+    is zero; `overflow_add` adds l_linenumber (≥ 1 by construction —
+    l_orderkey was the first draft and has a 0 in this data, where
+    MAX+0 does NOT overflow) to BIGINT max, so it always overflows and
+    must always be NULL rather than a crash. DuckDB has no try_ family,
+    so the oracle expresses the same semantics with CASE/NULL.
+    NULL-bearing columns are fetchdf-stable here: safe_div is float64 on
+    both engines, and overflow_add is ALL-NULL (NaN ≡ NULL under the
+    driver's canonicalizer; a MIXED int column would coerce to float64
+    and hash-mismatch Spark's int64)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.try_divide("l_extendedprice", F.col("l_linenumber") - 1), 4
+        ).alias("safe_div"),
+        F.try_add(
+            F.lit(9223372036854775807), F.col("l_linenumber").cast("long")
+        ).alias("overflow_add"),
+    )

@@ -238,3 +238,18 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY l_returnflag, l_linestatus
         """
     )
+
+
+sql_group_by_all = _sql_query(
+    "sql_group_by_all",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ALL
+    """,
+)
+# GROUP BY ALL (infer grouping keys from the non-aggregate select list) is
+# the modern-SQL convenience both engines implement — the oracle runs the
+# IDENTICAL text, so the H-check pins that Spark's key inference matches
+# DuckDB's.

@@ -77,6 +77,8 @@ _KEY_PRIORITY = [
     "sql_pipe_syntax",
     "agg_listagg",
     "udtf_analyze",
+    "scalar_try_arithmetic",
+    "sql_group_by_all",
     # changed r6: the outer-join oracle contract now casts nullable key
     # columns to DOUBLE (the sf0.1 driver-sim caught data-dependent
     # NULL→float64 coercion the sf0.01 gate could never see)
@@ -123,12 +125,13 @@ _KEY_PRIORITY = [
     "events_sessionize_batch",
     "events_funnel",
     "events_cohort_retention",
+    # --- 50-key boundary: group (a) grew to 23 keys across the round
+    # (20 new + the 3 recontracted outer joins), so 27 of the 29 r3-era
+    # greens fit above the line; the two below (events_rollup_cascade,
+    # window_time_range) are first in line next round, ahead of the r4
+    # cohort ---
     "events_rollup_cascade",
     "window_time_range",
-    # --- 50-key boundary: group (a) grew to 21 keys across the round
-    # (18 new + the 3 recontracted outer joins), which with the 29
-    # r3-era greens fills the window exactly; the whole r4 cohort sits
-    # just below and rotates forward next round ---
     "sql_tpch_q7like",
     "sql_tpch_q18like",
     "multimodal_features",
