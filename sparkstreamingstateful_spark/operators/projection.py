@@ -284,15 +284,19 @@ def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     overflow ERROR the query — `try_divide` / `try_add` are the
     NULL-on-failure escape hatch a migrating user must reach for.
     `safe_div` divides by (linenumber-1), NULL exactly where the divisor
-    is zero; `overflow_add` adds l_linenumber (≥ 1 by construction —
-    l_orderkey was the first draft and has a 0 in this data, where
-    MAX+0 does NOT overflow) to BIGINT max, so it always overflows and
-    must always be NULL rather than a crash. DuckDB has no try_ family,
+    is zero; `overflow_add` is BIGINT max + 1 — Catalyst constant-folds
+    the TryEval to a plan-time `null AS overflow_add` (verified in the
+    physical plan), so the overflow semantics are exercised at zero
+    per-row cost. That folding is the SCALE lesson this key carries: a
+    row-dependent try_add that overflows on every row measured ~17 µs of
+    JVM throw/catch PER ROW (10 s for 600 k rows at sf0.1 — a first
+    draft did exactly that); try_ guards belong on rare failure paths,
+    never on hot always-failing expressions. DuckDB has no try_ family,
     so the oracle expresses the same semantics with CASE/NULL.
     NULL-bearing columns are fetchdf-stable here: safe_div is float64 on
     both engines, and overflow_add is ALL-NULL (NaN ≡ NULL under the
-    driver's canonicalizer; a MIXED int column would coerce to float64
-    and hash-mismatch Spark's int64)."""
+    driver's canonicalizer; a MIXED huge-int column would coerce to
+    float64 and hash-mismatch Spark's int64)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
@@ -300,7 +304,5 @@ def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.try_divide("l_extendedprice", F.col("l_linenumber") - 1), 4
         ).alias("safe_div"),
-        F.try_add(
-            F.lit(9223372036854775807), F.col("l_linenumber").cast("long")
-        ).alias("overflow_add"),
+        F.try_add(F.lit(9223372036854775807), F.lit(1)).alias("overflow_add"),
     )
