@@ -63,6 +63,11 @@ SHOWCASE = [
      "Spark's plan because pushFilters accepted it and the reader "
      "evaluates it Arrow-side; only the pruned 4 columns cross the "
      "boundary"),
+    ("scalar_try_arithmetic", "ANSI-safe try_ arithmetic (r6): the "
+     "constant overflow folds to a plan-time `null AS overflow_add` — "
+     "zero per-row cost (a row-dependent always-overflowing try_add "
+     "measured ~17 us of JVM throw/catch per row); try_divide stays "
+     "in-codegen"),
 ]
 
 
