@@ -152,9 +152,16 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "json_variant",
     oracle="""
-    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+    -- k_bucket/sum_k are DOUBLE on both engines: whenever any event's
+    -- props lacks '$.k' they are NULL-bearing BIGINTs, and the driver's
+    -- pandas fetchdf coerces those to float64 — the same DATA-dependent
+    -- contract hazard the r6 outer-join recontract fixed (whether NULLs
+    -- exist varies by scale factor / regenerated data, so the cast must
+    -- not wait for a corpus that trips it).
+    SELECT CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+                AS DOUBLE) AS k_bucket,
            count(*) AS n,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
                AS sum_k,
            count(*) FILTER (WHERE json_extract_string(props, '$.missing')
                             IS NOT NULL) AS n_missing_present
@@ -176,10 +183,10 @@ def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     missing = F.try_variant_get(v, "$.missing", "bigint")
     return (
         ev.select(k.alias("k"), missing.alias("m"))
-        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .groupBy((F.col("k") % 10).cast("double").alias("k_bucket"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("k").alias("sum_k"),
+            F.sum("k").cast("double").alias("sum_k"),
             F.count("m").alias("n_missing_present"),
         )
     )

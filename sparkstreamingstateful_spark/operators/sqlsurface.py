@@ -193,7 +193,7 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound server-side as literals — no string interpolation, immune to
     SQL injection, and Catalyst constant-folds the bound parameters so
     pushdown works exactly as with inline literals."""
-    register_views(spark, sf_dir)
+    _views(spark, sf_dir)
     return spark.sql(
         """
         SELECT o_orderpriority, count(*) AS n,
@@ -225,7 +225,7 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan (same pushdown, same partial+final aggregate), so this key pins
     that the modern SQL surface is available AND semantics-equal to the
     classic form the oracle uses."""
-    register_views(spark, sf_dir)
+    _views(spark, sf_dir)
     return spark.sql(
         """
         FROM lineitem

@@ -390,11 +390,21 @@ class _JsonlWriter(DataSourceArrowWriter):
 
         tmp_name = f"_tmp_{uuid.uuid4().hex}.jsonl"
         n = 0
+        # Serialization is deliberately per-row json.dumps, not
+        # pandas.to_json: the sink's contract is VALUE-EXACT read-back
+        # of doubles, which needs shortest-roundtrip float repr —
+        # json.dumps uses repr (up to 17 significant digits as needed);
+        # pandas.to_json caps double_precision at 15, which corrupts
+        # doubles whose roundtrip needs 16–17 (e.g. 0.1+0.2). The loop
+        # is batched per Arrow batch via writelines over a generator, so
+        # the I/O layer stays buffered even though encoding is per-row.
         with open(os.path.join(self.path, tmp_name), "w") as f:
             for batch in batches:
-                for row in batch.to_pylist():  # plain dicts from Arrow
-                    f.write(json.dumps(row) + "\n")
-                    n += 1
+                rows = batch.to_pylist()  # plain dicts from Arrow
+                f.writelines(
+                    json.dumps(row, separators=(",", ":")) + "\n" for row in rows
+                )
+                n += len(rows)
         msg = WriterCommitMessage()
         msg.tmp_name, msg.rows = tmp_name, n
         return msg
@@ -449,6 +459,21 @@ class _JsonlStreamWriter(DataSourceStreamArrowWriter):
                 except OSError:
                     pass
             return
+        # Uncommitted batchId with leftover promoted parts = a prior
+        # attempt crashed MID-promotion (renamed some parts, never
+        # logged). The replay may produce fewer/different part counts
+        # (task scheduling isn't deterministic), and os.replace only
+        # overwrites matching indices — orphans at higher indices would
+        # silently duplicate their rows. Clear the batch's slate first.
+        import glob
+
+        for orphan in glob.glob(
+            os.path.join(self.path, f"batch-{batchId:05d}-part-*.jsonl")
+        ):
+            try:
+                os.remove(orphan)
+            except OSError:
+                pass
         for i, m in enumerate(msgs):
             os.replace(
                 os.path.join(self.path, m.tmp_name),

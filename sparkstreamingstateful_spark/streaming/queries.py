@@ -983,6 +983,7 @@ def stream_sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame
     once. ``ts`` stays out of the projection — the JSONL sink documents
     itself as long/double/string-only (datetimes have no JSON form)."""
     import os
+    import shutil
     import tempfile as _tf
 
     from ..operators.scans import _dir_tag
@@ -992,7 +993,17 @@ def stream_sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame
     out = os.path.join(
         _tf.gettempdir(), f"sss_jsonlsink_stream_{_dir_tag(sf_dir, 'events')}"
     )
-    if not os.path.exists(os.path.join(out, "_COMMITTED")):
+    # Skip-rerun keys on _DONE, written only after awaitTermination —
+    # NOT on _COMMITTED, which exists from the FIRST micro-batch commit:
+    # an interrupted run would otherwise read back as complete forever
+    # (a rerun's fresh checkpoint restarts batchIds at 0, colliding with
+    # the partial _COMMITTED log and getting discarded as replays, so it
+    # could never self-heal — ADVICE r6). A dir without _DONE is a
+    # partial attempt: wipe it (including _COMMITTED) so the rerun's
+    # batch 0 promotes cleanly.
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        if os.path.isdir(out):
+            shutil.rmtree(out)
         feed = chunked_events_dir(sf_dir, sentinels=False)
         ev = read_stream_events(spark, feed).select(
             "event_id", "user_id", "event_type", "value"
@@ -1005,6 +1016,8 @@ def stream_sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame
             .start()
         )
         q.awaitTermination()
+        with open(os.path.join(out, "_DONE"), "w") as f:
+            f.write("")
     back = spark.read.schema(
         "event_id long, user_id long, event_type string, value double"
     ).json(out)

@@ -104,6 +104,24 @@ def test_survey_totals():
     assert int(r) == len(QUERIES) - len(ORACLES)
 
 
+def test_sql_view_cache_tracks_dir_after_pipe_syntax(spark, duck):
+    """ADVICE r6 regression: sql_pipe_syntax / sql_parameterized used to
+    call register_views directly, bypassing the _views per-session cache —
+    after running one of them at dir B, a later _sql_query key at dir A
+    saw a stale cache entry and silently ran against B's tables. The
+    sequence A → (pipe syntax at B) → A must still match A's oracle."""
+    from .conftest import SF_T2
+
+    QUERIES["subquery_scalar"](spark, SF_UNIT).count()  # cache ← A
+    QUERIES["sql_pipe_syntax"](spark, SF_T2).count()  # must move cache → B
+    compare(
+        QUERIES["subquery_scalar"](spark, SF_UNIT),
+        duck,
+        ORACLES["subquery_scalar"],
+        name="subquery_scalar-after-dir-flip",
+    )
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

@@ -288,6 +288,36 @@ def test_stream_sink_commit_idempotent(spark, tmp_path):
     assert open(os.path.join(sink, "_COMMITTED")).read().split() == ["0", "1"]
 
 
+def test_stream_sink_mid_promotion_crash_no_orphans(spark, tmp_path):
+    """A crash MID-promotion (some parts renamed, batchId never logged)
+    followed by a replay with FEWER parts must not leave orphan
+    batch-<id>-part files from the partial attempt — os.replace only
+    overwrites matching indices, so without cleanup the extra parts
+    would silently duplicate their rows (ADVICE r6)."""
+    import json
+
+    sink = str(tmp_path / "crash_sink")
+    os.makedirs(sink)
+    w = pyds._JsonlStreamWriter(sink)
+    # simulate the partial attempt: two promoted parts, no _COMMITTED line
+    for i, payload in enumerate(([10, 11], [12, 13])):
+        with open(
+            os.path.join(sink, f"batch-00000-part-{i:05d}.jsonl"), "w"
+        ) as f:
+            f.writelines(json.dumps({"a": v}) + "\n" for v in payload)
+    # replay of batch 0 arrives with ONE part
+    msg = w.write(iter(pa.table({"a": [1, 2, 3]}).to_batches()))
+    w.commit([msg], batchId=0)
+    rows = []
+    for f in sorted(os.listdir(sink)):
+        if f.endswith(".jsonl"):
+            rows += [json.loads(line) for line in open(os.path.join(sink, f))]
+    assert sorted(r["a"] for r in rows) == [1, 2, 3], (
+        "orphan parts from the crashed attempt leaked rows"
+    )
+    assert open(os.path.join(sink, "_COMMITTED")).read().split() == ["0"]
+
+
 def test_sink_double_roundtrip_property(spark, tmp_path):
     """Property: finite doubles survive the JSONL sink bit-exactly
     (json.dumps emits Python's shortest-roundtrip repr; Spark's JSON
