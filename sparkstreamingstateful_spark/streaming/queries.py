@@ -829,6 +829,86 @@ def stateful_sessionize_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _finalize_ms(sf_dir: str) -> int:
+    """Data-derived profile-snapshot deadline: one day past the last real
+    event (epoch ms). The sentinel (+30 days) drives the watermark far
+    beyond it, so the finalize timer always fires during the availableNow
+    flush batch; real batches never reach it (feed is time-ordered, so
+    the watermark trails max real ts by the 10-min delay)."""
+    import datetime
+
+    dt = feeder.events_max_ts(sf_dir)
+    return (
+        int((dt - datetime.datetime(1970, 1, 1)).total_seconds() * 1000)
+        + 86_400_000
+    )
+
+
+@query(
+    "stateful_profile_tws",
+    oracle="""
+    SELECT user_id, event_type, count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def stateful_profile_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user attribute profile on ``transformWithStateInPandas`` MAP
+    STATE — the last TWS state primitive the engine had never executed
+    (ValueState/ListState/event-time timers: ST16; see
+    stateful.make_profile_processor): an ``event_type → (count, sum)``
+    map per user, folded incrementally each micro-batch and exported by
+    a scheduled-snapshot event-time timer at a data-derived deadline.
+    The materialized result SUMS the emitted snapshot partials per
+    (user, type) — correct whatever the snapshot timing — and must equal
+    the batch two-level GROUP BY (the oracle). TTL-bounded state is NOT
+    legal here — Spark rejects a TTL on any state variable under
+    ``timeMode=EventTime``
+    (STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL, measured) —
+    so the auto-expiring MapState (the processor's ``ttl_ms`` knob) runs
+    under ``timeMode=ProcessingTime`` in tests/test_streaming.py, which
+    pins actual wall-clock expiry. Falls back to an
+    applyInPandasWithState twin (map as CSV state, same deadline) where
+    no protobuf runtime resolves."""
+    ev = _stream(spark, sf_dir)
+    fin = _finalize_ms(sf_dir)
+    if _tws_available(spark):
+        _record_tws_path("stateful_profile_tws", "transformWithStateInPandas")
+        prof = (
+            ev.withWatermark("ts", WATERMARK)
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                stateful.make_profile_processor(fin),
+                outputStructType=stateful.PROFILE_TWS_OUTPUT,
+                outputMode="Append",
+                timeMode="EventTime",
+            )
+        )
+    else:
+        _record_tws_path("stateful_profile_tws", "applyInPandasWithState_fallback")
+        prof = (
+            ev.withWatermark("ts", WATERMARK)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                stateful.make_profile_fallback_fn(fin),
+                stateful.PROFILE_TWS_OUTPUT,
+                stateful.PROFILE_FALLBACK_STATE,
+                "append",
+                "EventTimeTimeout",
+            )
+        )
+    res = run_stream(prof, output_mode="append", state_partitions=_parts(sf_dir))
+    return (
+        res.filter(F.col("user_id") >= 0)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("sum_value"), 2).alias("sum_value"),
+        )
+    )
+
+
 # Which stateful API each *_tws key actually executed last —
 # "transformWithStateInPandas" or "applyInPandasWithState_fallback". The
 # TWS gate is environment-dependent (protobuf health), so evidence readers

@@ -274,6 +274,142 @@ SESSION_TWS_STATE = T.StructType(
 )
 
 
+# ------------------------------------------------------------ profile (TWS)
+PROFILE_TWS_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+
+def make_profile_processor(finalize_ms: int, ttl_ms: int | None = None):
+    """``transformWithStateInPandas`` per-user profile on MAP STATE — the
+    one TWS state primitive the other processors don't touch: a per-key
+    ``event_type → (count, sum)`` attribute map, optionally TTL-bounded
+    (``ttl_ms`` → ``getMapState(..., ttlDurationMs=...)``, the Spark-4
+    auto-expiring-state API). Spark only permits a TTL under
+    ``timeMode=ProcessingTime`` — EventTime raises
+    STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL (measured) —
+    so the H-checked key passes no TTL and the TTL path runs under
+    ProcessingTime in tests/test_streaming.py.
+
+    Round-trip budget (same discipline as SessionizeTws): per key-batch
+    the hot path pays ONE streamed ``iterator()`` read of the whole map +
+    one ``updateValue`` per event type present in the batch (≤5 here) —
+    never per-row calls, never a read-modify-write per type. The snapshot
+    emission rides on an event-time TIMER registered once per key at
+    ``finalize_ms`` (a data-derived "export the profile at time T"
+    deadline — the scheduled-snapshot pattern of a daily profile dump):
+    ``handleExpiredTimer`` emits the map contents via ``iterator()`` and
+    CLEARS the map, so a re-armed key re-accumulates from zero and the
+    materialized SUM of emitted partials equals the batch GROUP BY
+    whatever the expiry timing — correctness never depends on the timer
+    firing exactly once."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class ProfileTws(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._profile = handle.getMapState(
+                "profile",
+                "event_type STRING",
+                "n BIGINT, sum_value DOUBLE",
+                ttlDurationMs=ttl_ms,
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            data = pd.concat(list(rows), ignore_index=True)
+            cur = {k[0]: v for k, v in self._profile.iterator()}
+            if not cur:
+                # empty map = first sight of this key (or re-accumulation
+                # after a snapshot): (re-)arm the finalize timer. A
+                # deadline already behind the watermark fires on the next
+                # batch — the SUM-merge materialization absorbs the extra
+                # snapshot.
+                self._handle.registerTimer(finalize_ms)
+            grp = data.groupby("event_type")["value"].agg(["count", "sum"])
+            for etype, row in grp.iterrows():
+                n0, s0 = cur.get(etype, (0, 0.0))
+                self._profile.updateValue(
+                    (etype,), (int(n0 + row["count"]), float(s0 + row["sum"]))
+                )
+            return iter(())  # emission happens only on timer expiry
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            entries = [
+                (key[0], k[0], int(v[0]), float(v[1]))
+                for k, v in self._profile.iterator()
+            ]
+            self._profile.clear()
+            if entries:
+                yield pd.DataFrame(
+                    entries, columns=["user_id", "event_type", "n", "sum_value"]
+                )
+
+        def close(self) -> None:
+            pass
+
+    return ProfileTws()
+
+
+PROFILE_FALLBACK_STATE = T.StructType([T.StructField("profile_csv", T.StringType())])
+
+
+def make_profile_fallback_fn(finalize_ms: int):
+    """``applyInPandasWithState`` twin of :func:`make_profile_processor`
+    (insurance for environments where no protobuf runtime resolves — see
+    queries._tws_available): the per-type map rides in one state row as a
+    ``type:n:sum`` CSV (the old API has no MapState), the snapshot is
+    emitted by an event-time timeout at the same data-derived
+    ``finalize_ms`` deadline, and a late-arriving group whose deadline
+    the watermark already passed emits inline (setTimeoutTimestamp on a
+    past timestamp kills the query — same guard as sessionize_fn)."""
+
+    def parse(csv: str) -> dict[str, tuple[int, float]]:
+        out: dict[str, tuple[int, float]] = {}
+        for part in csv.split("|"):
+            if part:
+                t, n, s = part.rsplit(":", 2)
+                out[t] = (int(n), float(s))
+        return out
+
+    def fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        def snapshot(cur: dict) -> pd.DataFrame:
+            return pd.DataFrame(
+                [(key[0], t, n, s) for t, (n, s) in cur.items()],
+                columns=["user_id", "event_type", "n", "sum_value"],
+            )
+
+        if state.hasTimedOut:
+            cur = parse(state.get[0])
+            state.remove()
+            yield snapshot(cur)
+            return
+        cur = parse(state.get[0]) if state.exists else {}
+        data = pd.concat(list(pdf_iter), ignore_index=True)
+        for etype, row in data.groupby("event_type")["value"].agg(
+            ["count", "sum"]
+        ).iterrows():
+            n0, s0 = cur.get(etype, (0, 0.0))
+            cur[etype] = (int(n0 + row["count"]), float(s0 + row["sum"]))
+        if finalize_ms <= state.getCurrentWatermarkMs():
+            if state.exists:
+                state.remove()
+            yield snapshot(cur)
+            return
+        state.update(("|".join(f"{t}:{n}:{s!r}" for t, (n, s) in cur.items()),))
+        state.setTimeoutTimestamp(finalize_ms)
+        yield snapshot({})
+
+    return fn
+
+
 def make_sessionize_processor():
     """``transformWithStateInPandas`` sessionization — the TWS feature-
     coverage twin of ``sessionize_fn``, deliberately exercising the parts

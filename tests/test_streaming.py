@@ -819,6 +819,409 @@ def test_stateful_skew_stress(spark, tmp_path):
     _skew_stress(spark, tmp_path, updates, "applyInPandasWithState")
 
 
+def test_rocksdb_changelog_checkpointing(spark):
+    """SURVEY §4.2's at-scale state-backend posture: RocksDB CHANGELOG
+    checkpointing (per-batch delta upload instead of full snapshots) is
+    enabled session-wide (session.RUNTIME_CONFS), so every stateful
+    query here runs under it. This pins (a) the conf is actually active,
+    (b) a run writes .changelog files into the checkpoint's state dir,
+    and (c) a kill/restart from that checkpoint recovers the exact
+    per-key state — i.e. changelog REPLAY works, not just changelog
+    WRITE."""
+    import glob
+    import time
+    import uuid
+
+    from sparkstreamingstateful_spark.streaming import stateful
+
+    assert (
+        spark.conf.get(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        )
+        == "true"
+    )
+    feed = chunked_events_dir(SF_UNIT, n_chunks=4, sentinels=False)
+    ckpt = tempfile.mkdtemp(prefix="sss_chlog_ckpt_")
+    out = tempfile.mkdtemp(prefix="sss_chlog_out_")
+
+    def write_batch(df, batch_id):
+        df.write.mode("overwrite").parquet(os.path.join(out, f"b{batch_id}"))
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+
+        def start():
+            ev = read_stream_events(spark, feed)
+            updates = ev.groupBy("user_id").applyInPandasWithState(
+                stateful.running_agg_fn,
+                stateful.RUNNING_AGG_OUTPUT,
+                stateful.RUNNING_AGG_STATE,
+                "update",
+                "NoTimeout",
+            )
+            return (
+                updates.writeStream.foreachBatch(write_batch)
+                .outputMode("update")
+                .queryName("chlog_" + uuid.uuid4().hex[:8])
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        q = start()
+        commits = os.path.join(ckpt, "commits")
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if os.path.isdir(commits) and any(
+                not f.startswith(".") for f in os.listdir(commits)
+            ):
+                break
+            time.sleep(0.05)
+        q.stop()
+        try:
+            q.awaitTermination()
+        except Exception:
+            pass  # interrupt surfacing from a mid-batch kill is expected
+
+        # the kill-phase checkpoint must already hold changelog files —
+        # the restart below then REPLAYS them to rebuild state
+        changelogs = glob.glob(
+            os.path.join(ckpt, "state", "**", "*.changelog"), recursive=True
+        )
+        assert changelogs, (
+            "no .changelog files under the checkpoint state dir — "
+            "changelog checkpointing did not engage"
+        )
+
+        q = start()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    final = (
+        spark.read.parquet(os.path.join(out, "b*"))
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n", "sum_value")).alias("s"))
+        .select("user_id", F.col("s.n").alias("n"))
+    )
+    want = (
+        load_table(spark, SF_UNIT, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, final.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_processing_time_trigger_equivalence(spark):
+    """Trigger.ProcessingTime coverage (every registered key runs
+    availableNow): the same windowed aggregation produced under a real
+    processing-time trigger — micro-batches fired by wall clock while
+    the query runs indefinitely — must equal the batch twin once the
+    feed is exhausted. The stop condition polls the complete-mode memory
+    sink (wall-clock timers make this an R-check by nature; VERDICT r6
+    item 3)."""
+    import time
+    import uuid
+
+    feed = chunked_events_dir(SF_UNIT, n_chunks=3, sentinels=False)
+    ev = read_stream_events(spark, feed)
+    agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    name = "pt_" + uuid.uuid4().hex[:8]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="sss_pt_ckpt_"))
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        try:
+            n_all = load_table(spark, SF_UNIT, "events").count()
+            deadline = time.time() + 90
+            while time.time() < deadline:
+                if q.exception() is not None:
+                    raise q.exception()
+                got = spark.table(name).agg(F.sum("n")).collect()[0][0]
+                if got == n_all:
+                    break
+                time.sleep(0.2)
+            else:
+                raise TimeoutError(f"feed not drained: {got}/{n_all} rows")
+        finally:
+            q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    got = sorted(map(tuple, spark.table(name).collect()))
+    want = sorted(
+        map(
+            tuple,
+            load_table(spark, SF_UNIT, "events")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+def _ttl_probe(ttl_ms):
+    """TWS MapState probe: reports how many map entries were VISIBLE at
+    the start of each batch (TTL-filtered read) and exercises the
+    containsKey/removeKey surface on a scratch entry every batch."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class TtlProbe(StatefulProcessor):
+        def init(self, handle):
+            self._map = handle.getMapState(
+                "seen", "event_type STRING", "n BIGINT", ttlDurationMs=ttl_ms
+            )
+            self._meta = handle.getValueState("batch_no", "b BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            data = pd.concat(list(rows), ignore_index=True)
+            n_prior = sum(1 for _ in self._map.keys())
+            self._map.updateValue(("__scratch__",), (1,))
+            if not self._map.containsKey(("__scratch__",)):
+                raise AssertionError("containsKey missed a just-written entry")
+            self._map.removeKey(("__scratch__",))
+            if self._map.containsKey(("__scratch__",)):
+                raise AssertionError("removeKey left the entry behind")
+            for etype, cnt in data["event_type"].value_counts().items():
+                self._map.updateValue((str(etype),), (int(cnt),))
+            b = (self._meta.get() or (0,))[0] + 1
+            self._meta.update((int(b),))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "batch_no": [int(b)], "n_prior": [n_prior]}
+            )
+
+        def close(self):
+            pass
+
+    return TtlProbe()
+
+
+_TTL_PROBE_OUTPUT = "user_id LONG, batch_no LONG, n_prior LONG"
+
+
+def test_tws_mapstate_ttl_expiry(spark):
+    """TTL-bounded TWS state (Spark 4 ``ttlDurationMs``, legal only under
+    ``timeMode=ProcessingTime`` — EventTime raises, measured in r7):
+    entries written in batch 1 with a 1 s TTL must be GONE when batch 2
+    reads the map ≥3 s later (processing-time trigger paces the
+    batches); the control run below proves the same map RETAINS entries
+    without a TTL, so the absence here is expiry, not a broken map."""
+    import time
+    import uuid
+
+    from sparkstreamingstateful_spark.streaming import queries as sq
+
+    if not sq._tws_available(spark):
+        pytest.skip("transformWithStateInPandas unavailable (protobuf gate)")
+
+    feed = chunked_events_dir(SF_UNIT, n_chunks=2, sentinels=False)
+    ev = read_stream_events(spark, feed)
+    probes = ev.groupBy("user_id").transformWithStateInPandas(
+        _ttl_probe(ttl_ms=1000),
+        outputStructType=_TTL_PROBE_OUTPUT,
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )
+    name = "ttl_" + uuid.uuid4().hex[:8]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            probes.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="sss_ttl_ckpt_"))
+            .trigger(processingTime="3 seconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 90
+            while time.time() < deadline:
+                if q.exception() is not None:
+                    raise q.exception()
+                if (
+                    spark.table(name).filter(F.col("batch_no") == 2).count()
+                    > 0
+                ):
+                    break
+                time.sleep(0.2)
+            else:
+                raise TimeoutError("second micro-batch never surfaced")
+        finally:
+            q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    rows = spark.table(name).collect()
+    second = [r for r in rows if r.batch_no == 2]
+    assert second, "no batch-2 probes recorded"
+    assert all(r.n_prior == 0 for r in second), (
+        f"TTL'd entries survived past expiry: {second[:5]}"
+    )
+
+
+def test_tws_mapstate_no_ttl_retains(spark):
+    """Control for test_tws_mapstate_ttl_expiry: the identical probe with
+    NO TTL must see batch-1 entries in batch 2 — proving the TTL test's
+    empty read measures expiry rather than a map that never persisted.
+    NOTE: availableNow cannot run a ``timeMode=ProcessingTime`` query to
+    completion — Spark keeps scheduling no-data micro-batches to advance
+    processing time for the state machinery, so the trigger never
+    declares the stream drained (measured: 885+ batches and counting).
+    Poll-then-stop, like the TTL test."""
+    import time
+    import uuid
+
+    from sparkstreamingstateful_spark.streaming import queries as sq
+
+    if not sq._tws_available(spark):
+        pytest.skip("transformWithStateInPandas unavailable (protobuf gate)")
+
+    feed = chunked_events_dir(SF_UNIT, n_chunks=2, sentinels=False)
+    ev = read_stream_events(spark, feed)
+    probes = ev.groupBy("user_id").transformWithStateInPandas(
+        _ttl_probe(ttl_ms=None),
+        outputStructType=_TTL_PROBE_OUTPUT,
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )
+    name = "nottl_" + uuid.uuid4().hex[:8]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            probes.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="sss_nottl_ckpt_")
+            )
+            .start()
+        )
+        try:
+            deadline = time.time() + 90
+            while time.time() < deadline:
+                if q.exception() is not None:
+                    raise q.exception()
+                if (
+                    spark.table(name).filter(F.col("batch_no") == 2).count()
+                    > 0
+                ):
+                    break
+                time.sleep(0.2)
+            else:
+                raise TimeoutError("second micro-batch never surfaced")
+        finally:
+            q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    second = spark.table(name).filter(F.col("batch_no") == 2).collect()
+    assert second, "no batch-2 probes recorded"
+    assert all(r.n_prior > 0 for r in second), (
+        "un-TTL'd map entries vanished between batches"
+    )
+
+
+def test_tws_processing_time_timer(spark, tmp_path):
+    """TWS PROCESSING-TIME timers (``timeMode=ProcessingTime`` +
+    ``registerTimer(now + Δ)``): armed in the first micro-batch, the
+    timer must fire once wall-clock passes the deadline — a later batch
+    (forced by dropping a second file into the feed after the deadline)
+    runs handleExpiredTimer and emits the fired marker. Wall-clock
+    timers are inherently an R-check (VERDICT r6 item 3)."""
+    import glob
+    import shutil
+    import time
+    import uuid
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    from sparkstreamingstateful_spark.streaming import queries as sq
+
+    if not sq._tws_available(spark):
+        pytest.skip("transformWithStateInPandas unavailable (protobuf gate)")
+
+    class PtTimer(StatefulProcessor):
+        def init(self, handle):
+            self._handle = handle
+            self._armed = handle.getValueState("armed", "a BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            for _ in rows:
+                pass
+            if not self._armed.get():
+                self._handle.registerTimer(
+                    timerValues.getCurrentProcessingTimeInMs() + 1500
+                )
+                self._armed.update((1,))
+            return iter(())
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            yield pd.DataFrame({"user_id": [key[0]], "fired": [1]})
+
+        def close(self):
+            pass
+
+    src_feed = chunked_events_dir(SF_UNIT, n_chunks=2, sentinels=False)
+    files = sorted(glob.glob(os.path.join(src_feed, "*.parquet")))
+    feed = tmp_path / "ptfeed"
+    feed.mkdir()
+    shutil.copy2(files[0], feed / os.path.basename(files[0]))
+
+    ev = read_stream_events(spark, str(feed))
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        PtTimer(),
+        outputStructType="user_id LONG, fired LONG",
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )
+    name = "pttimer_" + uuid.uuid4().hex[:8]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="sss_ptt_ckpt_"))
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        try:
+            time.sleep(2.5)  # let the 1.5 s timers pass their deadline
+            shutil.copy2(files[1], feed / os.path.basename(files[1]))
+            deadline = time.time() + 90
+            while time.time() < deadline:
+                if q.exception() is not None:
+                    raise q.exception()
+                if spark.table(name).filter(F.col("fired") == 1).count() > 0:
+                    break
+                time.sleep(0.2)
+            else:
+                raise TimeoutError("processing-time timer never fired")
+        finally:
+            q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    fired = spark.table(name).filter(F.col("fired") == 1)
+    assert fired.count() > 0
+    # at most one firing per key: re-arming is gated on the armed flag
+    assert fired.groupBy("user_id").count().filter(F.col("count") > 1).count() == 0
+
+
 def test_tws_skew_stress(spark, tmp_path):
     """Hot-key stress for the NATIVE transformWithStateInPandas path
     (newly executable in r6): TWS pays a state-server round-trip per KEY
