@@ -58,80 +58,24 @@ def query(name: str, oracle: str | None = None):
 # Evidence-priority ordering. The correctness driver checks exactly the
 # FIRST 50 registered keys each round (count cap, measured r1/r2), so
 # iteration order is the lever that decides which keys get hard oracle
-# signal. Round-6 rotation (per VERDICT r5 item 3): the window leads with
-# (a) the five keys NEW or semantically changed this round — the four
-# r6 streaming additions (stream-stream LEFT OUTER join,
-# dropDuplicatesWithinWatermark, chained stateful ops, per-window top-k)
-# and agg_approx, whose oracle is new (R -> H: the H-check now asserts
-# the HLL estimate's ±5% bound instead of pretending sketch equality) —
-# then (b) the 29 keys whose latest green dates to ROUND 3, the oldest
-# evidence in the cumulative union, and (c) 16 of the oldest r4 greens
-# to fill slot 50. Every key checked in r5 moves below the line — its
-# evidence is the freshest there is. Max H-evidence age after this
-# window lands: r4.
+# signal. Round-8 rotation (per VERDICT r7 items 1+2 — the r7 window was
+# byte-identical to r6's, so the overdue rotation executes now): the
+# window leads with (a) the keys NEW this round with zero driver
+# evidence — stateful_profile_tws (registered r7 but never prioritized,
+# so it sat at position 149, outside the window) and the r8 additions —
+# then (b) the two keys whose latest green dates to ROUND 3
+# (events_rollup_cascade, window_time_range), then (c) the r4-era cohort
+# (latest green r04) to fill slot 50. Keys checked in the r6/r7 windows
+# (identical) and the r5 greens all move below the line — their evidence
+# is the freshest there is. Max H-evidence age after this window lands:
+# r4 for the few cohort keys that don't fit, r5 otherwise.
 _KEY_PRIORITY = [
-    # (a) new/changed this round (r6)
-    "stream_stream_join_full",
-    "stream_stream_join_right",
-    "json_variant",
-    "sql_pipe_syntax",
-    "agg_listagg",
-    "udtf_analyze",
-    "scalar_try_arithmetic",
-    "sql_group_by_all",
-    # changed r6: the outer-join oracle contract now casts nullable key
-    # columns to DOUBLE (the sf0.1 driver-sim caught data-dependent
-    # NULL→float64 coercion the sf0.01 gate could never see)
-    "join_left",
-    "join_right",
-    "join_full",
-    "stream_python_datasource",
-    "write_python_datasource",
-    "stream_sink_python_datasource",
-    "scan_orc",
-    "scan_python_datasource",
-    "udaf_applyInArrow",
-    "stream_stream_join_left",
-    "stream_dedup_watermarked",
-    "stream_window_chained",
-    "stream_topk_per_window",
-    "stateful_sessionize_tws",
-    "agg_approx",
+    # (a) new keys with NO driver evidence yet
+    "stateful_profile_tws",  # r7: TWS MapState+TTL — registered late, never reached the window
     # (b) r3-era greens — the oldest evidence in the union
-    "text_edit_distance",
-    "seq_packing",
-    "pipeline_end_to_end",
-    "scan_parquet",
-    "scan_projection_pushdown",
-    "write_roundtrip",
-    "project_compute",
-    "filter_basic",
-    "filter_conditional",
-    "scalar_string",
-    "scalar_date",
-    "scalar_hash",
-    "unpivot_melt",
-    "join_inner",
-    "join_broadcast",
-    "dedup_minhash_lsh",
-    "multimodal_frame_sample",
-    "map_in_arrow",
-    "udf_arrow",
-    "udaf_pandas_window",
-    "embed_pairwise_label",
-    "cdc_upsert_latest",
-    "cdc_diff_snapshots",
-    "scd2_intervals",
-    "events_sessionize_batch",
-    "events_funnel",
-    "events_cohort_retention",
-    # --- 50-key boundary: group (a) grew to 23 keys across the round
-    # (20 new + the 3 recontracted outer joins), so 27 of the 29 r3-era
-    # greens fit above the line; the two below (events_rollup_cascade,
-    # window_time_range) are first in line next round, ahead of the r4
-    # cohort ---
     "events_rollup_cascade",
     "window_time_range",
+    # (c) r4-era cohort (latest green r04)
     "sql_tpch_q7like",
     "sql_tpch_q18like",
     "multimodal_features",
@@ -145,9 +89,6 @@ _KEY_PRIORITY = [
     "join_theta_range",
     "join_multikey",
     "agg_distinct",
-    # Below: remaining r4 greens (rotate forward next round), the
-    # rows-only-by-construction sample_seeded (rows evidence refreshed
-    # r5), then the r5 greens — the freshest evidence in the union.
     "agg_rollup",
     "agg_cube",
     "agg_grouping_sets",
@@ -182,8 +123,13 @@ _KEY_PRIORITY = [
     "subquery_in",
     "subquery_correlated_exists",
     "cte_query",
+    # --- 50-key boundary. Every key below carries r5-or-fresher
+    # evidence. Order below the line = next-rotation order: sample_seeded
+    # (rows-only by construction) first, then the r5 greens, then the
+    # r6/r7-window keys (freshest — checked twice, identically, in both
+    # rounds). ---
     "sample_seeded",
-    # r5 greens (freshest evidence)
+    # r5 greens
     "stateful_sessionize",
     "stateful_running_agg",
     "stateful_dedup_keyed",
@@ -232,6 +178,57 @@ _KEY_PRIORITY = [
     "text_stats",
     "text_language_id",
     "text_token_count",
+    # r6/r7-window greens (freshest evidence in the union)
+    "stream_stream_join_full",
+    "stream_stream_join_right",
+    "json_variant",
+    "sql_pipe_syntax",
+    "agg_listagg",
+    "udtf_analyze",
+    "scalar_try_arithmetic",
+    "sql_group_by_all",
+    "join_left",
+    "join_right",
+    "join_full",
+    "stream_python_datasource",
+    "write_python_datasource",
+    "stream_sink_python_datasource",
+    "scan_orc",
+    "scan_python_datasource",
+    "udaf_applyInArrow",
+    "stream_stream_join_left",
+    "stream_dedup_watermarked",
+    "stream_window_chained",
+    "stream_topk_per_window",
+    "stateful_sessionize_tws",
+    "agg_approx",
+    "text_edit_distance",
+    "seq_packing",
+    "pipeline_end_to_end",
+    "scan_parquet",
+    "scan_projection_pushdown",
+    "write_roundtrip",
+    "project_compute",
+    "filter_basic",
+    "filter_conditional",
+    "scalar_string",
+    "scalar_date",
+    "scalar_hash",
+    "unpivot_melt",
+    "join_inner",
+    "join_broadcast",
+    "dedup_minhash_lsh",
+    "multimodal_frame_sample",
+    "map_in_arrow",
+    "udf_arrow",
+    "udaf_pandas_window",
+    "embed_pairwise_label",
+    "cdc_upsert_latest",
+    "cdc_diff_snapshots",
+    "scd2_intervals",
+    "events_sessionize_batch",
+    "events_funnel",
+    "events_cohort_retention",
 ]
 
 
