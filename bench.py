@@ -31,6 +31,23 @@ def main() -> None:
     # Warm-up: JVM / codegen / parquet footer caches.
     queries["agg_hash_q1"](spark, sf_dir).collect()
 
+    # Completion-marker-cached sink dirs (_DONE/_SUCCESS) exist for the
+    # correctness gate's repeated executions; a benchmark must never time
+    # the cached no-op re-read in their place (the exact weakness VERDICT
+    # r6 flagged on the jsonl sink). Wipe them so every run — including
+    # runs 2 and 3 of the median-of-3 protocol — times the real sink.
+    try:
+        import shutil
+
+        from sparkstreamingstateful_spark.streaming.queries import (
+            sink_cache_paths,
+        )
+
+        for p in sink_cache_paths(sf_dir):
+            shutil.rmtree(p, ignore_errors=True)
+    except Exception as exc:
+        print(f"# sink cache wipe skipped: {exc}", file=sys.stderr)
+
     def run(df) -> None:
         # noop sink: executes the complete physical plan (scan → shuffle →
         # agg/join/sort) but transfers no rows to Python. Py4J row transfer

@@ -72,6 +72,9 @@ def query(name: str, oracle: str | None = None):
 _KEY_PRIORITY = [
     # (a) new keys with NO driver evidence yet
     "stateful_profile_tws",  # r7: TWS MapState+TTL — registered late, never reached the window
+    "stream_stream_join_semi",  # r8: streaming LEFT SEMI (the WHERE EXISTS join)
+    "stream_sink_to_table",  # r8: writeStream.toTable catalog sink
+    "stream_sink_foreach",  # r8: row-level ForeachWriter sink
     # (b) r3-era greens — the oldest evidence in the union
     "events_rollup_cascade",
     "window_time_range",
@@ -120,14 +123,15 @@ _KEY_PRIORITY = [
     "map_ops",
     "vector_ops",
     "subquery_scalar",
+    # --- 50-key boundary. Group (a) holds 4 keys, so the last 3 of the
+    # 47-key r4 cohort land just below the line — first in line next
+    # round. Every key after them carries r5-or-fresher evidence; order
+    # below the line = next-rotation order: sample_seeded (rows-only by
+    # construction) next, then the r5 greens, then the r6/r7-window keys
+    # (freshest — checked twice, identically, in both rounds). ---
     "subquery_in",
     "subquery_correlated_exists",
     "cte_query",
-    # --- 50-key boundary. Every key below carries r5-or-fresher
-    # evidence. Order below the line = next-rotation order: sample_seeded
-    # (rows-only by construction) first, then the r5 greens, then the
-    # r6/r7-window keys (freshest — checked twice, identically, in both
-    # rounds). ---
     "sample_seeded",
     # r5 greens
     "stateful_sessionize",

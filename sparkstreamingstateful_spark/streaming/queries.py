@@ -608,6 +608,61 @@ def stream_stream_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_join_semi",
+    oracle="""
+    SELECT p.event_id AS purchase_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    WHERE EXISTS (
+        SELECT 1 FROM events c
+        WHERE c.event_type = 'click'
+          AND c.user_id = p.user_id
+          AND c.ts >= p.ts - INTERVAL 10 MINUTE
+          AND c.ts <= p.ts
+    )
+    """,
+)
+def stream_stream_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT SEMI interval join — the one streaming join
+    type outside the inner/left/right/full matrix: purchases that HAD a
+    preceding click within 10 minutes, emitted once regardless of how
+    many clicks matched (the streaming ``WHERE EXISTS``). Spark keeps a
+    matched flag in the left side's join state so a purchase that
+    matches clicks across several micro-batches still emits exactly one
+    row; matched rows emit the batch the first match arrives (the
+    watermark only gates state eviction of never-matched purchases,
+    which leave silently — no null extension), so like the inner
+    variant the feed needs no sentinel. The output carries ONLY left
+    columns and no NULLs, so the id needs no DOUBLE cast."""
+    feed = chunked_events_dir(sf_dir, sentinels=False)
+    stream = read_stream_events(spark, feed)
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", WATERMARK)
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", WATERMARK)
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_semi",
+    ).select("purchase_id")
+    return run_stream(joined, output_mode="append")
+
+
+@query(
     "stream_dedup_watermarked",
     oracle="""
     SELECT event_id, user_id, event_type, value FROM events
@@ -1042,6 +1097,62 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_jsonl_sink_path(sf_dir: str) -> str:
+    """THE cache location for stream_sink_python_datasource's sink dir —
+    single definition, shared with ``sink_cache_paths`` (bench.py wipes
+    it so benchmarks time the real stream, never a cached re-read)."""
+    import os
+    import tempfile as _tf
+
+    from ..operators.scans import _dir_tag
+
+    return os.path.join(
+        _tf.gettempdir(), f"sss_jsonlsink_stream_{_dir_tag(sf_dir, 'events')}"
+    )
+
+
+def totable_sink_cache(sf_dir: str) -> tuple[str, str]:
+    """(table name, data path) for stream_sink_to_table — single
+    definition for the query, tests, and ``sink_cache_paths``."""
+    import os
+    import tempfile as _tf
+
+    from ..operators.scans import _dir_tag
+
+    tag = _dir_tag(sf_dir, "events").replace(".", "_")  # dots would parse
+    # as a schema qualifier in the table name
+    return f"sss_totable_{tag}", os.path.join(_tf.gettempdir(), f"sss_totable_{tag}")
+
+
+def foreach_sink_path(sf_dir: str) -> str:
+    """Cache location for stream_sink_foreach's output dir."""
+    import os
+    import tempfile as _tf
+
+    from ..operators.scans import _dir_tag
+
+    return os.path.join(
+        _tf.gettempdir(), f"sss_foreachsink_{_dir_tag(sf_dir, 'events')}"
+    )
+
+
+def sink_cache_paths(sf_dir: str) -> list[str]:
+    """Every completion-marker-cached sink directory for ``sf_dir``.
+    The markers (_DONE / _SUCCESS) exist so the correctness gate — which
+    executes each key's plan more than once per session — doesn't redo
+    expensive stream runs; a BENCHMARK timing a marker-cached key would
+    measure a no-op re-read instead of the sink (the exact weakness
+    VERDICT r6 flagged), so bench.py deletes these before its loop."""
+    from ..operators.scans import jsonl_sink_path
+
+    return [
+        jsonl_sink_path(sf_dir),
+        stream_jsonl_sink_path(sf_dir),
+        totable_sink_cache(sf_dir)[1],
+        foreach_sink_path(sf_dir),
+    ]
+
+
 @query(
     "stream_sink_python_datasource",
     oracle="""
@@ -1066,13 +1177,10 @@ def stream_sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame
     import shutil
     import tempfile as _tf
 
-    from ..operators.scans import _dir_tag
     from ..sources import pyds
 
     pyds.register(spark)
-    out = os.path.join(
-        _tf.gettempdir(), f"sss_jsonlsink_stream_{_dir_tag(sf_dir, 'events')}"
-    )
+    out = stream_jsonl_sink_path(sf_dir)
     # Skip-rerun keys on _DONE, written only after awaitTermination —
     # NOT on _COMMITTED, which exists from the FIRST micro-batch commit:
     # an interrupted run would otherwise read back as complete forever
@@ -1104,4 +1212,200 @@ def stream_sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@query(
+    "stream_sink_to_table",
+    oracle="""
+    SELECT user_id, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def stream_sink_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``writeStream.toTable`` — the catalog-managed streaming sink
+    (ST20a): purchases streamed into a table created BY the streaming
+    writer itself and read back through ``spark.table`` (the catalog
+    surface, not a path read). The table is external (data under tmp,
+    same ``_dir_tag`` content-fingerprint cache discipline as the other
+    derived layouts) so the sink never writes into an arbitrary CWD's
+    spark-warehouse. Completion follows the jsonl sink's ``_DONE``
+    contract: the marker is written only after ``awaitTermination``, a
+    dir without it is a partial attempt and is wiped (table dropped)
+    so the rerun's fresh checkpoint promotes cleanly; a complete dir
+    from an EARLIER session re-registers the external table instead of
+    re-running the stream. H-check proves the file-sink transaction log
+    (_spark_metadata) + catalog round-trip delivered every purchase
+    exactly once."""
+    import os
+    import shutil
+    import tempfile as _tf
+
+    name, out = totable_sink_cache(sf_dir)
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        if os.path.isdir(out):
+            shutil.rmtree(out)
+        feed = chunked_events_dir(sf_dir, sentinels=False)
+        ev = (
+            read_stream_events(spark, feed)
+            .filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "value")
+        )
+        q = (
+            ev.writeStream.option("path", out)
+            .option("checkpointLocation", _tf.mkdtemp(prefix="sss_ckpt_"))
+            .trigger(availableNow=True)
+            .toTable(name)
+        )
+        q.awaitTermination()
+        with open(os.path.join(out, "_DONE"), "w") as f:
+            f.write("")
+    elif not spark.catalog.tableExists(name):
+        # complete data dir cached from an earlier session — re-attach
+        spark.sql(
+            f"CREATE TABLE {name} (event_id BIGINT, user_id BIGINT, "
+            f"value DOUBLE) USING parquet LOCATION '{out}'"
+        )
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+class JsonlForeachWriter:
+    """Row-level ``ForeachWriter`` with the full open/process/close
+    lifecycle (ST20b). Exactly-once on top of foreach's at-least-once
+    delivery via per-(epoch, partition) deterministic file names +
+    write-tmp-then-rename promotion:
+
+    - ``open(partition, epoch)`` returns False when the final file for
+      that (epoch, partition) already exists — a replayed partition is
+      skipped wholesale (Spark then never calls process/close-success
+      for it);
+    - ``process(row)`` buffers the row as one JSON line (shortest-
+      roundtrip float fidelity, same contract as the jsonl datasource
+      sink);
+    - ``close(error)`` promotes the tmp file with an atomic rename only
+      on success, and deletes it on error so a failed task attempt
+      leaves nothing a retry could double-count.
+
+    Must live at module scope: Spark pickles the writer to executors.
+    """
+
+    def __init__(self, out_dir: str, columns: list[str]):
+        self.out_dir = out_dir
+        self.columns = columns
+
+    def open(self, partition_id: int, epoch_id: int) -> bool:
+        import os
+
+        self._final = os.path.join(
+            self.out_dir, f"e{epoch_id:05d}-p{partition_id:05d}.jsonl"
+        )
+        if os.path.exists(self._final):
+            return False  # replayed (epoch, partition): skip, exactly-once
+        self._tmp = self._final + ".tmp"
+        self._buf = []
+        return True
+
+    def process(self, row) -> None:
+        import json
+
+        self._buf.append(
+            json.dumps({c: row[c] for c in self.columns}) + "\n"
+        )
+
+    def close(self, error) -> None:
+        import os
+
+        if error is not None:
+            return  # buffer discarded; the retry re-opens and rewrites
+        with open(self._tmp, "w") as f:
+            f.writelines(self._buf)
+        os.replace(self._tmp, self._final)
+
+
+@query(
+    "stream_sink_foreach",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS win_start, event_type,
+           count(*) AS n, round(sum(value), 2) AS sum_v
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_sink_foreach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level ``foreach`` sink (ST20b) fed by a STATEFUL upstream:
+    the watermarked 1-hour tumbling aggregate (ST1's plan) emits
+    finalized windows in append mode and ``JsonlForeachWriter`` lands
+    them one row at a time through the open/process/close protocol.
+    Putting the aggregate UPSTREAM keeps the row-at-a-time Python path
+    on the small post-agg stream (windows × event types), never the raw
+    feed — foreach is the per-row slow path and a production plan
+    shapes around that. Window starts are formatted to strings JVM-side
+    (one codegen'd date_format, no Python datetime/tz handling in the
+    writer). The sentinel drives watermark finalization (feeder.py) and
+    is filtered from the READ-BACK batch, never in-plan; the `_DONE`
+    completion contract matches the jsonl sink. H-check proves the
+    per-(epoch, partition) promotion delivered every finalized window
+    exactly once."""
+    import os
+    import shutil
+    import tempfile as _tf
+
+    from .runner import require_no_data_batches
+
+    require_no_data_batches(spark)
+    out = foreach_sink_path(sf_dir)
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        if os.path.isdir(out):
+            shutil.rmtree(out)
+        os.makedirs(out)
+        ev = _stream(spark, sf_dir)  # sentinels=True
+        agg = (
+            ev.withWatermark("ts", WATERMARK)
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_v_raw"))
+            .select(
+                F.date_format(_ntz(F.col("w.start")), "yyyy-MM-dd HH:mm:ss").alias(
+                    "win_start"
+                ),
+                "event_type",
+                "n",
+                "sum_v_raw",
+            )
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            q = (
+                agg.writeStream.foreach(
+                    JsonlForeachWriter(
+                        out, ["win_start", "event_type", "n", "sum_v_raw"]
+                    )
+                )
+                .outputMode("append")
+                .option("checkpointLocation", _tf.mkdtemp(prefix="sss_ckpt_"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        with open(os.path.join(out, "_DONE"), "w") as f:
+            f.write("")
+    back = spark.read.schema(
+        "win_start string, event_type string, n long, sum_v_raw double"
+    ).json(out)
+    return back.filter(F.col("event_type") != "__sentinel__").select(
+        F.to_timestamp("win_start").cast("timestamp_ntz").alias("win_start"),
+        "event_type",
+        "n",
+        F.round("sum_v_raw", 2).alias("sum_v"),
     )
