@@ -924,7 +924,7 @@ def stateful_profile_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the auto-expiring MapState (the processor's ``ttl_ms`` knob) runs
     under ``timeMode=ProcessingTime`` in tests/test_streaming.py, which
     pins actual wall-clock expiry. Falls back to an
-    applyInPandasWithState twin (map as CSV state, same deadline) where
+    applyInPandasWithState twin (map as JSON state, same deadline) where
     no protobuf runtime resolves."""
     ev = _stream(spark, sf_dir)
     fin = _finalize_ms(sf_dir)

@@ -19,6 +19,7 @@ wall-clock.
 
 from __future__ import annotations
 
+import json
 from collections.abc import Iterator
 
 import pandas as pd
@@ -358,26 +359,23 @@ def make_profile_processor(finalize_ms: int, ttl_ms: int | None = None):
     return ProfileTws()
 
 
-PROFILE_FALLBACK_STATE = T.StructType([T.StructField("profile_csv", T.StringType())])
+PROFILE_FALLBACK_STATE = T.StructType([T.StructField("profile_json", T.StringType())])
 
 
 def make_profile_fallback_fn(finalize_ms: int):
     """``applyInPandasWithState`` twin of :func:`make_profile_processor`
     (insurance for environments where no protobuf runtime resolves — see
     queries._tws_available): the per-type map rides in one state row as a
-    ``type:n:sum`` CSV (the old API has no MapState), the snapshot is
-    emitted by an event-time timeout at the same data-derived
-    ``finalize_ms`` deadline, and a late-arriving group whose deadline
-    the watermark already passed emits inline (setTimeoutTimestamp on a
-    past timestamp kills the query — same guard as sessionize_fn)."""
+    JSON object ``{type: [n, sum]}`` (the old API has no MapState; JSON
+    because a delimited encoding silently corrupts on a delimiter-bearing
+    event_type — ADVICE r7), the snapshot is emitted by an event-time
+    timeout at the same data-derived ``finalize_ms`` deadline, and a
+    late-arriving group whose deadline the watermark already passed emits
+    inline (setTimeoutTimestamp on a past timestamp kills the query —
+    same guard as sessionize_fn)."""
 
-    def parse(csv: str) -> dict[str, tuple[int, float]]:
-        out: dict[str, tuple[int, float]] = {}
-        for part in csv.split("|"):
-            if part:
-                t, n, s = part.rsplit(":", 2)
-                out[t] = (int(n), float(s))
-        return out
+    def parse(blob: str) -> dict[str, tuple[int, float]]:
+        return {t: (int(n), float(s)) for t, (n, s) in json.loads(blob).items()}
 
     def fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         def snapshot(cur: dict) -> pd.DataFrame:
@@ -403,7 +401,9 @@ def make_profile_fallback_fn(finalize_ms: int):
                 state.remove()
             yield snapshot(cur)
             return
-        state.update(("|".join(f"{t}:{n}:{s!r}" for t, (n, s) in cur.items()),))
+        # json floats serialize via repr (shortest round-trip) — sums
+        # cross batches bit-exact, same fidelity as the old !r encoding
+        state.update((json.dumps({t: [n, s] for t, (n, s) in cur.items()}),))
         state.setTimeoutTimestamp(finalize_ms)
         yield snapshot({})
 
