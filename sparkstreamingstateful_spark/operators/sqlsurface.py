@@ -253,3 +253,59 @@ sql_group_by_all = _sql_query(
 # the modern-SQL convenience both engines implement — the oracle runs the
 # IDENTICAL text, so the H-check pins that Spark's key inference matches
 # DuckDB's.
+
+
+sql_lateral_topk = _sql_query(
+    "sql_lateral_topk",
+    """
+    SELECT n.n_name, s.s_suppkey, s.s_acctbal
+    FROM nation n, LATERAL (
+        SELECT s_suppkey, s_acctbal FROM supplier
+        WHERE s_nationkey = n.n_nationkey
+        ORDER BY s_acctbal DESC, s_suppkey
+        LIMIT 2
+    ) s
+    """,
+)
+# LATERAL correlated subquery (Q13): per-nation top-2 suppliers through a
+# correlated ORDER BY ... LIMIT derived table — the SQL surface behind
+# "top-k per group" when the consumer writes SQL, planned by Catalyst as a
+# LateralJoin + per-group limit rewrite instead of W5's window-rank path.
+# The correlation must live in WHERE (Spark rejects outer references in a
+# lateral SELECT list — UNSUPPORTED_SUBQUERY_EXPRESSION_CATEGORY, measured).
+# Identical text runs on DuckDB, so the H-check pins both engines' lateral
+# decorrelation to the same rows, ties broken deterministically.
+
+
+sql_recursive_cte = _sql_query(
+    "sql_recursive_cte",
+    """
+    WITH RECURSIVE spine(d) AS (
+        SELECT DATE '1995-01-01'
+        UNION ALL
+        SELECT date_add(d, 1) FROM spine WHERE d < DATE '1995-03-31'
+    )
+    SELECT d AS day, count(o_orderkey) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2) AS sum_price
+    FROM spine LEFT JOIN orders ON CAST(o_orderdate AS DATE) = d
+    GROUP BY d
+    """,
+    oracle="""
+    WITH RECURSIVE spine(d) AS (
+        SELECT DATE '1995-01-01'
+        UNION ALL
+        SELECT d + 1 FROM spine WHERE d < DATE '1995-03-31'
+    )
+    SELECT d AS day, count(o_orderkey) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2) AS sum_price
+    FROM spine LEFT JOIN orders ON CAST(o_orderdate AS DATE) = d
+    GROUP BY d
+    """,
+)
+# Recursive CTE (Q14, Spark 4): a 90-day date spine generated by recursion
+# and LEFT-JOINed to orders so empty days survive as zero rows — the
+# gap-filling report shape GROUP BY alone cannot produce. 90 iterations
+# stays under spark.sql.cteRecursionLevelLimit (default 100); the only
+# dialect split is date increment (Spark date_add(d, 1) vs DuckDB d + 1).
+# count() never yields NULL and sum() is coalesced, so no nullable-int
+# fetchdf coercion hazard.

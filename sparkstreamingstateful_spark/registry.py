@@ -75,6 +75,9 @@ _KEY_PRIORITY = [
     "stream_stream_join_semi",  # r8: streaming LEFT SEMI (the WHERE EXISTS join)
     "stream_sink_to_table",  # r8: writeStream.toTable catalog sink
     "stream_sink_foreach",  # r8: row-level ForeachWriter sink
+    "scan_state_store",  # r8: Spark 4 state-store data source (checkpoint state as batch DF)
+    "sql_lateral_topk",  # r8: LATERAL correlated ORDER BY/LIMIT subquery
+    "sql_recursive_cte",  # r8: WITH RECURSIVE date spine + zero-fill join
     # (b) r3-era greens — the oldest evidence in the union
     "events_rollup_cascade",
     "window_time_range",
@@ -120,15 +123,16 @@ _KEY_PRIORITY = [
     "scalar_cast",
     "agg_collect",
     "array_ops",
+    # --- 50-key boundary. Group (a) holds 7 keys (the never-checked r7
+    # key + six r8 additions), so the last 6 of the 47-key r4 cohort
+    # land just below the line — first in line next round. Every key
+    # after them carries r5-or-fresher evidence; order below the line =
+    # next-rotation order: sample_seeded (rows-only by construction)
+    # next, then the r5 greens, then the r6/r7-window keys (freshest —
+    # checked twice, identically, in both rounds). ---
     "map_ops",
     "vector_ops",
     "subquery_scalar",
-    # --- 50-key boundary. Group (a) holds 4 keys, so the last 3 of the
-    # 47-key r4 cohort land just below the line — first in line next
-    # round. Every key after them carries r5-or-fresher evidence; order
-    # below the line = next-rotation order: sample_seeded (rows-only by
-    # construction) next, then the r5 greens, then the r6/r7-window keys
-    # (freshest — checked twice, identically, in both rounds). ---
     "subquery_in",
     "subquery_correlated_exists",
     "cte_query",

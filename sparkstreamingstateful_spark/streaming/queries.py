@@ -1409,3 +1409,77 @@ def stream_sink_foreach(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round("sum_v_raw", 2).alias("sum_v"),
     )
+
+
+@query(
+    "scan_state_store",
+    oracle="SELECT DISTINCT event_id FROM events",
+)
+def scan_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 state-store DATA SOURCE (S7): a streaming checkpoint's
+    state read back as a BATCH DataFrame — the operational surface for
+    inspecting/repairing/auditing live streaming state without touching
+    the query that owns it. Setup runs a keyed ``dropDuplicates`` stream
+    over the events feed to completion (checkpoint cached per content
+    fingerprint, same ``_DONE`` discipline as the derived layouts — the
+    READ is the operator under test, the stream is setup, so benches may
+    reuse it); the read then loads ``format("statestore")`` on that
+    checkpoint and projects the state keys. The H-check pins the reader
+    to exact state contents: every distinct event_id, nothing else —
+    a dropped partition, stale snapshot, or key-schema drift all shift
+    the set. Read parallelism = the checkpoint's state partition count
+    (a production deployment pins O(cores) once); the same source also
+    serves ``snapshotStartBatchId``/``readChangeFeed`` time-travel and
+    per-side stream-join state (``joinSide``), not exercised here.
+
+    The cache is keyed by the session's state-store PROVIDER config as
+    well as content: state files are provider-physical (HDFS-backed
+    delta/snapshot vs RocksDB SST+changelog) and the reader loads with
+    the CURRENT session's provider, so a checkpoint written under one
+    provider is unreadable under the other
+    (CANNOT_LOAD_STATE_STORE, measured: a plain-session HDFS-backed
+    checkpoint read from a RocksDB-configured session)."""
+    import os
+    import shutil
+    import tempfile as _tf
+
+    from ..operators.scans import _dir_tag
+
+    prov = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    cl = spark.conf.get(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "false",
+    )
+    ptag = ("rocksdb" if "RocksDB" in str(prov) else "hdfs") + (
+        "cl" if str(cl).lower() == "true" else ""
+    )
+    ckpt = os.path.join(
+        _tf.gettempdir(),
+        f"sss_statestore_{ptag}_{_dir_tag(sf_dir, 'events')}",
+    )
+    if not os.path.exists(os.path.join(ckpt, "_DONE")):
+        if os.path.isdir(ckpt):
+            shutil.rmtree(ckpt)
+        feed = chunked_events_dir(sf_dir, sentinels=False)
+        dedup = (
+            read_stream_events(spark, feed)
+            .select("event_id")
+            .dropDuplicates(["event_id"])
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            q = (
+                dedup.writeStream.format("noop")
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        with open(os.path.join(ckpt, "_DONE"), "w") as f:
+            f.write("")
+    st = spark.read.format("statestore").option("path", ckpt).load()
+    return st.select(F.col("key.event_id").alias("event_id"))
