@@ -1165,6 +1165,68 @@ def test_tws_mapstate_no_ttl_retains(spark):
     )
 
 
+def test_foreach_writer_idempotent_promotion(tmp_path):
+    """JsonlForeachWriter's exactly-once mechanics, no Spark needed:
+    successful close promotes the per-(epoch, partition) file, a replay
+    open() of the same (epoch, partition) is refused, and an errored
+    close leaves no file a retry could double-count."""
+    from sparkstreamingstateful_spark.streaming.queries import JsonlForeachWriter
+
+    w = JsonlForeachWriter(str(tmp_path), ["a"])
+    assert w.open(0, 1) is True
+    w.process({"a": 1})
+    w.close(None)
+    final = tmp_path / "e00001-p00000.jsonl"
+    assert final.read_text() == '{"a": 1}\n'
+    assert w.open(0, 1) is False  # replay: already promoted → skip
+    assert w.open(0, 2) is True  # new epoch: fresh file
+    w.process({"a": 2})
+    w.close(RuntimeError("task died"))
+    assert not (tmp_path / "e00002-p00000.jsonl").exists()
+    assert list(tmp_path.glob("*.tmp")) == []
+
+
+def test_sink_dirs_self_heal_partial(spark, duck):
+    """The _DONE completion contract on the r8 sinks: a sink dir WITHOUT
+    the marker is a partial attempt — the key must wipe and rebuild it
+    (foreach: garbage part-files from the failed attempt must not leak
+    into the read-back; toTable: the catalog table must be dropped and
+    recreated), and the rebuilt result must still match the oracle."""
+    import shutil
+
+    from sparkstreamingstateful_spark.streaming import queries as sq
+
+    from .conftest import compare
+
+    _, oracles = registry.collect()
+    # foreach: fake a crashed attempt — data files present, no _DONE
+    out = sq.foreach_sink_path(SF_UNIT)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    with open(os.path.join(out, "e99999-p00000.jsonl"), "w") as f:
+        f.write('{"win_start": "garbage from a dead attempt"}\n')
+    compare(
+        QUERIES["stream_sink_foreach"](spark, SF_UNIT),
+        duck,
+        oracles["stream_sink_foreach"],
+        name="foreach_self_heal",
+    )
+    assert os.path.exists(os.path.join(out, "_DONE"))
+    assert not os.path.exists(os.path.join(out, "e99999-p00000.jsonl"))
+    # toTable: completed data dir whose marker vanished → full rebuild
+    name, tout = sq.totable_sink_cache(SF_UNIT)
+    QUERIES["stream_sink_to_table"](spark, SF_UNIT).count()  # ensure built
+    os.remove(os.path.join(tout, "_DONE"))
+    compare(
+        QUERIES["stream_sink_to_table"](spark, SF_UNIT),
+        duck,
+        oracles["stream_sink_to_table"],
+        name="totable_self_heal",
+    )
+    assert os.path.exists(os.path.join(tout, "_DONE"))
+    assert spark.catalog.tableExists(name)
+
+
 def test_profile_fallback_twin_matches_oracle(spark, duck, monkeypatch):
     """The applyInPandasWithState fallback of stateful_profile_tws (taken
     only when no protobuf runtime resolves, so the default suite never
