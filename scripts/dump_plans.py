@@ -68,6 +68,19 @@ SHOWCASE = [
      "zero per-row cost (a row-dependent always-overflowing try_add "
      "measured ~17 us of JVM throw/catch per row); try_divide stays "
      "in-codegen"),
+    ("sql_lateral_topk", "correlated LATERAL ORDER BY/LIMIT (r8) "
+     "decorrelated by Catalyst to WindowGroupLimit — the per-group limit "
+     "runs PARTIAL before the shuffle and Final after, so at most "
+     "2×partitions rows per group ever move — then a broadcast hash join "
+     "back to the outer side; no nested loop anywhere"),
+    ("sql_recursive_cte", "WITH RECURSIVE date spine (r8): UnionLoop "
+     "generates the 90-row spine driver-tiny; the fact side is "
+     "pre-aggregated behind a pushed date-range scan filter "
+     "(partial+final hash agg -> ~90 rows) so the zero-fill outer join "
+     "touches two tiny relations — never a shuffle of the raw fact onto "
+     "90 skewed date keys (a spine-preserving outer join cannot "
+     "broadcast its preserved side, so pre-aggregation is the scale "
+     "lever)"),
 ]
 
 

@@ -284,28 +284,47 @@ sql_recursive_cte = _sql_query(
         SELECT DATE '1995-01-01'
         UNION ALL
         SELECT date_add(d, 1) FROM spine WHERE d < DATE '1995-03-31'
+    ),
+    daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               count(*) AS n, sum(o_totalprice) AS sp
+        FROM orders
+        WHERE o_orderdate >= DATE '1995-01-01'
+          AND o_orderdate < DATE '1995-04-01'
+        GROUP BY 1
     )
-    SELECT d AS day, count(o_orderkey) AS n_orders,
-           round(coalesce(sum(o_totalprice), 0), 2) AS sum_price
-    FROM spine LEFT JOIN orders ON CAST(o_orderdate AS DATE) = d
-    GROUP BY d
+    SELECT spine.d AS day, coalesce(daily.n, 0) AS n_orders,
+           round(coalesce(daily.sp, 0), 2) AS sum_price
+    FROM spine LEFT JOIN daily ON daily.d = spine.d
     """,
     oracle="""
     WITH RECURSIVE spine(d) AS (
         SELECT DATE '1995-01-01'
         UNION ALL
         SELECT d + 1 FROM spine WHERE d < DATE '1995-03-31'
+    ),
+    daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS n, sum(o_totalprice) AS sp
+        FROM orders
+        WHERE o_orderdate >= DATE '1995-01-01'
+          AND o_orderdate < DATE '1995-04-01'
+        GROUP BY 1
     )
-    SELECT d AS day, count(o_orderkey) AS n_orders,
-           round(coalesce(sum(o_totalprice), 0), 2) AS sum_price
-    FROM spine LEFT JOIN orders ON CAST(o_orderdate AS DATE) = d
-    GROUP BY d
+    SELECT spine.d AS day, CAST(coalesce(daily.n, 0) AS BIGINT) AS n_orders,
+           round(coalesce(daily.sp, 0), 2) AS sum_price
+    FROM spine LEFT JOIN daily ON daily.d = spine.d
     """,
 )
 # Recursive CTE (Q14, Spark 4): a 90-day date spine generated by recursion
-# and LEFT-JOINed to orders so empty days survive as zero rows — the
-# gap-filling report shape GROUP BY alone cannot produce. 90 iterations
-# stays under spark.sql.cteRecursionLevelLimit (default 100); the only
-# dialect split is date increment (Spark date_add(d, 1) vs DuckDB d + 1).
-# count() never yields NULL and sum() is coalesced, so no nullable-int
-# fetchdf coercion hazard.
+# (UnionLoop — 90 iterations stays under spark.sql.cteRecursionLevelLimit,
+# default 100) LEFT-JOINed so empty days survive as zero rows — the
+# gap-filling report shape GROUP BY alone cannot produce. The fact side is
+# aggregated BEFORE the join (pushed date-range scan filter + partial/final
+# hash agg → ~90 rows), so at 100 TB the join touches two tiny relations
+# instead of shuffling the raw fact table onto 90 skewed date keys — a
+# spine-side outer join can never broadcast its preserved side, so
+# pre-aggregation is the scale lever here. Dialect split: Spark
+# date_add(d, 1) vs DuckDB d + 1; every nullable aggregate is coalesced
+# (and the count CAST to BIGINT out of DuckDB's coalesce) so no
+# NULL→float64 fetchdf coercion hazard.
