@@ -1438,7 +1438,23 @@ def scan_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     the CURRENT session's provider, so a checkpoint written under one
     provider is unreadable under the other
     (CANNOT_LOAD_STATE_STORE, measured: a plain-session HDFS-backed
-    checkpoint read from a RocksDB-configured session)."""
+    checkpoint read from a RocksDB-configured session). Under RocksDB
+    the setup stream additionally pins changelog checkpointing OFF for
+    ITS OWN checkpoint (conf captured at query start; restored after):
+    reading a changelog-only version makes the RocksDB reader replay
+    the changelog, upload the reconstructed snapshot, and REPORT the
+    upload to the StateStoreCoordinator RPC endpoint — which a
+    batch-only session doesn't have, so the read dies with
+    CANNOT_LOAD_STATE_STORE / RpcEndpointNotFoundException (measured at
+    sf0.1; and the provider reports upload LAG at task completion even
+    for snapshot-only loads). So the read (a) runs with
+    ``coordinatorReportSnapshotUploadLag`` disabled and (b) is EAGERLY
+    materialized via ``localCheckpoint`` inside that conf window —
+    StateStoreConf is captured from the session when the scan first
+    executes, so a lazily-returned DataFrame would execute after the
+    restore and die anyway. Snapshot-per-version also spares the read
+    the changelog replay; the changelog feature itself stays pinned by
+    test_rocksdb_changelog_checkpointing."""
     import os
     import shutil
     import tempfile as _tf
@@ -1446,13 +1462,7 @@ def scan_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.scans import _dir_tag
 
     prov = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
-    cl = spark.conf.get(
-        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
-        "false",
-    )
-    ptag = ("rocksdb" if "RocksDB" in str(prov) else "hdfs") + (
-        "cl" if str(cl).lower() == "true" else ""
-    )
+    ptag = "rocksdb" if "RocksDB" in str(prov) else "hdfs"
     ckpt = os.path.join(
         _tf.gettempdir(),
         f"sss_statestore_{ptag}_{_dir_tag(sf_dir, 'events')}",
@@ -1466,8 +1476,14 @@ def scan_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id")
             .dropDuplicates(["event_id"])
         )
+        cl_key = (
+            "spark.sql.streaming.stateStore.rocksdb"
+            ".changelogCheckpointing.enabled"
+        )
         prev = spark.conf.get("spark.sql.shuffle.partitions")
+        prev_cl = spark.conf.get(cl_key, "false")
         spark.conf.set("spark.sql.shuffle.partitions", "4")
+        spark.conf.set(cl_key, "false")  # snapshot-per-version (see docstring)
         try:
             q = (
                 dedup.writeStream.format("noop")
@@ -1479,7 +1495,16 @@ def scan_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.awaitTermination()
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+            spark.conf.set(cl_key, prev_cl)
         with open(os.path.join(ckpt, "_DONE"), "w") as f:
             f.write("")
-    st = spark.read.format("statestore").option("path", ckpt).load()
-    return st.select(F.col("key.event_id").alias("event_id"))
+    lag_key = "spark.sql.streaming.stateStore.coordinatorReportSnapshotUploadLag"
+    prev_lag = spark.conf.get(lag_key, "true")
+    spark.conf.set(lag_key, "false")
+    try:
+        st = spark.read.format("statestore").option("path", ckpt).load()
+        return st.select(
+            F.col("key.event_id").alias("event_id")
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(lag_key, prev_lag)

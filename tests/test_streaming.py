@@ -1186,6 +1186,50 @@ def test_foreach_writer_idempotent_promotion(tmp_path):
     assert list(tmp_path.glob("*.tmp")) == []
 
 
+def test_statestore_changefeed_and_snapshot(spark, tmp_path):
+    """The state data source's two read modes beyond the plain snapshot
+    used by scan_state_store: ``readChangeFeed`` replays per-batch state
+    CHANGES (each event_id surfaces exactly once, as an update, in the
+    batch that first saw it — a second appearance would mean dedup state
+    was rewritten), and a plain read equals the union of changes."""
+    import pyarrow.parquet as pq
+
+    feed = chunked_events_dir(SF_UNIT, n_chunks=3, sentinels=False)
+    ev = read_stream_events(spark, feed).select("event_id")
+    ckpt = str(tmp_path / "ckpt")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            ev.dropDuplicates(["event_id"])
+            .writeStream.format("noop")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    n_ids = pq.read_table(os.path.join(SF_UNIT, "events.parquet"), columns=["event_id"]).num_rows
+    feedr = (
+        spark.read.format("statestore")
+        .option("path", ckpt)
+        .option("readChangeFeed", "true")
+        .option("changeStartBatchId", "0")
+        .load()
+    )
+    rows = feedr.selectExpr(
+        "key.event_id AS event_id", "change_type", "batch_id"
+    ).collect()
+    assert len(rows) == n_ids  # each id written exactly once, ever
+    assert {r.change_type for r in rows} == {"update"}
+    assert len({r.event_id for r in rows}) == n_ids
+    assert len({r.batch_id for r in rows}) >= 2  # changes span micro-batches
+    snap = spark.read.format("statestore").option("path", ckpt).load()
+    assert snap.count() == n_ids  # final snapshot == union of all changes
+
+
 def test_sink_dirs_self_heal_partial(spark, duck):
     """The _DONE completion contract on the r8 sinks: a sink dir WITHOUT
     the marker is a partial attempt — the key must wipe and rebuild it
