@@ -81,6 +81,22 @@ SHOWCASE = [
      "90 skewed date keys (a spine-preserving outer join cannot "
      "broadcast its preserved side, so pre-aggregation is the scale "
      "lever)"),
+    ("sql_tpch_q2like", "correlated scalar MIN subquery (r8) decorrelated "
+     "by Catalyst into a per-partkey MIN hash aggregate joined back on "
+     "(l_partkey, price) — never a per-row subquery re-execution; the "
+     "p_size filter is pushed into the part scan and every dim side "
+     "broadcasts"),
+    ("events_gap_fill", "LOCF gap fill (r8): hourly partial+final hash agg "
+     "on the fact, spine generated from a 1-row min/max agg and "
+     "broadcast-joined, last(ignorenulls) window runs over the "
+     "ALREADY-AGGREGATED spine (hours × types), never the raw events"),
+    ("text_unigram_logprob", "corpus unigram LM score (r8): the vocabulary "
+     "exchange is built once and REUSED (ReusedExchange) for the global "
+     "total; token→freq lookup joins on token (broadcast at test scale, "
+     "shuffle at vocab scale), scoring re-aggregates per doc_id"),
+    ("embed_quantize_int8", "int8 vector quantization (r8): the whole "
+     "operator is ONE narrow Project over the scan — zero shuffles, all "
+     "array math in transform/aggregate expressions, no Python"),
 ]
 
 

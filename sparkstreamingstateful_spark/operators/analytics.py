@@ -432,3 +432,83 @@ def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_1h"),
         F.round(F.sum("value").over(w), 4).alias("value_1h"),
     )
+
+
+# --------------------------------------------------------------- LOCF gap fill
+@query(
+    "events_gap_fill",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS lo,
+               date_trunc('hour', max(ts)) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    hourly AS (
+        SELECT date_trunc('hour', ts) AS h, event_type,
+               count(*) AS c, round(sum(value), 4) AS v
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT CAST(s.h AS TIMESTAMP) AS h, t.event_type,
+           coalesce(a.c, 0) AS n,
+           last_value(a.v IGNORE NULLS) OVER (
+               PARTITION BY t.event_type ORDER BY s.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS v_locf
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN hourly a ON a.h = s.h AND a.event_type = t.event_type
+    """,
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap fill with last-observation-carried-forward (the hypertable
+    ``locf()`` primitive; A9c's resample key zero-fills COUNTS, this
+    carries the last observed VALUE across missing buckets — the
+    time-series downsampling shape for sensor/metric data where absence
+    means "unchanged", not "zero"). Hourly per-type value sums are
+    left-joined onto the generated [min, max] hour × type spine, then
+    ``last(v, ignorenulls=True)`` over an ordered per-type window fills
+    the holes. Hours before a type's first observation stay NULL (both
+    engines agree; NULL doubles are float64-stable through fetchdf).
+    The hourly sum is rounded BEFORE the fill so the carried value is
+    bit-identical to the oracle's regardless of fill distance.
+
+    Scale: one hash agg on the fact table (partial+final), a broadcast
+    spine join (spine × types is tiny by construction), and one window
+    partitioned by event_type ordered by hour — the window input is the
+    already-aggregated spine (rows = hours × types), never the raw
+    events, so the per-partition ordered pass is bounded by the time
+    range, not the data volume."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"), F.round(F.sum("value"), 4).alias("v"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.crossJoin(types)
+        .join(hourly, ["h", "event_type"], "left")
+        .select(
+            "h",
+            "event_type",
+            F.coalesce(F.col("c"), F.lit(0)).alias("n"),
+            F.last("v", ignorenulls=True).over(w).alias("v_locf"),
+        )
+    )

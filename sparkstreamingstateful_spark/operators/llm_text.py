@@ -1009,3 +1009,63 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         (F.col("node") == F.col("component")).alias("is_keeper"),
     )
+
+
+# ------------------------------------------------------------ unigram LM score
+@query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, token FROM (
+            SELECT doc_id,
+                   unnest(string_split(lower(text), ' ')) AS token
+            FROM documents
+        ) WHERE token <> ''
+    ),
+    freq AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+    tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freq)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(ln(tot.total) - ln(CAST(f.cnt AS DOUBLE))), 4)
+               AS neg_logp
+    FROM toks t JOIN freq f USING (token) CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level unigram language-model quality score — the classic
+    training-data filter (KenLM-style perplexity, reduced to its
+    SQL-expressible unigram core): per document, the mean negative log
+    probability of its tokens under the corpus's OWN unigram
+    distribution, ``avg(ln(total_tokens) - ln(cnt(token)))``. High
+    scores = rare-token-heavy documents (gibberish, boilerplate hashes);
+    low = stopword-heavy. Tokenization is the repo-standard space split
+    of lowercased text (empty tokens filtered identically on both
+    sides).
+
+    Scale: the model IS the data — one hash agg builds the vocabulary
+    (token→count), one 1-row global total crossJoined as a broadcast,
+    and the token→freq lookup is a shuffle equi-join on token (the
+    vocabulary can be billions of rows at 100 TB, so it is NOT
+    broadcast; Zipf skew on stopword tokens is AQE skew-join
+    territory, and the join carries only (doc_id, cnt) — no text).
+    Scoring then re-aggregates per doc_id. Mean is rounded to 4
+    decimals: the per-doc summation order differs across engines
+    (~1e-13 relative)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").cast("double").alias("total"))
+    return (
+        toks.join(freq, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("total")) - F.log(F.col("cnt").cast("double"))), 4
+            ).alias("neg_logp"),
+        )
+    )

@@ -454,3 +454,79 @@ def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("probe_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
     )
+
+
+# ---------------------------------------------------------- int8 quantization
+@query(
+    "embed_quantize_int8",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, d,
+               list_max(list_transform(d, x -> abs(x))) AS amax,
+               list_max(list_transform(d, x -> abs(x))) / 127.0 AS scale
+        FROM v
+    )
+    SELECT vec_id,
+           CAST(len(d) AS BIGINT) AS dims,
+           round(scale, 6) AS scale_r,
+           CAST(CASE WHEN amax = 0 THEN 0 ELSE
+                list_sum(list_transform(d, x -> round(x / scale, 0)))
+           END AS BIGINT) AS q_sum,
+           CAST(CASE WHEN amax = 0 THEN 0 ELSE
+                list_sum(list_transform(d, x -> abs(round(x / scale, 0))))
+           END AS BIGINT) AS q_abs_sum,
+           round(CASE WHEN amax = 0 THEN 0.0 ELSE
+                list_max(list_transform(d,
+                    x -> abs(x - round(x / scale, 0) * scale)))
+           END, 6) AS max_abs_err
+    FROM s
+    """,
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the vector-compression
+    step every 100 TB ANN/RAG corpus applies before indexing (4× smaller
+    than float32, SIMD-dot-product friendly): ``scale = max|x| / 127``,
+    ``q_i = round(x_i / scale)``. The key verifies the full quantized
+    payload via exact integer checksums (sum and L1 norm of the int8
+    codes — integral doubles, exact in IEEE at these magnitudes, CAST to
+    BIGINT) plus the per-vector scale and max reconstruction error
+    (rounded; division and abs are single IEEE ops, bit-identical across
+    engines). Zero vectors quantize to all-zero codes by definition
+    (guarded identically on both sides — no 0/0 NaN).
+
+    Scale: a pure narrow map over the corpus — per-row array transforms
+    inside whole-stage codegen (``F.transform`` / ``F.aggregate``, no
+    Python, no shuffle, no state). Partition-parallel at any corpus
+    size; the natural downstream is writing q + scale as the compact
+    index payload."""
+    e = load_table(spark, sf_dir, "embeddings")
+    d = _dvec("embedding")
+    absd = F.transform(d, lambda x: F.abs(x))
+    amax = F.array_max(absd)
+    scale = amax / F.lit(127.0)
+    q = F.transform(d, lambda x: F.round(x / scale))
+    zero = amax == F.lit(0.0)
+
+    def _asum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dims"),
+        F.round(scale, 6).alias("scale_r"),
+        F.when(zero, F.lit(0)).otherwise(_asum(q).cast("bigint")).alias("q_sum"),
+        F.when(zero, F.lit(0))
+        .otherwise(_asum(F.transform(q, lambda x: F.abs(x))).cast("bigint"))
+        .alias("q_abs_sum"),
+        F.round(
+            F.when(zero, F.lit(0.0)).otherwise(
+                F.array_max(F.transform(d, lambda x: F.abs(x - F.round(x / scale) * scale)))
+            ),
+            6,
+        ).alias("max_abs_err"),
+    )

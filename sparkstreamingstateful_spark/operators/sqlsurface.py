@@ -166,6 +166,31 @@ sql_tpch_q18like = _sql_query(
     """,
 )
 
+sql_tpch_q2like = _sql_query(
+    "sql_tpch_q2like",
+    """
+    SELECT p.p_partkey, p.p_name, s.s_name,
+           l.l_extendedprice AS best_price
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE p.p_size <= 15
+      AND l.l_extendedprice = (SELECT min(l2.l_extendedprice)
+                               FROM lineitem l2
+                               WHERE l2.l_partkey = p.p_partkey)
+    """,
+)
+# Q2-shape minimum-cost-supplier: a correlated scalar MIN subquery against
+# the same fact table that feeds the outer join (TPC-H Q2's partsupp role is
+# played by lineitem — this corpus has no partsupp table). Exercises
+# Catalyst's RewriteCorrelatedScalarSubquery decorrelation: the subquery
+# becomes a per-partkey MIN aggregate joined back on l_partkey, so the
+# physical plan is two hash aggregates + equi joins — no per-row re-execution
+# of the subquery, which is what makes the shape viable at 100 TB (the naive
+# interpretation is O(parts × lineitems)). Price ties keep every minimal
+# supplier in BOTH engines (deterministic set, no LIMIT). best_price is a
+# non-null DOUBLE — no fetchdf coercion hazard.
+
 values_inline = _sql_query(
     "values_inline",
     """

@@ -71,6 +71,10 @@ def query(name: str, oracle: str | None = None):
 # r4 for the few cohort keys that don't fit, r5 otherwise.
 _KEY_PRIORITY = [
     # (a) new keys with NO driver evidence yet
+    "sql_tpch_q2like",  # r8: correlated scalar MIN decorrelation (Q2 shape)
+    "events_gap_fill",  # r8: LOCF gap fill over the hour × type spine
+    "text_unigram_logprob",  # r8: corpus unigram LM quality score
+    "embed_quantize_int8",  # r8: per-vector int8 quantization
     "stateful_profile_tws",  # r7: TWS MapState+TTL — registered late, never reached the window
     "stream_stream_join_semi",  # r8: streaming LEFT SEMI (the WHERE EXISTS join)
     "stream_sink_to_table",  # r8: writeStream.toTable catalog sink
@@ -119,17 +123,17 @@ _KEY_PRIORITY = [
     "array_explode",
     "embed_similarity_topk",
     "embed_centroids",
-    "scalar_math",
-    "scalar_cast",
-    "agg_collect",
-    "array_ops",
-    # --- 50-key boundary. Group (a) holds 7 keys (the never-checked r7
-    # key + six r8 additions), so the last 6 of the 47-key r4 cohort
+    # --- 50-key boundary. Group (a) holds 11 keys (the never-checked r7
+    # key + ten r8 additions), so the last 10 of the 47-key r4 cohort
     # land just below the line — first in line next round. Every key
     # after them carries r5-or-fresher evidence; order below the line =
     # next-rotation order: sample_seeded (rows-only by construction)
     # next, then the r5 greens, then the r6/r7-window keys (freshest —
     # checked twice, identically, in both rounds). ---
+    "scalar_math",
+    "scalar_cast",
+    "agg_collect",
+    "array_ops",
     "map_ops",
     "vector_ops",
     "subquery_scalar",
