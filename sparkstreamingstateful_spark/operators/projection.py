@@ -306,3 +306,44 @@ def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("safe_div"),
         F.try_add(F.lit(9223372036854775807), F.lit(1)).alias("overflow_add"),
     )
+
+
+@query(
+    "scalar_collation",
+    oracle="""
+    WITH variants AS (
+        SELECT s_nationkey, upper(s_name) AS name FROM supplier
+        UNION ALL SELECT s_nationkey, lower(s_name) FROM supplier
+        UNION ALL SELECT s_nationkey, s_name FROM supplier
+    )
+    SELECT s_nationkey,
+           count(DISTINCT lower(name)) AS n_ci,
+           count(DISTINCT name) AS n_cs
+    FROM variants
+    GROUP BY s_nationkey
+    """,
+)
+def scalar_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (P11, Spark 4): case-insensitive DISTINCT via
+    the ``UTF8_LCASE`` collation — the engine-level answer to the
+    `lower()` wrapped around every comparison in a migrating user's
+    queries. A deterministic mixed-case variant set (upper ∪ lower ∪
+    original of s_name) is counted distinct twice: under UTF8_LCASE
+    (`F.collate` — the three case variants of a name hash/compare equal,
+    so the count collapses to unique names) and under the default binary
+    collation (all variants distinct). DuckDB spells the same semantics
+    as count(DISTINCT lower(name)) — the hash match proves Spark's
+    collation-aware grouping equals the lower() equivalence classes.
+    Scale: collation-aware distinct is the same two-phase distinct
+    aggregate as any other — the collated key shuffles by its collation
+    hash; no row blowup beyond the 3× variant construction."""
+    s = load_table(spark, sf_dir, "supplier")
+    variants = (
+        s.select("s_nationkey", F.upper("s_name").alias("name"))
+        .unionByName(s.select("s_nationkey", F.lower("s_name").alias("name")))
+        .unionByName(s.select("s_nationkey", F.col("s_name").alias("name")))
+    )
+    return variants.groupBy("s_nationkey").agg(
+        F.count_distinct(F.collate(F.col("name"), "UTF8_LCASE")).alias("n_ci"),
+        F.count_distinct(F.col("name")).alias("n_cs"),
+    )

@@ -187,6 +187,8 @@ def _text_layout(
             w.option("header", True).csv(out)
         elif fmt == "orc":
             w.orc(out)
+        elif fmt == "xml":
+            w.format("xml").option("rowTag", "row").save(out)
         else:
             w.json(out)
     return out
@@ -399,6 +401,50 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
+    "scan_xml",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n,
+           round(sum(c_acctbal), 2) AS sum_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch XML source (S6j): Spark 4's BUILT-IN XML data source (the
+    former spark-xml package, merged in 4.0) — the enterprise-feed
+    format (SOAP exports, legacy ERP dumps) a drop-in engine still has
+    to ingest. customer's key/segment/balance columns are written once
+    as `<row>` elements (XML entity escaping verified: `&`/`<` survive
+    the cycle), re-read with an EXPLICIT schema + matching ``rowTag``
+    (inference is an extra full pass, as with CSV/JSON), and aggregated.
+    Spark serializes doubles via shortest-roundtrip repr in XML as in
+    CSV/JSON, so the H-check against the parquet-backed oracle proves
+    the XML write→read cycle is lossless for longs/strings/doubles.
+    Scale: XML is a row-wise text format — no pushdown, no pruning;
+    splits are per-file, so the layout writer controls parallelism.
+    It's the INGEST format; the first job of any pipeline here is
+    compacting it to parquet (S6's write_roundtrip)."""
+    from pyspark.sql import types as T
+
+    cols = ["c_custkey", "c_mktsegment", "c_acctbal"]
+    out = _text_layout(spark, sf_dir, "customer", cols, "xml")
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_mktsegment", T.StringType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema).format("xml").option("rowTag", "row").load(out)
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
     )
 
 

@@ -191,6 +191,31 @@ sql_tpch_q2like = _sql_query(
 # supplier in BOTH engines (deterministic set, no LIMIT). best_price is a
 # non-null DOUBLE — no fetchdf coercion hazard.
 
+sql_tpch_q16like = _sql_query(
+    "sql_tpch_q16like",
+    """
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part
+    JOIN lineitem ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#13'
+      AND p_type <> 'MEDIUM'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 25)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+# Q16-shape supplier diversity: per-(brand, type, size) DISTINCT supplier
+# count behind a NOT IN anti-subquery (the "exclude flagged suppliers"
+# business rule). Exercises two planner paths the Q-family didn't yet pin
+# together: NOT IN → null-aware anti join (s_suppkey is non-null, so the
+# NAAJ degenerates to a plain broadcast anti join — the 100 TB-safe form;
+# a nullable column here would force the notorious O(n×m) null-aware
+# fallback), and count(DISTINCT) → Catalyst's two-phase distinct-aggregate
+# expansion. The IN-list size filter prunes the part scan. supplier_cnt is
+# a non-null BIGINT in both engines.
+
 values_inline = _sql_query(
     "values_inline",
     """
