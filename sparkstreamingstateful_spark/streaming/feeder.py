@@ -166,3 +166,49 @@ def chunked_table_dir(sf_dir: str, table: str, n_chunks: int = 3) -> str:
         os.utime(path, (base + i, base + i))
     _cache[key] = out
     return out
+
+
+_split_cache: dict[tuple, tuple[str, str]] = {}
+
+
+def chunked_events_split_dirs(
+    sf_dir: str, n_chunks: int = 3
+) -> tuple[str, str]:
+    """Two DISJOINT feeds (even / odd ``event_id``), each chunked and
+    carrying its own sentinel — the substrate for the multi-source union
+    topology (ST23). Each source needs its own sentinel because Spark's
+    global watermark is the MIN across all sources' event-time maxima: a
+    sentinel in only one feed leaves the other source's watermark at its
+    last real event and the final windows never close (the multi-source
+    twin of the filter-pushdown stall documented above). Both sentinels
+    are built from the FULL table's max event time so the two sources
+    advance in lockstep."""
+    key = (sf_dir, n_chunks)
+    hit = _split_cache.get(key)
+    if hit and all(os.path.isdir(p) for p in hit):
+        return hit
+
+    table = pq.read_table(f"{sf_dir}/events.parquet")
+    ts_col = table.column("ts")
+    max_us = _to_us(pa.compute.max(ts_col), ts_col.type)
+    base = 1_600_000_000
+    outs: list[str] = []
+    for parity in (0, 1):
+        mask = pa.compute.equal(
+            pa.compute.bit_wise_and(table.column("event_id"), 1), parity
+        )
+        sub = table.filter(mask)
+        n = sub.num_rows
+        out = tempfile.mkdtemp(prefix=f"sss_feed_p{parity}_")
+        for i in range(n_chunks):
+            lo, hi = i * n // n_chunks, (i + 1) * n // n_chunks
+            path = os.path.join(out, f"{i:04d}.parquet")
+            pq.write_table(sub.slice(lo, hi - lo), path)
+            os.utime(path, (base + i, base + i))
+        for j, days in enumerate(SENTINEL_DAYS):
+            path = os.path.join(out, f"{n_chunks + j:04d}.parquet")
+            pq.write_table(_sentinel_table(max_us, days, j, ts_col.type), path)
+            os.utime(path, (base + n_chunks + j,) * 2)
+        outs.append(out)
+    _split_cache[key] = (outs[0], outs[1])
+    return _split_cache[key]

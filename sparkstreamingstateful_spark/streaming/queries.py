@@ -1508,3 +1508,47 @@ def scan_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         spark.conf.set(lag_key, prev_lag)
+
+
+@query(
+    "stream_union_sources",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS win_start, event_type,
+           count(*) AS n, round(sum(value), 2) AS sum_v
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source UNION topology (ST23): two independent file-source
+    streams (disjoint even/odd ``event_id`` feeds — the two-Kafka-topics
+    /two-regions merge every production pipeline hits) unioned into ONE
+    watermarked tumbling-window aggregation. What this pins beyond ST1's
+    single-feed twin: (a) `unionByName` of two streaming sources is
+    planned as one streaming query with two source offsets advancing
+    independently, and (b) the GLOBAL watermark is the MIN across
+    sources — each feed carries its own sentinel (see
+    feeder.chunked_events_split_dirs; a sentinel in only one feed stalls
+    the union's watermark at the other source's last real event and the
+    final windows never emit in append mode). The oracle is the same
+    full-table hourly aggregate as ST1: a hash match proves the split ∪
+    merge topology loses and duplicates nothing. Scale: each source
+    scales its own file listing/partitioning; post-union state is the
+    same windowed agg — state size O(open windows × types), independent
+    of source count."""
+    d_even, d_odd = feeder.chunked_events_split_dirs(sf_dir)
+    a = read_stream_events(spark, d_even)
+    b = read_stream_events(spark, d_odd)
+    agg = (
+        a.unionByName(b)
+        .withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_v_raw"))
+    )
+    res = run_stream(agg, output_mode="append")
+    return res.filter(F.col("event_type") != "__sentinel__").select(
+        _ntz(F.col("w.start")).alias("win_start"),
+        "event_type",
+        "n",
+        F.round("sum_v_raw", 2).alias("sum_v"),
+    )
