@@ -500,32 +500,46 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     (guarded identically on both sides — no 0/0 NaN).
 
     Scale: a pure narrow map over the corpus — per-row array transforms
-    inside whole-stage codegen (``F.transform`` / ``F.aggregate``, no
-    Python, no shuffle, no state). Partition-parallel at any corpus
+    (no Python, no shuffle, no state), partition-parallel at any corpus
     size; the natural downstream is writing q + scale as the compact
-    index payload."""
+    index payload. Cost shape: higher-order-function lambdas run
+    INTERPRETED (outside codegen), and an outer expression referenced
+    inside a lambda is RE-EVALUATED per element — an inline
+    ``array_max(...)/127`` scale made this O(dims²) per row (measured
+    1.8 s warm for 2 k×64 f32 at sf0.1; 0.27 s after staging). So
+    ``scale`` and the quantized array are materialized ONCE per row in
+    staged projections; CollapseProject keeps the stages because the
+    aliases are non-cheap and multiply-referenced."""
     e = load_table(spark, sf_dir, "embeddings")
-    d = _dvec("embedding")
-    absd = F.transform(d, lambda x: F.abs(x))
-    amax = F.array_max(absd)
-    scale = amax / F.lit(127.0)
-    q = F.transform(d, lambda x: F.round(x / scale))
-    zero = amax == F.lit(0.0)
 
     def _asum(arr):
         return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
 
-    return e.select(
+    staged = e.select(
         "vec_id",
         F.size("embedding").cast("bigint").alias("dims"),
-        F.round(scale, 6).alias("scale_r"),
-        F.when(zero, F.lit(0)).otherwise(_asum(q).cast("bigint")).alias("q_sum"),
+        _dvec("embedding").alias("d"),
+    ).withColumn(
+        "scale", F.array_max(F.transform(F.col("d"), lambda x: F.abs(x))) / F.lit(127.0)
+    ).withColumn(
+        "q", F.transform(F.col("d"), lambda x: F.round(x / F.col("scale")))
+    )
+    zero = F.col("scale") == F.lit(0.0)
+    return staged.select(
+        "vec_id",
+        "dims",
+        F.round(F.col("scale"), 6).alias("scale_r"),
+        F.when(zero, F.lit(0)).otherwise(_asum(F.col("q")).cast("bigint")).alias("q_sum"),
         F.when(zero, F.lit(0))
-        .otherwise(_asum(F.transform(q, lambda x: F.abs(x))).cast("bigint"))
+        .otherwise(_asum(F.transform(F.col("q"), lambda x: F.abs(x))).cast("bigint"))
         .alias("q_abs_sum"),
         F.round(
             F.when(zero, F.lit(0.0)).otherwise(
-                F.array_max(F.transform(d, lambda x: F.abs(x - F.round(x / scale) * scale)))
+                F.array_max(
+                    F.zip_with(
+                        F.col("d"), F.col("q"), lambda x, qi: F.abs(x - qi * F.col("scale"))
+                    )
+                )
             ),
             6,
         ).alias("max_abs_err"),
