@@ -94,9 +94,18 @@ SHOWCASE = [
      "exchange is built once and REUSED (ReusedExchange) for the global "
      "total; token→freq lookup joins on token (broadcast at test scale, "
      "shuffle at vocab scale), scoring re-aggregates per doc_id"),
-    ("embed_quantize_int8", "int8 vector quantization (r8): the whole "
-     "operator is ONE narrow Project over the scan — zero shuffles, all "
-     "array math in transform/aggregate expressions, no Python"),
+    ("embed_quantize_int8", "int8 vector quantization (r8): narrow "
+     "staged projections over the scan — zero shuffles, all array math "
+     "in transform/aggregate expressions, no Python. scale and the "
+     "quantized array are materialized once per row in their own "
+     "projections: HOF lambdas run interpreted and re-evaluate outer "
+     "expressions PER ELEMENT, so an inline scale was O(dims²)/row "
+     "(measured 1.8 s → 0.33 s warm at sf0.1)"),
+    ("sql_tpch_q16like", "NOT IN anti-subquery (r8): the non-null "
+     "s_suppkey lets the null-aware anti join degenerate to a plain "
+     "BroadcastHashJoin(LeftAnti) — the 100 TB-safe form — feeding "
+     "Catalyst's two-phase count(DISTINCT) expansion; the p_size IN-list "
+     "is pushed into the part scan"),
 ]
 
 

@@ -77,6 +77,19 @@ PROBES = [
     ("scan_python_datasource", "documents"),
     ("stream_python_datasource", "documents(stream)"),
     ("write_python_datasource", "documents"),
+    # r8: gap fill is window-over-aggregated-spine (must stay ≈flat — its
+    # window input is hours × types, independent of K); the unigram score
+    # joins every token to a K×-bigger vocabulary (t should track tokens
+    # ≈K×, rows = docs ≈K×); int8 quantize is a pure narrow map (t ≈K×
+    # over rows once past fixed cost); the stream union feeds 2×(3+1)
+    # files at every K, isolating per-batch growth like the other
+    # streaming probes. SQL-surface r8 keys (q2like/q16like) are not
+    # probeable here: the replica dirs carry only the four big tables,
+    # and their plans hinge on part/supplier joins.
+    ("events_gap_fill", "events"),
+    ("text_unigram_logprob", "documents"),
+    ("embed_quantize_int8", "embeddings"),
+    ("stream_union_sources", "events(stream)"),
 ]
 
 # keys whose first run at a given dir includes a ONE-TIME source-layout

@@ -119,3 +119,73 @@ def test_event_json_lines_roundtrip():
              "event_type": "click", "value": 0.5}]
     [line] = streams.event_json_lines(rows)
     assert json.loads(line) == rows[0]
+
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def test_split_feed_dirs_disjoint_union_with_sentinels():
+    """chunked_events_split_dirs (ST23 substrate): the two feeds must
+    partition the real events EXACTLY (disjoint, union = all event_ids)
+    and EACH must carry its own sentinel — the global watermark is the
+    MIN across sources, so a sentinel missing from either feed stalls
+    the union topology's final windows."""
+    import pyarrow.dataset as ds
+
+    from sparkstreamingstateful_spark.streaming import feeder
+
+    d_even, d_odd = feeder.chunked_events_split_dirs(SF001)
+    tables = {}
+    for name, d in (("even", d_even), ("odd", d_odd)):
+        t = ds.dataset(d, format="parquet").to_table()
+        rows = t.to_pydict()
+        real = [
+            (eid, uid)
+            for eid, uid in zip(rows["event_id"], rows["user_id"])
+            if uid >= 0
+        ]
+        sent = [uid for uid in rows["user_id"] if uid < 0]
+        assert sent, f"{name} feed lost its sentinel"
+        tables[name] = {eid for eid, _ in real}
+    assert all(e % 2 == 0 for e in tables["even"])
+    assert all(e % 2 == 1 for e in tables["odd"])
+    assert not (tables["even"] & tables["odd"])
+
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(f"{SF001}/events.parquet")
+    all_ids = set(src.column("event_id").to_pylist())
+    assert tables["even"] | tables["odd"] == all_ids
+
+    # same-session reuse must hit the cache (feeds are tempdirs; a fresh
+    # pair per call would leak disk and defeat mtime-ordered replay)
+    assert feeder.chunked_events_split_dirs(SF001) == (d_even, d_odd)
+
+
+def test_xml_roundtrip_special_chars(spark, tmp_path):
+    """S6j contract beyond the oracle's real data: XML entity escaping
+    (& < > " ') and empty strings must survive write→read bit-exactly,
+    as must shortest-roundtrip doubles."""
+    from pyspark.sql import types as T
+
+    rows = [
+        (1, "a & b < c > d", 0.1),
+        (2, 'quote " apos \' done', -2.5),
+        (3, "", 1e-300),
+        (4, "<row>not a tag</row>", 12345.678901234567),
+    ]
+    df = spark.createDataFrame(rows, ["k", "s", "v"])
+    out = str(tmp_path / "xml")
+    df.coalesce(1).write.format("xml").option("rowTag", "row").save(out)
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    back = spark.read.schema(schema).format("xml").option("rowTag", "row").load(out)
+    got = sorted((r.k, r.s, r.v) for r in back.collect())
+    # measured: the cycle is fully lossless — empty strings come back as
+    # '' (not NULL), entities unescape exactly, doubles are bit-identical
+    assert got == sorted(rows)
