@@ -16,7 +16,19 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+# Python WORKERS don't inherit the driver's sys.path surgery — they
+# resolve pickled references via PYTHONPATH/cwd. Running bench from any
+# cwd other than the repo root made every key that ships Python to
+# workers (stateful fns, Python data sources, foreach sinks) fail with
+# import errors inside the worker (measured: 10 keys from /tmp). Export
+# before the session exists; local-mode workers inherit the env.
+os.environ["PYTHONPATH"] = (
+    _REPO + os.pathsep + os.environ["PYTHONPATH"]
+    if os.environ.get("PYTHONPATH")
+    else _REPO
+)
 
 from sparkstreamingstateful_spark import registry
 from sparkstreamingstateful_spark.session import get_spark

@@ -24,6 +24,13 @@ import traceback
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+# workers resolve pickled refs via PYTHONPATH, not the driver's sys.path
+# (see bench.py) — export so the sim works from any cwd
+os.environ["PYTHONPATH"] = (
+    REPO + os.pathsep + os.environ["PYTHONPATH"]
+    if os.environ.get("PYTHONPATH")
+    else REPO
+)
 
 
 def main() -> int:

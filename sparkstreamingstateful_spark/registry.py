@@ -71,6 +71,8 @@ def query(name: str, oracle: str | None = None):
 # r4 for the few cohort keys that don't fit, r5 otherwise.
 _KEY_PRIORITY = [
     # (a) new keys with NO driver evidence yet
+    "stateful_running_agg_tws_bootstrap",  # r8: TWS initialState batch→stream handoff
+    "scd2_point_in_time_join",  # r8: temporal PIT lookup via the as-of tiling rewrite
     "stream_union_sources",  # r8: multi-source union, min-across-sources watermark
     "scan_xml",  # r8: Spark 4 built-in XML source roundtrip
     "sql_tpch_q16like",  # r8: NOT IN anti join + count(DISTINCT) expansion
@@ -121,15 +123,15 @@ _KEY_PRIORITY = [
     "set_union_distinct",
     "set_intersect",
     "set_except",
-    "set_except_all",
-    "set_intersect_all",
-    # --- 50-key boundary. Group (a) holds 15 keys (the never-checked r7
-    # key + fourteen r8 additions), so the last 14 of the 47-key r4
+    # --- 50-key boundary. Group (a) holds 17 keys (the never-checked r7
+    # key + sixteen r8 additions), so the last 16 of the 47-key r4
     # cohort land just below the line — first in line next round. Every key
     # after them carries r5-or-fresher evidence; order below the line =
     # next-rotation order: sample_seeded (rows-only by construction)
     # next, then the r5 greens, then the r6/r7-window keys (freshest —
     # checked twice, identically, in both rounds). ---
+    "set_except_all",
+    "set_intersect_all",
     "limit_topk",
     "array_explode",
     "embed_similarity_topk",

@@ -1552,3 +1552,97 @@ def stream_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round("sum_v_raw", 2).alias("sum_v"),
     )
+
+
+@query(
+    "stateful_running_agg_tws_bootstrap",
+    oracle="""
+    SELECT user_id, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stateful_running_agg_tws_bootstrap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TWS INITIAL STATE (ST24): the batch→streaming state handoff.
+    A batch GROUP BY over the EVEN-event_id half of events seeds the
+    streaming state via ``transformWithStateInPandas(initialState=...)``
+    (``handleInitialState`` runs once per seeded key in batch 0); the
+    ODD half then streams through the same running agg (reusing ST23's
+    split feeds). The H-check is the point: seeded-state + incremental
+    updates must hash-equal the full-table GROUP BY — the exact contract
+    of replacing a backfill+lambda architecture with "bootstrap the
+    stream from the backfill table". Seeded keys that never receive a
+    stream row emit nothing (handleInitialState cannot emit), so the
+    materialization unions the bootstrap table and takes the per-key
+    arg-max by the MONOTONE running count n — a stream emission for a
+    key always carries n strictly greater than its seed. Scale: the
+    bootstrap table distributes with the state store's own key
+    partitioning (Spark co-partitions initialState by the grouping
+    key); no extra shuffle beyond the one any stateful op pays.
+    Fallback (TWS protobuf broken): applyInPandasWithState has no
+    initial-state surface, so the odd half streams WITHOUT a seed and
+    the seed is merged post-hoc (outer-join sum) — same oracle, weaker
+    API coverage, recorded via TWS_PATHS."""
+    init_df = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 2 == 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+    )
+    _, d_odd = feeder.chunked_events_split_dirs(sf_dir)
+    ev = read_stream_events(spark, d_odd)
+    if _tws_available(spark):
+        _record_tws_path(
+            "stateful_running_agg_tws_bootstrap", "transformWithStateInPandas"
+        )
+        updates = ev.groupBy("user_id").transformWithStateInPandas(
+            stateful.make_bootstrap_running_agg_processor(),
+            outputStructType=stateful.RUNNING_AGG_OUTPUT,
+            outputMode="Update",
+            timeMode="None",
+            initialState=init_df.groupBy("user_id"),
+        )
+        res = run_stream(updates, output_mode="update", state_partitions=_parts(sf_dir))
+        merged = res.filter(F.col("user_id") >= 0).unionByName(init_df)
+        final = merged.groupBy("user_id").agg(
+            F.max(F.struct("n", "sum_value")).alias("s")
+        )
+        return final.select(
+            "user_id",
+            F.col("s.n").alias("n"),
+            F.round(F.col("s.sum_value"), 2).alias("sum_value"),
+        )
+    _record_tws_path(
+        "stateful_running_agg_tws_bootstrap", "applyInPandasWithState_fallback"
+    )
+    updates = ev.groupBy("user_id").applyInPandasWithState(
+        stateful.running_agg_fn,
+        stateful.RUNNING_AGG_OUTPUT,
+        stateful.RUNNING_AGG_STATE,
+        "update",
+        "NoTimeout",
+    )
+    res = run_stream(updates, output_mode="update", state_partitions=_parts(sf_dir))
+    odd_final = (
+        res.filter(F.col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n", "sum_value")).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.n").alias("n1"),
+            F.col("s.sum_value").alias("v1"),
+        )
+    )
+    seed = init_df.select(
+        "user_id", F.col("n").alias("n0"), F.col("sum_value").alias("v0")
+    )
+    both = odd_final.join(seed, "user_id", "full")
+    return both.select(
+        "user_id",
+        (F.coalesce("n0", F.lit(0)) + F.coalesce("n1", F.lit(0))).alias("n"),
+        F.round(
+            F.coalesce("v0", F.lit(0.0)) + F.coalesce("v1", F.lit(0.0)), 2
+        ).alias("sum_value"),
+    )

@@ -245,6 +245,46 @@ def make_running_agg_processor():
     return RunningAgg()
 
 
+def make_bootstrap_running_agg_processor():
+    """ST24: the running agg with INITIAL STATE — the
+    ``transformWithStateInPandas(initialState=...)`` surface that
+    migrates a batch-computed table into live streaming state (the
+    "start the stream where the backfill left off" handoff every
+    lambda-architecture replacement needs). ``handleInitialState`` is
+    invoked once per bootstrapped key in the FIRST batch, before that
+    key's ``handleInputRows``; keys absent from the bootstrap skip it
+    (state starts empty), and bootstrapped keys that never receive a
+    stream row keep their seeded state but emit nothing — the caller's
+    materialization must union the bootstrap table for those (see
+    queries.stateful_running_agg_tws_bootstrap)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class BootstrapRunningAgg(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("agg", RUNNING_AGG_STATE)
+
+        def handleInitialState(self, key, initialState, timerValues) -> None:
+            # one seed row per key (the bootstrap table is a GROUP BY)
+            row = initialState.iloc[0]
+            self._state.update((int(row["n"]), float(row["sum_value"])))
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = self._state.get() or (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._state.update((n, s))
+            yield pd.DataFrame({"user_id": [key[0]], "n": [n], "sum_value": [s]})
+
+        def close(self) -> None:
+            pass
+
+    return BootstrapRunningAgg()
+
+
 # ------------------------------------------------------------ ST8 (TWS)
 SESSION_TWS_OUTPUT = T.StructType(
     [
