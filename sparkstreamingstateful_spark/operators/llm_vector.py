@@ -496,8 +496,11 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes — integral doubles, exact in IEEE at these magnitudes, CAST to
     BIGINT) plus the per-vector scale and max reconstruction error
     (rounded; division and abs are single IEEE ops, bit-identical across
-    engines). Zero vectors quantize to all-zero codes by definition
-    (guarded identically on both sides — no 0/0 NaN).
+    engines). Zero vectors quantize to all-zero codes by definition: the
+    division runs against a safe stand-in denominator (ANSI mode throws
+    DIVIDE_BY_ZERO even for DOUBLE — measured), and the checksum guards
+    short-circuit the stand-in codes to 0, matching the oracle's CASE
+    (pinned by test_quantize_zero_vector).
 
     Scale: a pure narrow map over the corpus — per-row array transforms
     (no Python, no shuffle, no state), partition-parallel at any corpus
@@ -510,7 +513,13 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``scale`` and the quantized array are materialized ONCE per row in
     staged projections; CollapseProject keeps the stages because the
     aliases are non-cheap and multiply-referenced."""
-    e = load_table(spark, sf_dir, "embeddings")
+    return quantize_int8_plan(load_table(spark, sf_dir, "embeddings"))
+
+
+def quantize_int8_plan(e: DataFrame) -> DataFrame:
+    """The embed_quantize_int8 plan over any (vec_id, embedding) frame —
+    split out so tests can drive edge-case vectors (all-zero) the corpus
+    lacks."""
 
     def _asum(arr):
         return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
@@ -521,8 +530,16 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dvec("embedding").alias("d"),
     ).withColumn(
         "scale", F.array_max(F.transform(F.col("d"), lambda x: F.abs(x))) / F.lit(127.0)
-    ).withColumn(
-        "q", F.transform(F.col("d"), lambda x: F.round(x / F.col("scale")))
+    )
+    # ANSI mode throws DIVIDE_BY_ZERO even for DOUBLE division (measured on
+    # this distribution), and the `q` projection evaluates unconditionally —
+    # an all-zero vector (scale = 0) must divide by a safe stand-in instead.
+    # The stand-in value never reaches the output: every aggregate over `q`
+    # is short-circuited to 0 by the `zero` guard below, matching the
+    # oracle's CASE (which short-circuits the division itself).
+    safe = F.when(F.col("scale") == F.lit(0.0), F.lit(1.0)).otherwise(F.col("scale"))
+    staged = staged.withColumn(
+        "q", F.transform(F.col("d"), lambda x: F.round(x / safe))
     )
     zero = F.col("scale") == F.lit(0.0)
     return staged.select(

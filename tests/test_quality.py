@@ -184,3 +184,24 @@ def test_shingle_short_doc_safe(spark):
         F.size(_shingle_idx(_tokens())).alias("n_shingles")
     ).collect()
     assert [r["n_shingles"] for r in out] == [0, 0, 1, 2]
+
+
+def test_quantize_zero_vector(spark):
+    """r9 advice: an all-zero embedding (scale = 0) must quantize to
+    all-zero checksums, not crash — ANSI mode throws DIVIDE_BY_ZERO even
+    for DOUBLE division, so the plan divides by a safe stand-in that the
+    checksum guards discard."""
+    from sparkstreamingstateful_spark.operators.llm_vector import quantize_int8_plan
+
+    df = spark.createDataFrame(
+        [(1, [0.0] * 8), (2, [1.0, -2.0, 0.5, 0.0, 3.0, -1.5, 2.5, 0.25])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_int8_plan(df).collect()}
+    z = rows[1]
+    assert (z["scale_r"], z["q_sum"], z["q_abs_sum"], z["max_abs_err"]) == (0.0, 0, 0, 0.0)
+    nz = rows[2]
+    # scale = 3/127; codes = round(x*127/3) → sum 127+(-85)+21+0+127+(-64)+106+11... 
+    # just pin the invariants: L1 ≥ |sum|, max code magnitude is 127 → err < scale/2 + eps
+    assert nz["q_abs_sum"] >= abs(nz["q_sum"]) > 0
+    assert nz["max_abs_err"] <= nz["scale_r"] / 2 + 1e-6
