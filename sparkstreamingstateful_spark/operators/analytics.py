@@ -591,3 +591,73 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pit.dim_value").alias("dim_value"),
         )
     )
+
+
+# ----------------------------------------------------------- observability
+@query(
+    "observe_metrics",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price,
+           CAST(count(CASE WHEN l_discount > 0.05 THEN 1 END) AS BIGINT)
+               AS n_discounted
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    """,
+)
+def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.observe()`` — the production data-quality/metrics hook
+    (the batch half of the observability surface; the streaming half is
+    the StreamingQueryListener, pinned test-side): named aggregate
+    metrics are attached to a plan node and computed AS A SIDE EFFECT of
+    whatever action the query already runs — accumulator-style, zero
+    extra scan, zero extra shuffle. Here a filtered lineitem scan is
+    driven through a ``noop`` write (the cheapest real action) and the
+    observed metrics themselves are returned as a one-row DataFrame, so
+    the H-check pins observe()'s aggregate values against the oracle
+    computing the same aggregates relationally — proving the metrics
+    hook reports exactly what a dedicated aggregation query would
+    (row counts, extremes, a predicate tally; the sum rounded in both
+    engines per the cross-engine summation contract).
+
+    Scale: observe() is THE way to count/validate rows in a 100 TB
+    pipeline without a second pass — metrics ride the action's existing
+    scan as map-side partial aggregates merged on the driver; an
+    equivalent standalone agg query would re-read the whole input."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation()
+    observed = li.filter(
+        F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp")
+    ).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_discounted"),
+    )
+    # Drive the observed plan with the cheapest real action; obs.get
+    # blocks until the action's QueryExecutionListener fires.
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                float(m["sum_price"]),
+                float(m["min_price"]),
+                float(m["max_price"]),
+                m["n_discounted"],
+            )
+        ],
+        schema=(
+            "n_rows long, sum_price double, min_price double, "
+            "max_price double, n_discounted long"
+        ),
+    )

@@ -561,3 +561,128 @@ def quantize_int8_plan(e: DataFrame) -> DataFrame:
             6,
         ).alias("max_abs_err"),
     )
+
+
+# ---------------------------------------------------------- semantic dedup
+_SEMDEDUP_TAU = 0.35  # this synthetic corpus has no 0.99-grade dups (max
+# observed pairwise cosine ~0.51); 0.35 sits in the top ~0.1% of same-cell
+# pairs at every SF, so the drop set is non-empty and the machinery is
+# genuinely exercised. A production corpus would run the classic 0.9+.
+
+_SEMDEDUP_ORACLE = f"""
+    WITH dvecs AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    normed AS (
+        SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nv
+        FROM dvecs
+    ),
+    centroids AS (
+        SELECT label AS cell, list(c ORDER BY pos) AS centroid
+        FROM (SELECT label, pos, round(avg(x), 6) AS c
+              FROM (SELECT label,
+                           unnest(range(1, len(v) + 1)) AS pos,
+                           unnest(v) AS x
+                    FROM dvecs)
+              GROUP BY label, pos)
+        GROUP BY label
+    ),
+    assigned AS (
+        SELECT vec_id, v, nv, cell
+        FROM (SELECT d.vec_id, d.v, d.nv, c.cell,
+                     row_number() OVER (
+                         PARTITION BY d.vec_id
+                         ORDER BY list_dot_product(d.v, c.centroid)
+                                  / (d.nv * sqrt(list_dot_product(c.centroid,
+                                                                  c.centroid)))
+                                  DESC, c.cell) AS rn
+              FROM normed d CROSS JOIN centroids c)
+        WHERE rn = 1
+    ),
+    dropped AS (
+        SELECT DISTINCT a.vec_id
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND b.vec_id < a.vec_id
+        WHERE list_dot_product(a.v, b.v) / (a.nv * b.nv) >= {_SEMDEDUP_TAU}
+    )
+    SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+           (d.vec_id IS NULL) AS is_kept
+    FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+"""
+
+
+@query("dedup_semantic", oracle=_SEMDEDUP_ORACLE)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) dedup, SemDeDup shape (Abbas et al.
+    2023): coarse-cluster the corpus, then drop near-identical vectors
+    WITHIN each cluster — the missing rung between token-level near-dup
+    (L4) and exact dedup, catching paraphrases/translations token
+    methods can't. Pipeline: (1) codebook = per-label centroids with
+    per-dimension means ROUNDED to 6 dp so both engines build a
+    bit-identical codebook (raw avg differs by ~1 ulp across engines and
+    could flip a near-tie cell assignment — the rounding removes the one
+    nondeterminism the IVF key tolerates); (2) every vector assigned to
+    its nearest centroid by cosine (broadcast codebook × one corpus
+    scan — linear, the IVF assignment shape); (3) intra-cell pairs with
+    cosine ≥ τ; (4) greedy keep-lowest-id: a vector is dropped iff a
+    smaller-id same-cell vector sits within τ (deterministic,
+    EXISTS-replicable — no iterative clustering). Output = (vec_id,
+    cell, is_kept) for the whole corpus, so the H-check pins the
+    assignment AND the drop set exactly.
+
+    Scale: never all-pairs — pair work is Σ|cell|², and at 100 TB the
+    codebook is k-means-trained with k sized to cap |cell| (the SemDeDup
+    recipe); assignment stays a broadcast map, pairs stay an equi-join
+    on cell. Norms are staged once per vector (1 dot per pair instead
+    of 3)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dv = e.select("vec_id", "label", _dvec("embedding").alias("v"))
+    normed = dv.withColumn("nv", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    cents = (
+        dv.select("label", F.posexplode("v").alias("pos0", "x"))
+        .groupBy("label", F.col("pos0").alias("pos"))
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("centroid")
+        )
+        .select(F.col("label").alias("cell"), "centroid")
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(F.col("cell_sim").desc(), "cell")
+    assigned = (
+        normed.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "v", "nv", "cell",
+            (
+                _dot(F.col("v"), F.col("centroid"))
+                / (F.col("nv") * F.sqrt(_dot(F.col("centroid"), F.col("centroid"))))
+            ).alias("cell_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "nv", "cell")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .filter(
+            _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nv") * F.col("b.nv"))
+            >= F.lit(_SEMDEDUP_TAU)
+        )
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return assigned.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        F.col("cell").cast("bigint").alias("cell"),
+        F.col("hit").isNull().alias("is_kept"),
+    )

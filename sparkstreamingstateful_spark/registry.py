@@ -58,96 +58,38 @@ def query(name: str, oracle: str | None = None):
 # Evidence-priority ordering. The correctness driver checks exactly the
 # FIRST 50 registered keys each round (count cap, measured r1/r2), so
 # iteration order is the lever that decides which keys get hard oracle
-# signal. Round-8 rotation (per VERDICT r7 items 1+2 — the r7 window was
-# byte-identical to r6's, so the overdue rotation executes now): the
-# window leads with (a) the keys NEW this round with zero driver
-# evidence — stateful_profile_tws (registered r7 but never prioritized,
-# so it sat at position 149, outside the window) and the r8 additions —
-# then (b) the two keys whose latest green dates to ROUND 3
-# (events_rollup_cascade, window_time_range), then (c) the r4-era cohort
-# (latest green r04) to fill slot 50. Keys checked in the r6/r7 windows
-# (identical) and the r5 greens all move below the line — their evidence
-# is the freshest there is. Max H-evidence age after this window lands:
-# r4 for the few cohort keys that don't fit, r5 otherwise.
+# signal. Round-9 rotation (per VERDICT r8 item 1 — finish the evidence
+# rotation): the window leads with (a) the four keys NEW this round with
+# zero driver evidence, then (b) the sixteen keys whose latest green
+# still dates to ROUND 4 — the oldest evidence in the union — then
+# (c) thirty of the forty-eight r5-evidence keys. After this window
+# lands, max H-evidence age is r5 (the 18 r5 keys that didn't fit, which
+# lead the r10 window — listed first below the line), and everything
+# else carries r7/r8 evidence.
 _KEY_PRIORITY = [
-    # (a) new keys with NO driver evidence yet
-    "stateful_running_agg_tws_bootstrap",  # r8: TWS initialState batch→stream handoff
-    "scd2_point_in_time_join",  # r8: temporal PIT lookup via the as-of tiling rewrite
-    "stream_union_sources",  # r8: multi-source union, min-across-sources watermark
-    "scan_xml",  # r8: Spark 4 built-in XML source roundtrip
-    "sql_tpch_q16like",  # r8: NOT IN anti join + count(DISTINCT) expansion
-    "scalar_collation",  # r8: UTF8_LCASE collation-aware distinct
-    "sql_tpch_q2like",  # r8: correlated scalar MIN decorrelation (Q2 shape)
-    "events_gap_fill",  # r8: LOCF gap fill over the hour × type spine
-    "text_unigram_logprob",  # r8: corpus unigram LM quality score
-    "embed_quantize_int8",  # r8: per-vector int8 quantization
-    "stateful_profile_tws",  # r7: TWS MapState+TTL — registered late, never reached the window
-    "stream_stream_join_semi",  # r8: streaming LEFT SEMI (the WHERE EXISTS join)
-    "stream_sink_to_table",  # r8: writeStream.toTable catalog sink
-    "stream_sink_foreach",  # r8: row-level ForeachWriter sink
-    "scan_state_store",  # r8: Spark 4 state-store data source (checkpoint state as batch DF)
-    "sql_lateral_topk",  # r8: LATERAL correlated ORDER BY/LIMIT subquery
-    "sql_recursive_cte",  # r8: WITH RECURSIVE date spine + zero-fill join
-    # (b) r3-era greens — the oldest evidence in the union
-    "events_rollup_cascade",
-    "window_time_range",
-    # (c) r4-era cohort (latest green r04)
-    "sql_tpch_q7like",
-    "sql_tpch_q18like",
-    "multimodal_features",
-    "dedup_near",
-    "dedup_ngram_jaccard",
-    "scan_partition_pruning",
-    "join_bucketed_colocated",
-    "join_semi",
-    "join_anti",
-    "join_cross",
-    "join_theta_range",
-    "join_multikey",
-    "agg_distinct",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_stats",
-    "agg_conditional_pivot",
-    "agg_salted_skew",
-    "distinct_rows",
-    "window_ranking",
-    "window_analytic",
-    "window_frame_rows",
-    "window_frame_range",
-    "topk_per_group",
-    "sort_multi",
-    "set_union_all",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    # --- 50-key boundary. Group (a) holds 17 keys (the never-checked r7
-    # key + sixteen r8 additions), so the last 16 of the 47-key r4
-    # cohort land just below the line — first in line next round. Every key
-    # after them carries r5-or-fresher evidence; order below the line =
-    # next-rotation order: sample_seeded (rows-only by construction)
-    # next, then the r5 greens, then the r6/r7-window keys (freshest —
-    # checked twice, identically, in both rounds). ---
+    # (a) r9 additions with NO driver evidence yet
+    "stream_static_join_left",
+    "scan_state_changefeed",
+    "dedup_semantic",
+    "observe_metrics",
+    # (b) r4-evidence cohort — the oldest greens in the union
+    "agg_collect",
+    "array_explode",
+    "array_ops",
+    "cte_query",
+    "embed_centroids",
+    "embed_similarity_topk",
+    "limit_topk",
+    "map_ops",
+    "scalar_cast",
+    "scalar_math",
     "set_except_all",
     "set_intersect_all",
-    "limit_topk",
-    "array_explode",
-    "embed_similarity_topk",
-    "embed_centroids",
-    "scalar_math",
-    "scalar_cast",
-    "agg_collect",
-    "array_ops",
-    "map_ops",
-    "vector_ops",
-    "subquery_scalar",
-    "subquery_in",
     "subquery_correlated_exists",
-    "cte_query",
-    "sample_seeded",
-    # r5 greens
+    "subquery_in",
+    "subquery_scalar",
+    "vector_ops",
+    # (c) oldest r5-evidence keys (30 of 48)
     "stateful_sessionize",
     "stateful_running_agg",
     "stateful_dedup_keyed",
@@ -178,6 +120,11 @@ _KEY_PRIORITY = [
     "doc_fingerprint",
     "dedup_exact",
     "dedup_simhash",
+    # --- 50-key boundary. Order below the line = next-rotation order:
+    # sample_seeded (rows-only by construction) first, then the 18
+    # r5-evidence keys that lead r10's window, then the r6/r7-window
+    # greens, then the keys checked in the r8 window (freshest).
+    "sample_seeded",
     "multimodal_binary",
     "doc_chunking",
     "corpus_sample_stratified",
@@ -196,7 +143,7 @@ _KEY_PRIORITY = [
     "text_stats",
     "text_language_id",
     "text_token_count",
-    # r6/r7-window greens (freshest evidence in the union)
+    # r6/r7-window greens
     "stream_stream_join_full",
     "stream_stream_join_right",
     "json_variant",
@@ -247,6 +194,57 @@ _KEY_PRIORITY = [
     "events_sessionize_batch",
     "events_funnel",
     "events_cohort_retention",
+    # r8-window greens (freshest evidence in the union)
+    "stateful_running_agg_tws_bootstrap",
+    "scd2_point_in_time_join",
+    "stream_union_sources",
+    "scan_xml",
+    "sql_tpch_q16like",
+    "scalar_collation",
+    "sql_tpch_q2like",
+    "events_gap_fill",
+    "text_unigram_logprob",
+    "embed_quantize_int8",
+    "stateful_profile_tws",
+    "stream_stream_join_semi",
+    "stream_sink_to_table",
+    "stream_sink_foreach",
+    "scan_state_store",
+    "sql_lateral_topk",
+    "sql_recursive_cte",
+    "events_rollup_cascade",
+    "window_time_range",
+    "sql_tpch_q7like",
+    "sql_tpch_q18like",
+    "multimodal_features",
+    "dedup_near",
+    "dedup_ngram_jaccard",
+    "scan_partition_pruning",
+    "join_bucketed_colocated",
+    "join_semi",
+    "join_anti",
+    "join_cross",
+    "join_theta_range",
+    "join_multikey",
+    "agg_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_stats",
+    "agg_conditional_pivot",
+    "agg_salted_skew",
+    "distinct_rows",
+    "window_ranking",
+    "window_analytic",
+    "window_frame_rows",
+    "window_frame_range",
+    "topk_per_group",
+    "sort_multi",
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
 ]
 
 

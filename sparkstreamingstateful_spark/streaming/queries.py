@@ -187,6 +187,47 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_static_join_left",
+    oracle="""
+    SELECT event_id,
+           CAST(c_custkey AS DOUBLE) AS c_custkey,
+           c_mktsegment, value
+    FROM events LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 2 = 0) c
+      ON user_id = c_custkey
+    """,
+)
+def stream_static_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static LEFT OUTER join (ST25): dim enrichment where a
+    MISSING dim row must not drop the event — the most common production
+    join after inner (the dim is late, partial, or the key is simply
+    new). The static side is restricted to the even-custkey half so
+    every micro-batch genuinely exercises null extension at every SF
+    (the full dim covers all event users — an unrestricted left join
+    would be indistinguishable from inner). Stream-static joins are
+    STATELESS: the static side is (re)planned as a broadcast per
+    micro-batch, rows emit in the batch they arrive, no watermark is
+    involved — so unmatched events carry NULLs immediately, not at some
+    eviction boundary (unlike the stream-stream outer joins ST12/17/18).
+    Contract: the null-bearing join key is CAST DOUBLE on BOTH engines
+    (NULL-bearing BIGINT → float64 through the driver's fetchdf — the r6
+    outer-join lesson). Scale: broadcast dim ⇒ no shuffle of the stream;
+    a too-big dim flips to a per-batch shuffled join — same semantics;
+    production deployments persist/cache the static frame so the
+    per-trigger re-read doesn't rescan the dim's storage."""
+    ev = _stream(spark, sf_dir, sentinels=False)
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 2 == 0
+    )
+    joined = ev.join(cust, ev.user_id == cust.c_custkey, "left_outer").select(
+        "event_id",
+        F.col("c_custkey").cast("double").alias("c_custkey"),
+        "c_mktsegment",
+        "value",
+    )
+    return run_stream(joined, output_mode="append")
+
+
+@query(
     "stream_stream_join",
     oracle="""
     SELECT p.event_id AS purchase_id, c.event_id AS click_id
@@ -1455,17 +1496,46 @@ def scan_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     restore and die anyway. Snapshot-per-version also spares the read
     the changelog replay; the changelog feature itself stays pinned by
     test_rocksdb_changelog_checkpointing."""
+    ckpt = _dedup_state_ckpt(spark, sf_dir)
+    return _statestore_read(
+        spark,
+        ckpt,
+        lambda st: st.select(F.col("key.event_id").alias("event_id")),
+    )
+
+
+def _dedup_state_ckpt(
+    spark: SparkSession, sf_dir: str, *, changelog: bool = False
+) -> str:
+    """Build (or reuse) a completed keyed-dropDuplicates checkpoint for
+    the state-store reader keys — cached per (provider, changelog mode,
+    content tag) with the ``_DONE`` discipline. Two physical flavors
+    exist because the two read paths need OPPOSITE RocksDB layouts:
+    the SNAPSHOT read (S7) wants changelog checkpointing OFF
+    (snapshot-per-version — a changelog-only version forces the reader
+    into the coordinator-RPC replay path, see scan_state_store), while
+    the CHANGE FEED read (S7b) wants it ON — ``readChangeFeed`` under
+    RocksDB replays the per-batch ``.changelog`` files themselves, and a
+    snapshot-only checkpoint has none (measured:
+    CANNOT_READ_STREAMING_STATE_FILE .../1.changelog does not exist)."""
     import os
     import shutil
     import tempfile as _tf
 
     from ..operators.scans import _dir_tag
+    from ..session import configure
 
+    # Self-configure FIRST: the provider tag must reflect the provider the
+    # setup stream will actually run with (a plain driver session is
+    # configured lazily by load_table — if this key runs before any table
+    # load, an unconfigured conf.get here would mis-tag the cache dir).
+    configure(spark)
     prov = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
     ptag = "rocksdb" if "RocksDB" in str(prov) else "hdfs"
+    flavor = "cf_" if changelog else ""
     ckpt = os.path.join(
         _tf.gettempdir(),
-        f"sss_statestore_{ptag}_{_dir_tag(sf_dir, 'events')}",
+        f"sss_statestore_{flavor}{ptag}_{_dir_tag(sf_dir, 'events')}",
     )
     if not os.path.exists(os.path.join(ckpt, "_DONE")):
         if os.path.isdir(ckpt):
@@ -1483,7 +1553,7 @@ def scan_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         prev_cl = spark.conf.get(cl_key, "false")
         spark.conf.set("spark.sql.shuffle.partitions", "4")
-        spark.conf.set(cl_key, "false")  # snapshot-per-version (see docstring)
+        spark.conf.set(cl_key, "true" if changelog else "false")
         try:
             q = (
                 dedup.writeStream.format("noop")
@@ -1498,16 +1568,75 @@ def scan_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(cl_key, prev_cl)
         with open(os.path.join(ckpt, "_DONE"), "w") as f:
             f.write("")
+    return ckpt
+
+
+def _statestore_read(spark: SparkSession, ckpt: str, project, **options) -> DataFrame:
+    """Run a ``format("statestore")`` read inside the conf window the
+    reader needs (snapshot-upload-lag reporting off — the batch session
+    has no StateStoreCoordinator RPC endpoint; see scan_state_store) and
+    EAGERLY materialize via localCheckpoint so the scan executes while the
+    conf still holds."""
     lag_key = "spark.sql.streaming.stateStore.coordinatorReportSnapshotUploadLag"
     prev_lag = spark.conf.get(lag_key, "true")
     spark.conf.set(lag_key, "false")
     try:
-        st = spark.read.format("statestore").option("path", ckpt).load()
-        return st.select(
-            F.col("key.event_id").alias("event_id")
-        ).localCheckpoint(eager=True)
+        rd = spark.read.format("statestore").option("path", ckpt)
+        for k, v in options.items():
+            rd = rd.option(k, v)
+        return project(rd.load()).localCheckpoint(eager=True)
     finally:
         spark.conf.set(lag_key, prev_lag)
+
+
+@query(
+    "scan_state_changefeed",
+    oracle="""
+    SELECT e.event_id,
+           CAST(CASE WHEN e.event_id < b.n // 3 THEN 0
+                     WHEN e.event_id < 2 * b.n // 3 THEN 1
+                     ELSE 2 END AS BIGINT) AS batch_id,
+           'update' AS change_type
+    FROM events e, (SELECT count(*) AS n FROM events) b
+    """,
+)
+def scan_state_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store CHANGE FEED (S7b): ``readChangeFeed`` over the same
+    cached dropDuplicates checkpoint S7 scans — the state-debugging
+    surface an operator reaches for first ("which batch touched this
+    key, and how?"): every state transition between two batch ids as
+    (batch_id, change_type, key) rows. For keyed dedup each event_id is
+    put exactly once, in the micro-batch that delivered its chunk, so
+    the whole feed is SQL-predictable: the feeder slices the events
+    table into thirds IN ROW ORDER and the table's row order is
+    event_id 0..n-1 (measured at all three SFs, pinned by
+    test_changefeed_batch_attribution), so batch_id =
+    the chunk index of ``event_id`` against the ``i*n//3`` boundaries
+    and change_type = 'update' everywhere (no eviction: dedup without
+    watermark never deletes). The H-check therefore pins per-batch
+    attribution and change typing exactly — a replayed batch, dropped
+    delta file, or misnumbered version shifts batch_id; a spurious
+    eviction surfaces as 'delete' rows. The checkpoint is a SEPARATE
+    flavor from S7's: under RocksDB the change feed replays the
+    per-batch ``.changelog`` files themselves, so its setup stream runs
+    with changelog checkpointing ON (this engine's session default — the
+    at-scale posture) while S7's snapshot read needs it OFF; see
+    _dedup_state_ckpt. Scale: the read parallelizes over state
+    partitions × batches and reads only the requested batch-id range —
+    the audit never rescans the stream's data, only its state change
+    files."""
+    ckpt = _dedup_state_ckpt(spark, sf_dir, changelog=True)
+    return _statestore_read(
+        spark,
+        ckpt,
+        lambda st: st.select(
+            F.col("key.event_id").alias("event_id"),
+            "batch_id",
+            "change_type",
+        ),
+        readChangeFeed="true",
+        changeStartBatchId="0",
+    )
 
 
 @query(

@@ -1398,3 +1398,80 @@ def test_tws_skew_stress(spark, tmp_path):
         )
 
     _skew_stress(spark, tmp_path, updates, "transformWithStateInPandas")
+
+
+def test_streaming_query_listener_lifecycle(spark):
+    """StreamingQueryListener — the streaming half of the observability
+    surface (the batch half is the observe_metrics key): session-level
+    listener callbacks must fire for start/progress/termination with the
+    owning query's id, and the progress events' numInputRows must sum to
+    exactly the feed size — the metrics stream an operator alarms on in
+    production. Listener delivery is ASYNC (a separate delivery thread),
+    so the assertions poll with a deadline rather than assuming the
+    events landed by awaitTermination."""
+    import time
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    seen = {"started": [], "progress": [], "terminated": []}
+
+    class _Listener(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            seen["started"].append(str(event.id))
+
+        def onQueryProgress(self, event):
+            p = event.progress
+            seen["progress"].append((str(p.id), p.numInputRows))
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            seen["terminated"].append(str(event.id))
+
+    listener = _Listener()
+    spark.streams.addListener(listener)
+    try:
+        feed = chunked_events_dir(SF_UNIT, sentinels=False)
+        q = (
+            read_stream_events(spark, feed)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .writeStream.format("memory")
+            .queryName("listener_probe_sink")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        qid = str(q.id)
+        deadline = time.time() + 20
+        while time.time() < deadline and qid not in seen["terminated"]:
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+
+    assert qid in seen["started"], (qid, seen["started"])
+    assert qid in seen["terminated"], (qid, seen["terminated"])
+    n_feed = load_table(spark, SF_UNIT, "events").count()
+    n_in = sum(n for pid, n in seen["progress"] if pid == qid)
+    assert n_in == n_feed, (n_in, n_feed)
+
+
+def test_changefeed_batch_attribution():
+    """scan_state_changefeed's oracle predicts each key's batch_id from
+    the i*n//3 chunk boundaries applied to event_id DIRECTLY — valid only
+    while events.parquet's physical row order is event_id 0..n-1 (the
+    feeder slices rows positionally). Pin that assumption so a testdata
+    regeneration that reorders rows fails here loudly instead of as an
+    opaque driver hash mismatch."""
+    import pyarrow.parquet as pq
+
+    eid = (
+        pq.read_table(
+            os.path.join(SF_UNIT, "events.parquet"), columns=["event_id"]
+        )
+        .column("event_id")
+        .to_pylist()
+    )
+    assert eid == list(range(len(eid)))
