@@ -228,6 +228,38 @@ def stream_static_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_static_join_anti",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events e
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = e.user_id AND c.c_custkey % 2 = 0)
+    """,
+)
+def stream_static_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static LEFT ANTI join (ST26): the streaming data-quality
+    QUARANTINE — events whose key has NO dim row, routed aside instead
+    of silently dropped (the inner join's blind spot) or null-padded
+    (ST25's shape). With ST5 (inner) and ST25 (left outer) this
+    completes the supported stream-static join-mode matrix: every
+    ``joinType`` a user can pass against a static frame is now an
+    oracle-checked path. Same stateless per-batch broadcast shape as
+    ST5/ST25 (anti against a broadcast dim = a map-side filter — no
+    state, no watermark, no shuffle of the stream); same even-custkey
+    dim restriction so the quarantine set is non-empty at every SF. No
+    null-bearing columns survive the anti join, so no DOUBLE-cast is
+    needed — the output is pure stream columns."""
+    ev = _stream(spark, sf_dir, sentinels=False)
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 2 == 0
+    )
+    joined = ev.join(cust, ev.user_id == cust.c_custkey, "left_anti").select(
+        "event_id", "user_id", "event_type"
+    )
+    return run_stream(joined, output_mode="append")
+
+
+@query(
     "stream_stream_join",
     oracle="""
     SELECT p.event_id AS purchase_id, c.event_id AS click_id
@@ -1637,6 +1669,135 @@ def scan_state_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
         readChangeFeed="true",
         changeStartBatchId="0",
     )
+
+
+@query(
+    "scan_state_time_travel",
+    oracle="""
+    SELECT e.event_id
+    FROM events e, (SELECT count(*) AS n FROM events) b
+    WHERE e.event_id < 2 * b.n // 3
+    """,
+)
+def scan_state_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store TIME TRAVEL (S7c): ``batchId`` pins the snapshot read
+    to an EARLIER committed version — "what did the state look like two
+    deploys ago?", the post-incident audit read (S7 reads latest, S7b
+    reads the transitions; this reads a past point). The read targets
+    batch 1 — a strictly intermediate version, neither first nor last —
+    over S7's cached snapshot-flavor checkpoint, so the expected state
+    is exactly the first TWO chunks' ids: event_id < 2n//3 (same
+    row-order/boundary reasoning as S7b, pinned by
+    test_changefeed_batch_attribution). The H-check fails if version
+    selection is off by one in either direction (batch 0 would halve
+    the set, latest would grow it by half) — the sharpest possible pin
+    on "which version am I actually reading". Scale: identical to S7 —
+    one state-partition-parallel scan of a single version; under
+    RocksDB, snapshot-per-version means no changelog replay to
+    reconstruct the target batch."""
+    ckpt = _dedup_state_ckpt(spark, sf_dir)
+    return _statestore_read(
+        spark,
+        ckpt,
+        lambda st: st.select(F.col("key.event_id").alias("event_id")),
+        batchId="1",
+    )
+
+
+@query(
+    "scan_state_join_side",
+    oracle="""
+    SELECT CASE WHEN event_type = 'purchase' THEN 'left' ELSE 'right' END
+               AS side,
+           event_id, user_id
+    FROM events WHERE event_type IN ('purchase', 'click')
+    """,
+)
+def scan_state_join_side(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream JOIN state read (S7d): ``joinSide`` exposes the
+    per-side buffered-row state of a join checkpoint — the audit surface
+    for the #1 production streaming pathology, join state growth ("what
+    exactly is this join still holding, and for which keys?"). Setup
+    runs a purchases⨝clicks inner equi-join on user_id WITHOUT
+    watermarks, deliberately: an unwatermarked inner join never evicts,
+    so each side's buffered state is exactly every row that side has
+    seen — the one configuration whose state contents are
+    SQL-predictable, which is what makes the READER's fidelity
+    H-checkable (both sides read back, union'd with a side tag; a
+    dropped partition, side mix-up, or value-schema drift all shift the
+    set). The watermarked eviction path this audit exists FOR is pinned
+    test-side instead (test_join_side_watermarked_evicts: same join
+    WITH watermarks retains a tiny suffix — eviction timing is
+    watermark-internal and not oracle-stable). Scale: the unwatermarked
+    setup is the anti-pattern at 100 TB (state = full history — exactly
+    what this reader lets an operator catch); the read itself is one
+    partition-parallel scan per side of one state version."""
+    import os
+    import shutil
+    import tempfile as _tf
+
+    from ..operators.scans import _dir_tag
+    from ..session import configure
+
+    configure(spark)
+    prov = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    ptag = "rocksdb" if "RocksDB" in str(prov) else "hdfs"
+    ckpt = os.path.join(
+        _tf.gettempdir(),
+        f"sss_statejoin_{ptag}_{_dir_tag(sf_dir, 'events')}",
+    )
+    if not os.path.exists(os.path.join(ckpt, "_DONE")):
+        if os.path.isdir(ckpt):
+            shutil.rmtree(ckpt)
+        feed = chunked_events_dir(sf_dir, sentinels=False)
+        stream = read_stream_events(spark, feed)
+        purchases = stream.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+        )
+        clicks = stream.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+        )
+        joined = purchases.join(
+            clicks, F.col("p_user") == F.col("c_user")
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            q = (
+                joined.writeStream.format("noop")
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        with open(os.path.join(ckpt, "_DONE"), "w") as f:
+            f.write("")
+    left = _statestore_read(
+        spark,
+        ckpt,
+        lambda st: st.select(
+            F.lit("left").alias("side"),
+            F.col("value.purchase_id").alias("event_id"),
+            F.col("value.p_user").alias("user_id"),
+        ),
+        joinSide="left",
+    )
+    right = _statestore_read(
+        spark,
+        ckpt,
+        lambda st: st.select(
+            F.lit("right").alias("side"),
+            F.col("value.click_id").alias("event_id"),
+            F.col("value.c_user").alias("user_id"),
+        ),
+        joinSide="right",
+    )
+    return left.unionByName(right)
 
 
 @query(

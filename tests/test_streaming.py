@@ -1475,3 +1475,62 @@ def test_changefeed_batch_attribution():
         .to_pylist()
     )
     assert eid == list(range(len(eid)))
+
+
+def test_join_side_watermarked_evicts(spark, tmp_path):
+    """The watermarked twin of scan_state_join_side's setup: WITH
+    watermarks + a time-bound condition, the join's buffered state after
+    completion must be a small suffix of each side, not the full history
+    (eviction timing is watermark-internal, so the registered key pins
+    reader fidelity on the unwatermarked join whose state IS the full
+    history; this pins that the eviction path the audit exists for
+    actually runs)."""
+    from sparkstreamingstateful_spark.streaming.queries import _statestore_read
+
+    feed = chunked_events_dir(SF_UNIT, sentinels=False)
+    stream = read_stream_events(spark, feed)
+    p = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    c = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    j = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    ckpt = str(tmp_path / "wm_join_ck")
+    q = (
+        j.writeStream.format("noop")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_p = (
+        load_table(spark, SF_UNIT, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    left_state = _statestore_read(
+        spark, ckpt, lambda st: st.select("key"), joinSide="left"
+    ).count()
+    assert left_state < n_p * 0.25, (
+        f"watermark never evicted join state: {left_state} of {n_p} "
+        "purchases still buffered"
+    )
