@@ -106,6 +106,11 @@ SHOWCASE = [
      "BroadcastHashJoin(LeftAnti) — the 100 TB-safe form — feeding "
      "Catalyst's two-phase count(DISTINCT) expansion; the p_size IN-list "
      "is pushed into the part scan"),
+    ("dedup_semantic", "SemDeDup embedding dedup (r9): the 10-row rounded "
+     "codebook broadcasts for cell assignment (one corpus scan, no "
+     "shuffle of vectors for assignment); intra-cell pair generation is "
+     "an equi-join ON CELL ID — pair work is bounded by the largest "
+     "cell, never corpus²; the drop set joins back broadcast"),
 ]
 
 

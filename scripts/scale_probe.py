@@ -90,6 +90,13 @@ PROBES = [
     ("text_unigram_logprob", "documents"),
     ("embed_quantize_int8", "embeddings"),
     ("stream_union_sources", "events(stream)"),
+    # dedup_semantic excluded: its scale lever is CODEBOOK SIZE (cells
+    # capped so Σ|cell|² stays linear — the SemDeDup recipe), but the
+    # replica corpus keeps the fixed 10-label codebook, so cells grow ×K
+    # and intra-cell pair work grows ×K² by construction. The probe
+    # would measure the deliberately-uncapped configuration, which says
+    # nothing about the operator's documented at-scale shape (same class
+    # of probe-invalidity as text_language_id's suffixed tokens).
 ]
 
 # keys whose first run at a given dir includes a ONE-TIME source-layout

@@ -624,8 +624,10 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical codebook (raw avg differs by ~1 ulp across engines and
     could flip a near-tie cell assignment — the rounding removes the one
     nondeterminism the IVF key tolerates); (2) every vector assigned to
-    its nearest centroid by cosine (broadcast codebook × one corpus
-    scan — linear, the IVF assignment shape); (3) intra-cell pairs with
+    its nearest centroid by cosine — a ZERO-SHUFFLE in-row argmax over a
+    one-row broadcast codebook (a window/groupBy argmax would shuffle
+    the full corpus, vectors included, by vec_id to rank 10 candidates);
+    (3) intra-cell pairs with
     cosine ≥ τ; (4) greedy keep-lowest-id: a vector is dropped iff a
     smaller-id same-cell vector sits within τ (deterministic,
     EXISTS-replicable — no iterative clustering). Output = (vec_id,
@@ -637,9 +639,23 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     recipe); assignment stays a broadcast map, pairs stay an equi-join
     on cell. Norms are staged once per vector (1 dot per pair instead
     of 3)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    return semdedup_plan(load_table(spark, sf_dir, "embeddings"))
+
+
+def semdedup_plan(e: DataFrame) -> DataFrame:
+    """The dedup_semantic plan over any (vec_id, label, embedding) frame —
+    split out so tests can drive edge-case vectors (all-zero) the corpus
+    lacks (same discipline as quantize_int8_plan)."""
     dv = e.select("vec_id", "label", _dvec("embedding").alias("v"))
-    normed = dv.withColumn("nv", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    # Zero-norm guard: ANSI mode throws DIVIDE_BY_ZERO even for DOUBLE,
+    # so an all-zero vector must divide by a safe stand-in (the quantize
+    # lesson, test_semdedup_zero_vector). Its cosines become 0 ⇒ lowest
+    # cell, always kept — sensible for a degenerate vector; the corpus
+    # itself contains none.
+    nv_raw = F.sqrt(_dot(F.col("v"), F.col("v")))
+    normed = dv.withColumn(
+        "nv", F.when(nv_raw == F.lit(0.0), F.lit(1.0)).otherwise(nv_raw)
+    )
     cents = (
         dv.select("label", F.posexplode("v").alias("pos0", "x"))
         .groupBy("label", F.col("pos0").alias("pos"))
@@ -652,18 +668,42 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("label").alias("cell"), "centroid")
     )
-    w_cell = Window.partitionBy("vec_id").orderBy(F.col("cell_sim").desc(), "cell")
-    assigned = (
-        normed.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id", "v", "nv", "cell",
-            (
-                _dot(F.col("v"), F.col("centroid"))
-                / (F.col("nv") * F.sqrt(_dot(F.col("centroid"), F.col("centroid"))))
-            ).alias("cell_sim"),
+    # Assignment is a ZERO-SHUFFLE in-row argmax: the whole codebook
+    # (cell, centroid, norm) collapses to ONE broadcast row whose array
+    # the per-vector lambda folds over — a window/groupBy argmax would
+    # shuffle the full corpus (vectors included) by vec_id just to rank
+    # 10 candidates (the first cut did, measured in PLANS.md history).
+    # Tie-break matches the oracle's (sim DESC, cell ASC): struct
+    # comparison is field-ordered, so max(struct(sim, -cell)) picks the
+    # highest sim and, on exact ties, the smallest cell.
+    cn_raw = F.sqrt(_dot(F.col("centroid"), F.col("centroid")))
+    codebook = cents.agg(
+        F.collect_list(
+            F.struct(
+                F.col("cell"),
+                F.col("centroid"),
+                # same zero-norm ANSI guard as nv (an all-zero centroid
+                # would need every vector of a label to cancel exactly)
+                F.when(cn_raw == F.lit(0.0), F.lit(1.0))
+                .otherwise(cn_raw)
+                .alias("cn"),
+            )
+        ).alias("cb")
+    )
+    best = F.array_max(
+        F.transform(
+            F.col("cb"),
+            lambda s: F.struct(
+                (_dot(F.col("v"), s["centroid"]) / (F.col("nv") * s["cn"])).alias(
+                    "sim"
+                ),
+                (-s["cell"]).alias("neg_cell"),
+            ),
         )
-        .withColumn("rn", F.row_number().over(w_cell))
-        .filter(F.col("rn") == 1)
+    )
+    assigned = (
+        normed.crossJoin(F.broadcast(codebook))
+        .withColumn("cell", (-best["neg_cell"]).cast("int"))
         .select("vec_id", "v", "nv", "cell")
     )
     a, b = assigned.alias("a"), assigned.alias("b")

@@ -205,3 +205,22 @@ def test_quantize_zero_vector(spark):
     # just pin the invariants: L1 ≥ |sum|, max code magnitude is 127 → err < scale/2 + eps
     assert nz["q_abs_sum"] >= abs(nz["q_sum"]) > 0
     assert nz["max_abs_err"] <= nz["scale_r"] / 2 + 1e-6
+
+
+def test_semdedup_zero_vector(spark):
+    """r9: an all-zero embedding must not crash semantic dedup (ANSI
+    DIVIDE_BY_ZERO on the norm divisions — the quantize lesson) and must
+    land in a cell and be kept (its cosines are 0, under any τ)."""
+    from sparkstreamingstateful_spark.operators.llm_vector import semdedup_plan
+
+    df = spark.createDataFrame(
+        [
+            (1, 0, [0.0] * 4),
+            (2, 0, [1.0, 0.0, 0.0, 0.0]),
+            (3, 1, [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, label int, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in semdedup_plan(df).collect()}
+    assert rows[1]["is_kept"] is True
+    assert all(rows[i]["cell"] in (0, 1) for i in (1, 2, 3))
