@@ -217,10 +217,13 @@ def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange), then a hash agg per session. Gap compares use integer
     epoch-micros so the boundary is engine-exact. Boundary rule is
     ``gap >= 30 min`` splits — the SAME convention as stateful_sessionize
-    (stateful.GAP_US) and Spark's session_window, so batch and streaming
-    session counts agree even on exact-gap data (r6 review: this key
-    used ``>`` while its streaming twins used ``>=``; each matched its
-    own oracle, but the twin claim was false at the boundary)."""
+    (stateful.GAP_US), so the custom stateful pair agrees even on
+    exact-gap data. NOT the same as Spark's ``session_window``, which
+    MERGES an exact-gap event and splits only on ``diff > gap``
+    (measured r9 — the r6 note claimed all three agreed; on
+    µs-precision data the exact boundary is measure-zero, but the claim
+    was still false; see stream_window_session and
+    test_session_window_exact_gap_boundary)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
@@ -660,4 +663,74 @@ def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows long, sum_price double, min_price double, "
             "max_price double, n_discounted long"
         ),
+    )
+
+
+@query(
+    "events_sessionize_dynamic_gap",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_id, value, epoch_us(ts) AS t_us,
+               CASE WHEN event_type = 'purchase' THEN 1800000000
+                    ELSE 600000000 END AS gap_us
+        FROM events
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN t_us > coalesce(max(t_us + gap_us) OVER (
+                         PARTITION BY user_id ORDER BY t_us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -1) THEN 1 ELSE 0 END AS new_sess
+        FROM ev
+    ),
+    sess AS (
+        SELECT *,
+               CAST(sum(new_sess) OVER (PARTITION BY user_id
+                                        ORDER BY t_us, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           make_timestamp(min(t_us)) AS sess_start,
+           make_timestamp(max(t_us + gap_us)) AS sess_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_v
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def events_sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-gap session windows (E16): ``F.session_window`` with a
+    per-ROW gap expression — purchases keep a session alive 30 minutes,
+    everything else 10 (the real-world rule: high-intent events justify
+    a longer engagement horizon; a fixed gap can't express it). With a
+    per-row gap the adjacent-lag rewrite is WRONG — a long-gap event can
+    bridge over a short-gap successor — so the oracle is the general
+    interval-merge: an event opens a new session iff its time exceeds
+    the RUNNING MAX of (ts + gap) over all predecessors (computed on
+    integer epoch-micros, tie-broken by event_id), and a session's end
+    is that running max, exactly ``session_window``'s merge semantics.
+    Boundary measured r9 (test_session_window_exact_gap_boundary): an
+    event exactly at gap-expiry MERGES, so the flag is strictly ``>``.
+    Scale: same shape as every sessionizer here — one shuffle on
+    user_id, windows + hash agg; the gap CASE is a row-local expression
+    in codegen, so dynamic gaps cost nothing over fixed."""
+    ev = load_table(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("30 minutes")
+    ).otherwise(F.lit("10 minutes"))
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_v"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("sess_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("sess_end"),
+            "n_events",
+            "sum_v",
+        )
     )

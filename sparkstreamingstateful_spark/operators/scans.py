@@ -82,22 +82,77 @@ def scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     between scanning a month and scanning three days. The cache dir is
     keyed by sf_dir so repeated calls (tests + driver) reuse the layout.
     """
-    ev = load_table(spark, sf_dir, "events")
+    back = spark.read.parquet(_partitioned_events_dir(spark, sf_dir))
+    return (
+        back.filter(
+            F.col("day").between(F.lit("2024-01-05"), F.lit("2024-01-07"))
+        )
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _partitioned_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse) the Hive-style day-partitioned events layout both
+    pruning keys read (cache keyed by content fingerprint)."""
     out = os.path.join(
         tempfile.gettempdir(),
         f"sss_part_events_{_dir_tag(sf_dir, 'events')}",
         "by_day",
     )
-    marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events")
         ev.withColumn(
             "day", F.date_trunc("day", F.col("ts")).cast("date")
         ).write.mode("overwrite").partitionBy("day").parquet(out)
-    back = spark.read.parquet(out)
+    return out
+
+
+_DPP_PEAK_DAYS = (12, 13, 14)
+_DPP_DIM = [
+    (f"2024-01-{d:02d}", "peak" if d in _DPP_PEAK_DAYS else "off")
+    for d in range(1, 32)
+]
+_DPP_DIM_SQL = ", ".join(f"(DATE '{d}', '{t}')" for d, t in _DPP_DIM)
+
+
+@query(
+    "scan_dynamic_partition_pruning",
+    oracle=f"""
+    WITH dim AS (SELECT * FROM (VALUES {_DPP_DIM_SQL}) AS t(day, tag))
+    SELECT CAST(date_trunc('day', e.ts) AS DATE) AS day, e.event_type,
+           count(*) AS n
+    FROM events e
+    JOIN dim ON CAST(date_trunc('day', e.ts) AS DATE) = dim.day
+    WHERE dim.tag = 'peak'
+    GROUP BY 1, 2
+    """,
+)
+def scan_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning (E9's runtime twin): the fact side is
+    the same day-partitioned layout, but the day range arrives through a
+    JOIN against a dimension filtered on a NON-partition attribute
+    (tag = 'peak') — statically unknowable, so static pruning can't
+    fire. Catalyst's PlanDynamicPruningFilters instead injects
+    ``dynamicpruningexpression(day IN dynamicpruning#N)`` into the
+    fact scan's PartitionFilters, reusing the dim's broadcast to prune
+    at RUNTIME: only the 3 peak-day directories of ~30 are listed/read
+    (pinned by tests/test_plans.py::test_dynamic_partition_pruning_plan).
+    This is the star-schema 100 TB read pattern — "revenue on promo
+    days" joins a filtered calendar dim, and DPP is what keeps the fact
+    scan at 3 partitions instead of 3,000. The H-check pins the join
+    semantics; the plan test pins that the pruning expression is
+    actually in the scan."""
+    back = spark.read.parquet(_partitioned_events_dir(spark, sf_dir))
+    import datetime as _dt
+
+    dim = spark.createDataFrame(
+        [(_dt.date.fromisoformat(d), t) for d, t in _DPP_DIM],
+        "day date, tag string",
+    )
     return (
-        back.filter(
-            F.col("day").between(F.lit("2024-01-05"), F.lit("2024-01-07"))
-        )
+        back.join(dim, "day")
+        .filter(F.col("tag") == "peak")
         .groupBy("day", "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -378,3 +378,29 @@ sql_recursive_cte = _sql_query(
 # date_add(d, 1) vs DuckDB d + 1; every nullable aggregate is coalesced
 # (and the count CAST to BIGINT out of DuckDB's coalesce) so no
 # NULL→float64 fetchdf coercion hazard.
+
+
+sql_agg_filter = _sql_query(
+    "sql_agg_filter",
+    """
+    SELECT l_returnflag,
+           count(*) AS n_all,
+           count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           round(sum(l_extendedprice) FILTER (WHERE l_quantity >= 25), 2)
+               AS sum_price_bulk,
+           count(DISTINCT l_suppkey) FILTER (WHERE l_tax > 0.04)
+               AS n_taxed_supps
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+# Aggregate FILTER clause (Q17, SQL:2003 T612): per-aggregate predicates
+# without CASE-WHEN contortions — the idiomatic way to compute several
+# differently-conditioned aggregates in ONE scan/shuffle instead of N
+# self-joined subqueries (the 100 TB win: one pass over the fact table).
+# IDENTICAL text on both engines pins that Spark's FILTER semantics
+# (including FILTER composed with DISTINCT, which expands through
+# Catalyst's two-phase distinct rewrite) match the standard. Counts are
+# BIGINT in both engines; the filtered sum is NULL for groups with no
+# qualifying row in both (round(NULL) stays NULL — a nullable DOUBLE is
+# fetchdf-stable).

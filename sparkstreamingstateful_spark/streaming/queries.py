@@ -117,7 +117,7 @@ def stream_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
         SELECT user_id, ts, value,
                CASE WHEN lag(ts) OVER w IS NULL
-                     OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_sess
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -135,7 +135,17 @@ def stream_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-min inactivity gap) per user via
-    ``F.session_window``; oracle is the batch gaps-and-islands rewrite."""
+    ``F.session_window``; oracle is the batch gaps-and-islands rewrite.
+    Boundary: ``session_window`` MERGES an event arriving exactly at
+    gap-expiry and splits only on ``diff > gap`` (measured r9, batch and
+    streaming, fixed and dynamic gap — an exact-gap event extends the
+    session), so the oracle's split flag is strictly ``>``. The r6
+    oracle used ``>=``: green only because µs-precision timestamps never
+    land an exact 30:00.000000 gap — the same data-dependent latent
+    class as the quantize zero-vector. Note this DIFFERS from the
+    repo's custom stateful sessionizers (stateful.GAP_US, ``>=``
+    splits), each of which matches its own oracle; the boundary is
+    pinned by test_session_window_exact_gap_boundary."""
     ev = _stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", WATERMARK)

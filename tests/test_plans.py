@@ -201,3 +201,17 @@ def test_q1_whole_stage_codegen(spark):
     assert "HashAggregate" in plan
     # partial+final aggregation: the shuffle carries pre-aggregated rows
     assert "partial_sum" in plan
+
+
+def test_dynamic_partition_pruning_plan(spark):
+    """The DPP key's fact scan must carry a runtime pruning expression in
+    its PartitionFilters — without it the join would read all ~30 day
+    directories and only filter rows post-scan."""
+    from sparkstreamingstateful_spark.plans import executed_plan
+
+    df = QUERIES["scan_dynamic_partition_pruning"](spark, SF_UNIT)
+    df.count()  # AQE: finalize the executed plan
+    plan = executed_plan(df)
+    assert "dynamicpruningexpression" in plan and "dynamicpruning#" in plan, (
+        "no dynamic pruning expression in the fact scan's PartitionFilters"
+    )

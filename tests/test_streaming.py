@@ -1534,3 +1534,31 @@ def test_join_side_watermarked_evicts(spark, tmp_path):
         f"watermark never evicted join state: {left_state} of {n_p} "
         "purchases still buffered"
     )
+
+
+def test_session_window_exact_gap_boundary(spark):
+    """r9: Spark's session_window MERGES an event arriving exactly at
+    gap-expiry (diff == gap extends the session; only diff > gap
+    splits) — batch and streaming, fixed and dynamic gap. ST3's r6
+    oracle used >=-splits and was green only because µs timestamps never
+    produce an exact 30:00.000000 gap; pin the real boundary so the
+    corrected oracles can't regress."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, "view"),
+        (1, base + dt.timedelta(seconds=600), "view"),  # == gap: merge
+        (2, base, "view"),
+        (2, base + dt.timedelta(seconds=601), "view"),  # > gap: split
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    for gap in ("10 minutes", F.when(F.col("event_type") == "x", F.lit("1 minutes")).otherwise(F.lit("10 minutes"))):
+        out = (
+            df.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_sessions"))
+        )
+        got = {r["user_id"]: r["n_sessions"] for r in out.collect()}
+        assert got == {1: 1, 2: 2}, (gap, got)
