@@ -4,6 +4,10 @@ tests (SURVEY.md §5.2.4)."""
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
+
 from pyspark.sql import functions as F
 
 from sparkstreamingstateful_spark import registry
@@ -224,3 +228,35 @@ def test_semdedup_zero_vector(spark):
     rows = {r["vec_id"]: r for r in semdedup_plan(df).collect()}
     assert rows[1]["is_kept"] is True
     assert all(rows[i]["cell"] in (0, 1) for i in (1, 2, 3))
+
+
+def test_udf_pandas_iter_init_amortized(spark):
+    """U10's reason to exist: one init per TASK, streamed over that
+    task's Arrow batches. Observed through the UDF's own output (UDF
+    workers are separate processes — driver globals can't see them): a
+    per-init uuid is stamped on every row, so distinct uuids == tasks,
+    and with the Arrow batch size forced tiny, rows-per-uuid proves many
+    batches shared one init."""
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
+    try:
+        @F.pandas_udf("string")
+        def tagged(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            import uuid
+
+            tag = uuid.uuid4().hex  # the "model load"
+            n_batches = 0
+            for b in batches:
+                n_batches += 1
+                yield pd.Series([f"{tag}:{n_batches}"] * len(b))
+
+        df = spark.range(0, 1000, 1, 2).select(tagged("id").alias("t"))
+        rows = [r["t"] for r in df.collect()]
+        tags = {t.split(":")[0] for t in rows}
+        max_batch_seq = max(int(t.split(":")[1]) for t in rows)
+        assert len(tags) == 2, f"expected one init per task (2 tasks), got {len(tags)}"
+        assert max_batch_seq >= 5, (
+            f"batches never streamed through one init (max seq {max_batch_seq})"
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
