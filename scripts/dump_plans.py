@@ -111,6 +111,16 @@ SHOWCASE = [
      "shuffle of vectors for assignment); intra-cell pair generation is "
      "an equi-join ON CELL ID — pair work is bounded by the largest "
      "cell, never corpus²; the drop set joins back broadcast"),
+    ("scan_dynamic_partition_pruning", "runtime partition pruning (r9): "
+     "the fact scan's PartitionFilters carry "
+     "dynamicpruningexpression(day IN dynamicpruning#N) fed by the "
+     "filtered dim's reused broadcast — 3 of ~30 day directories read, "
+     "decided at RUNTIME (the filter is on a non-partition dim "
+     "attribute, so static pruning cannot fire)"),
+    ("events_sessionize_dynamic_gap", "per-row-gap session windows (r9): "
+     "one shuffle on user_id into SessionWindow + MergingSessionsExec — "
+     "the dynamic gap CASE is a row-local codegen expression, so "
+     "variable gaps cost nothing over fixed"),
 ]
 
 
