@@ -347,3 +347,41 @@ def scalar_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.collate(F.col("name"), "UTF8_LCASE")).alias("n_ci"),
         F.count_distinct(F.col("name")).alias("n_cs"),
     )
+
+
+@query(
+    "scalar_bitwise",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(l_orderkey & 255 AS BIGINT) AS band,
+           CAST(l_orderkey | 4096 AS BIGINT) AS bor,
+           CAST(xor(l_orderkey, l_linenumber) AS BIGINT) AS bxor,
+           CAST(l_linenumber << 3 AS BIGINT) AS shl,
+           CAST(l_orderkey >> 2 AS BIGINT) AS shr,
+           CAST(bit_count(l_orderkey) AS BIGINT) AS popcnt
+    FROM lineitem
+    WHERE l_orderkey % 97 = 0
+    """,
+)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise expression surface (P12): AND/OR/XOR, shifts, popcount —
+    the hash-bucketing / bitmap / flag-word toolkit (every salting,
+    banding, and bloom-filter trick ultimately lands on these). Dialect
+    trap pinned by the oracle: DuckDB's ``^`` is POWER, its xor is the
+    ``xor()`` function, while Spark's ``^`` is xor — a silently-wrong
+    translation if copied textually. Everything CAST BIGINT on both
+    sides (bit_count returns INT in Spark, and mixed-width bitwise
+    results differ in type across engines even when values agree).
+    Narrow row-local expressions in codegen; the modulo filter keeps
+    the H-checked payload small without losing key-domain coverage."""
+    li = load_table(spark, sf_dir, "lineitem")
+    k, ln = F.col("l_orderkey"), F.col("l_linenumber")
+    return li.filter(k % 97 == 0).select(
+        "l_orderkey",
+        k.bitwiseAND(F.lit(255)).cast("bigint").alias("band"),
+        k.bitwiseOR(F.lit(4096)).cast("bigint").alias("bor"),
+        k.bitwiseXOR(ln).cast("bigint").alias("bxor"),
+        F.shiftleft(ln, 3).cast("bigint").alias("shl"),
+        F.shiftright(k, 2).cast("bigint").alias("shr"),
+        F.bit_count(k).cast("bigint").alias("popcnt"),
+    )

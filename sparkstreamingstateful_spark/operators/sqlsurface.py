@@ -404,3 +404,83 @@ sql_agg_filter = _sql_query(
 # BIGINT in both engines; the filtered sum is NULL for groups with no
 # qualifying row in both (round(NULL) stays NULL — a nullable DOUBLE is
 # fetchdf-stable).
+
+
+@query(
+    "window_ignore_nulls",
+    oracle="""
+    SELECT user_id, event_id,
+           lag(pv IGNORE NULLS) OVER w AS prev_purchase_v,
+           lead(pv IGNORE NULLS) OVER w AS next_purchase_v,
+           nth_value(pv, 2 IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS second_purchase_v
+    FROM (SELECT user_id, event_id, ts,
+                 CASE WHEN event_type = 'purchase' THEN value END AS pv
+          FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window navigation (W6): ``lag``/``lead``/
+    ``nth_value`` skipping NULL rows — the "most recent / next / n-th
+    ACTUAL observation" shape (here: nearest purchase value around each
+    event, purchases being sparse among views/clicks). This is the
+    navigation half of the LOCF toolkit (E13 covers the frame-function
+    half via last(ignorenulls)); without IGNORE NULLS each of these
+    needs a correlated self-join. Dialect split is syntax-only (Spark
+    ``lag(x) IGNORE NULLS``, DuckDB ``lag(x IGNORE NULLS)``) — the
+    H-check pins that the skip semantics agree row-for-row, NULLs
+    surviving where no qualifying observation exists (nullable DOUBLE —
+    fetchdf-stable). One shuffle on user_id, all three functions share
+    the window. Scale: identical to any per-key ordered window —
+    partition-parallel, no self-joins."""
+    _views(spark, sf_dir)
+    return spark.sql("""
+        SELECT user_id, event_id,
+               lag(pv) IGNORE NULLS OVER w AS prev_purchase_v,
+               lead(pv) IGNORE NULLS OVER w AS next_purchase_v,
+               nth_value(pv, 2) IGNORE NULLS OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS second_purchase_v
+        FROM (SELECT user_id, event_id, ts,
+                     CASE WHEN event_type = 'purchase' THEN value END AS pv
+              FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """)
+
+
+sql_not_in_null = _sql_query(
+    "sql_not_in_null",
+    """
+    SELECT
+      (SELECT count(*) FROM customer
+       WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))
+          AS n_not_in_clean,
+      (SELECT count(*) FROM customer
+       WHERE c_custkey NOT IN
+             (SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL
+                          ELSE o_custkey END
+              FROM orders))
+          AS n_not_in_nullable,
+      (SELECT count(*) FROM customer
+       WHERE c_custkey IN
+             (SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL
+                          ELSE o_custkey END
+              FROM orders))
+          AS n_in_nullable
+    """,
+)
+# NULL-bearing NOT IN (Q18): the classic three-valued-logic trap, pinned
+# with IDENTICAL text on both engines. A single NULL in the subquery
+# makes NOT IN never-TRUE (matches are FALSE, non-matches are UNKNOWN),
+# so n_not_in_nullable is 0 BY SEMANTICS while the clean variant counts
+# order-less customers normally, and IN degrades gracefully (UNKNOWN for
+# non-matches — matches still found). Plan-wise the nullable key is
+# exactly what forces Catalyst's O(n×m) null-aware anti join — the
+# fallback sql_tpch_q16like deliberately avoids by keeping its key
+# non-null; this key pins that when a user DOES hit that path, the
+# answer is still ANSI-correct. At 100 TB: rewrite NOT IN over nullable
+# keys to NOT EXISTS (null-safe, plans as a plain anti join).
