@@ -454,3 +454,60 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "agg_hll_sketch",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS direct_within_5pct,
+           TRUE AS merged_within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL SKETCHES (A10, Apache DataSketches via Spark 4's
+    hll_sketch_agg/hll_union_agg/hll_sketch_estimate) — the primitive
+    A3's scalar approx_count_distinct can't give you: a sketch is a
+    REUSABLE, UNION-ABLE state object, which is the whole 100 TB rollup
+    story (persist per-partition/per-day sketches once, answer any
+    distinct-count rollup later by unioning sketches — never rescan the
+    fact table; the cascade twin of events_rollup_cascade for distinct
+    counts). The key computes each group's estimate twice — directly,
+    and by unioning four per-shard partial sketches — and H-checks the
+    accuracy contract on BOTH paths (the agg_approx bound pattern;
+    sketch binaries can never cross-engine-match): the oracle asserts
+    ``direct_within_5pct`` and ``merged_within_5pct`` TRUE, so a broken
+    union, a shard-sensitive estimate blowup, or an accuracy regression
+    flips a flag and fails the driver. NOT claimed: estimate equality
+    between the two paths — measured at sf0.01 (2000 distinct/group)
+    the unioned estimate differs from the direct one (sketches past
+    sparse/list mode merge through dense HLL registers; only toy
+    cardinalities stay exact), which is why the contract is the bound,
+    not bit-equality."""
+    li = load_table(spark, sf_dir, "lineitem")
+    direct = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("est"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    merged = (
+        li.withColumn("shard", F.col("l_orderkey") % 4)
+        .groupBy("l_returnflag", "shard")
+        .agg(F.hll_sketch_agg("l_partkey").alias("sk"))
+        .groupBy("l_returnflag")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged"))
+    )
+    return direct.join(merged, "l_returnflag").select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("est") - F.col("exact_parts"))
+            <= 0.05 * F.col("exact_parts")
+        ).alias("direct_within_5pct"),
+        (
+            F.abs(F.col("est_merged") - F.col("exact_parts"))
+            <= 0.05 * F.col("exact_parts")
+        ).alias("merged_within_5pct"),
+    )

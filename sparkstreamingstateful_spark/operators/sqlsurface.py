@@ -484,3 +484,54 @@ sql_not_in_null = _sql_query(
 # non-null; this key pins that when a user DOES hit that path, the
 # answer is still ANSI-correct. At 100 TB: rewrite NOT IN over nullable
 # keys to NOT EXISTS (null-safe, plans as a plain anti join).
+
+
+_IDENTIFIER_SQL = """
+    SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+    FROM IDENTIFIER(:tbl)
+    WHERE l_quantity >= :minqty
+    GROUP BY l_returnflag
+"""
+
+
+@query(
+    "sql_identifier_clause",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    WHERE l_quantity >= 30
+    GROUP BY l_returnflag
+    """,
+)
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTIFIER clause (Q19, Spark 4): a TABLE NAME supplied as a bind
+    parameter — the injection-safe spelling of "same query, N tables"
+    templating that multi-tenant / per-day-table pipelines otherwise do
+    with f-strings (the classic SQL-injection hole; Q8 covers VALUE
+    parameters, this covers identifier parameters — a value parameter
+    cannot name a table). The parser resolves IDENTIFIER(:tbl) to a
+    real catalog reference at analysis time, so the plan is byte-for-
+    byte the plain query's (pushdown/pruning intact); the H-check pins
+    that against the literal-text oracle."""
+    _views(spark, sf_dir)
+    return spark.sql(_IDENTIFIER_SQL, args={"tbl": "lineitem", "minqty": 30})
+
+
+sql_try_cast = _sql_query(
+    "sql_try_cast",
+    """
+    SELECT o_orderkey,
+           CAST(TRY_CAST(s AS INTEGER) AS DOUBLE) AS parsed
+    FROM (SELECT o_orderkey,
+                 concat(CAST(o_custkey AS STRING),
+                        CASE WHEN o_orderkey % 5 = 0 THEN 'x' ELSE '' END) AS s
+          FROM orders)
+    """,
+)
+# TRY_CAST (Q20): NULL-on-failure casting — the dirty-string-ingest
+# companion to P10's try_ arithmetic (every raw feed has unparseable
+# cells, and under default ANSI mode a bare CAST kills the whole job for
+# one bad row). Deterministically dirtied input (every 5th key gets a
+# trailing 'x'), IDENTICAL text on both engines; the nullable INT result
+# is CAST DOUBLE per the fetchdf contract (whether NULLs exist here is
+# NOT data-dependent — the dirtying guarantees them at every SF).

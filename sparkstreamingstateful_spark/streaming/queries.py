@@ -162,6 +162,70 @@ def stream_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_window_session_dynamic",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_id, value, epoch_us(ts) AS t_us,
+               CASE WHEN event_type = 'purchase' THEN 1800000000
+                    ELSE 600000000 END AS gap_us
+        FROM events
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN t_us > coalesce(max(t_us + gap_us) OVER (
+                         PARTITION BY user_id ORDER BY t_us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -1) THEN 1 ELSE 0 END AS new_sess
+        FROM ev
+    ),
+    sess AS (
+        SELECT *,
+               CAST(sum(new_sess) OVER (PARTITION BY user_id
+                                        ORDER BY t_us, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           make_timestamp(min(t_us)) AS sess_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_v
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def stream_window_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING dynamic-gap session windows (ST27): ST3 with a per-ROW
+    gap expression (purchases hold a session open 30 minutes, everything
+    else 10 — E16's batch twin run through the real micro-batch path
+    with watermark-driven append emission). What this pins beyond E16:
+    the dynamic gap participates in STATE — a session's stored end grows
+    by each event's own gap, and append mode may only emit once the
+    watermark passes that data-dependent end (the sentinel closes the
+    tail as usual). Oracle = the general running-max interval-merge
+    (E16's; adjacent-lag is wrong under per-row gaps), so a streaming
+    merge/eviction divergence from batch semantics hash-fails. Scale:
+    state is O(open sessions) exactly as fixed-gap ST3 — the gap
+    expression is evaluated per row at update time, not stored."""
+    ev = _stream(spark, sf_dir)
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("30 minutes")
+    ).otherwise(F.lit("10 minutes"))
+    agg = (
+        ev.withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_v_raw"))
+    )
+    res = run_stream(agg, output_mode="append")
+    return res.filter(F.col("user_id") >= 0).select(
+        "user_id",
+        _ntz(F.col("w.start")).alias("sess_start"),
+        "n_events",
+        F.round("sum_v_raw", 2).alias("sum_v"),
+    )
+
+
+@query(
     "stream_dedup",
     oracle="""
     SELECT event_id, user_id, event_type, value FROM events
