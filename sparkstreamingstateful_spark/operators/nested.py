@@ -218,3 +218,48 @@ def vector_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(el_sum, 4).alias("el_sum"),
         F.array_max(vec).alias("el_max"),
     )
+
+
+@query(
+    "array_hof_predicates",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(toks, t -> len(t) >= 6)) AS BIGINT)
+               AS n_long,
+           len(list_filter(toks, t -> len(t) >= 6)) > 0 AS has_long,
+           len(list_filter(toks, t -> NOT (len(t) > 0))) = 0
+               AS all_nonempty,
+           CAST(list_sum(list_transform(toks, t -> len(t))) AS BIGINT)
+               AS sum_len
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    """,
+)
+def array_hof_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate/fold higher-order functions (N8): ``filter``,
+    ``exists``, ``forall``, ``reduce`` — the in-row set-logic quartet N6
+    (transform/aggregate/zip_with) doesn't touch; together they close
+    the array-HOF surface. All four run per-row inside the scan
+    pipeline (zero shuffle, no explode — the explode+groupBy spelling
+    of the same counts shuffles the full token stream). Oracle note:
+    DuckDB's ``list_reduce`` has no init value and ERRORS on empty
+    lists, so the fold's oracle twin is the semantically-equal
+    ``list_sum(list_transform(...))`` while the Spark side exercises
+    the real ``F.reduce`` (init 0, empty-safe); exists/forall are
+    spelled as list_filter emptiness checks (DuckDB has no direct
+    quantifiers). BIGINT casts on both sides (len() is int32-ish in
+    DuckDB, size() int32 in Spark)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: F.length(t) >= 6))
+        .cast("bigint")
+        .alias("n_long"),
+        F.exists(toks, lambda t: F.length(t) >= 6).alias("has_long"),
+        F.forall(toks, lambda t: F.length(t) > 0).alias("all_nonempty"),
+        F.reduce(
+            toks, F.lit(0), lambda acc, t: acc + F.length(t)
+        )
+        .cast("bigint")
+        .alias("sum_len"),
+    )

@@ -385,3 +385,38 @@ def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 2).cast("bigint").alias("shr"),
         F.bit_count(k).cast("bigint").alias("popcnt"),
     )
+
+
+@query(
+    "scalar_mask",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(
+               c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+               '[0-9]', 'n', 'g') AS masked_default,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               c_name, '[^A-Za-z0-9]', '-', 'g'), '[A-Z]', 'X', 'g'),
+               '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS masked_full
+    FROM customer
+    """,
+)
+def scalar_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``F.mask`` (P13) — the built-in data-masking function (PII
+    redaction at the expression level, the engine-native sibling of
+    T4's regex lexicon scrub): upper→X, lower→x, digit→n, with the
+    default keeping punctuation and a full variant masking it to '-'.
+    The oracle replays the class mapping as chained global
+    regexp_replace (other-chars FIRST in the full variant so introduced
+    '-' isn't re-matched). ASCII-only input by construction (c_name is
+    'Customer#...'): mask classifies via Unicode character classes
+    while the [A-Z] oracle is ASCII — equivalent only on ASCII data,
+    which is exactly what the pinned column provides. Narrow row-local
+    expression in codegen; at 100 TB masking rides the scan for free."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.mask("c_name").alias("masked_default"),
+        F.mask(
+            "c_name", F.lit("X"), F.lit("x"), F.lit("n"), F.lit("-")
+        ).alias("masked_full"),
+    )

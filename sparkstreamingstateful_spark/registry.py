@@ -59,17 +59,19 @@ def query(name: str, oracle: str | None = None):
 # FIRST 50 registered keys each round (count cap, measured r1/r2), so
 # iteration order is the lever that decides which keys get hard oracle
 # signal. Round-9 rotation (per VERDICT r8 item 1 — finish the evidence
-# rotation): the window leads with (a) the eighteen keys NEW this round with
+# rotation): the window leads with (a) the twenty keys NEW this round with
 # zero driver evidence, then (b) the sixteen keys whose latest green
 # still dates to ROUND 4 — the oldest evidence in the union — then
-# (c) sixteen of the forty-eight r5-evidence keys. After this
-# window lands, max H-evidence age is r5 (the 32 r5 keys that didn't fit, which
+# (c) fourteen of the forty-eight r5-evidence keys. After this
+# window lands, max H-evidence age is r5 (the 34 r5 keys that didn't fit, which
 # lead the r10 window — listed first below the line), and everything
 # else carries r7/r8 evidence.
 _KEY_PRIORITY = [
     # (a) r9 additions with NO driver evidence yet (stream_window_session
     # is not new but its oracle's session boundary was corrected in r9 —
     # it sits in the r5 cohort below and stays inside the window)
+    "array_hof_predicates",
+    "scalar_mask",
     "stream_window_session_dynamic",
     "agg_hll_sketch",
     "sql_identifier_clause",
@@ -105,7 +107,7 @@ _KEY_PRIORITY = [
     "subquery_in",
     "subquery_scalar",
     "vector_ops",
-    # (c) oldest r5-evidence keys (16 of 48)
+    # (c) oldest r5-evidence keys (14 of 48)
     "stateful_sessionize",
     "stateful_running_agg",
     "stateful_dedup_keyed",
@@ -120,13 +122,13 @@ _KEY_PRIORITY = [
     "stream_cdc_upsert",
     "stateful_running_agg_tws",
     "dedup_cluster_cc",
-    "embed_near_dup",
-    "scan_csv",
     # --- 50-key boundary. Order below the line = next-rotation order:
-    # sample_seeded (rows-only by construction) first, then the 32
+    # sample_seeded (rows-only by construction) first, then the 34
     # r5-evidence keys that lead r10's window, then the r6/r7-window
     # greens, then the keys checked in the r8 window (freshest).
     "sample_seeded",
+    "embed_near_dup",
+    "scan_csv",
     "scan_json",
     "scan_text",
     "sql_tpch_q3like",
