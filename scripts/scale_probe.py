@@ -25,7 +25,7 @@ sf0.1 tables — "more data of the same shape", not noise:
 Run:  python scripts/scale_probe.py [K ...]   (default: 3 10)
 Writes SCALING.md at the repo root with wall-clock + output-row tables.
 Wall-clock comparisons are within-session only (this VM drifts ±35%
-between sessions — .claude/skills/verify/SKILL.md).
+between sessions, so ratios are only meaningful against a same-session 1x).
 """
 
 from __future__ import annotations
@@ -131,7 +131,7 @@ def _suffix_tokens(col: pa.ChunkedArray, tag: str) -> pa.Array:
 
 
 def build(k: int) -> str:
-    # content-fingerprinted cache dir (CLAUDE.md rule: never key a
+    # content-fingerprinted cache dir (never key a
     # derived layout by path alone) — a regenerated /root/testdata
     # source must invalidate the replicas, or the probe would compare
     # fresh 1x numbers against stale Kx replicas and report bogus ratios

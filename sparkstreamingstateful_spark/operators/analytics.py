@@ -649,13 +649,21 @@ def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # blocks until the action's QueryExecutionListener fires.
     observed.write.format("noop").mode("overwrite").save()
     m = obs.get
+    # Degrade, don't crash, on an empty filter match (a regenerated
+    # testdata set could shift l_shipdate past the cutoff): min/max/sum
+    # metrics come back None when n_rows == 0, and float(None) would kill
+    # the key with a TypeError instead of a diagnosable hash mismatch.
+    # Emit a 0.0-sentinel row so the driver still gets a comparable frame.
+    def _f(v: object) -> float:
+        return 0.0 if v is None else float(v)
+
     return spark.createDataFrame(
         [
             (
                 m["n_rows"],
-                float(m["sum_price"]),
-                float(m["min_price"]),
-                float(m["max_price"]),
+                _f(m["sum_price"]),
+                _f(m["min_price"]),
+                _f(m["max_price"]),
                 m["n_discounted"],
             )
         ],

@@ -33,6 +33,15 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SENTINEL_DAYS = (30,)
+
+# Default micro-batch count for every chunked feed. The state-store
+# changefeed / time-travel oracles (streaming/queries.py) predict per-batch
+# state attribution from the ``i * n // K`` chunk boundaries this module
+# cuts, so they interpolate THIS constant into their SQL — changing it
+# re-derives feeder and oracles together instead of silently skewing the
+# batch-id arithmetic (ADVICE r9).
+DEFAULT_CHUNKS = 3
+
 _cache: dict[tuple, str] = {}
 _max_ts_us: dict[str, int] = {}
 
@@ -104,7 +113,7 @@ def _sentinel_table(max_ts_us: int, day_offset: int, idx: int, ts_type) -> pa.Ta
 
 def chunked_events_dir(
     sf_dir: str,
-    n_chunks: int = 3,
+    n_chunks: int = DEFAULT_CHUNKS,
     *,
     sentinels: bool = True,
     replay: tuple[int, ...] = (),
@@ -149,7 +158,7 @@ def chunked_events_dir(
     return out
 
 
-def chunked_table_dir(sf_dir: str, table: str, n_chunks: int = 3) -> str:
+def chunked_table_dir(sf_dir: str, table: str, n_chunks: int = DEFAULT_CHUNKS) -> str:
     """Chunk an arbitrary table into K parquet files (generic micro-batch
     feed for streams without event time — no sentinels needed)."""
     key = (sf_dir, table, n_chunks)
@@ -172,7 +181,7 @@ _split_cache: dict[tuple, tuple[str, str]] = {}
 
 
 def chunked_events_split_dirs(
-    sf_dir: str, n_chunks: int = 3
+    sf_dir: str, n_chunks: int = DEFAULT_CHUNKS
 ) -> tuple[str, str]:
     """Two DISJOINT feeds (even / odd ``event_id``), each chunked and
     carrying its own sentinel — the substrate for the multi-source union

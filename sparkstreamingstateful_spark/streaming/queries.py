@@ -1695,13 +1695,28 @@ def _statestore_read(spark: SparkSession, ckpt: str, project, **options) -> Data
         spark.conf.set(lag_key, prev_lag)
 
 
+# The S7b/S7c oracles predict per-batch state attribution from the feeder's
+# ``i * n // K`` chunk boundaries, so K MUST be the feeder's own default —
+# interpolating feeder.DEFAULT_CHUNKS keeps a chunking change from silently
+# skewing the batch-id arithmetic (ADVICE r9): both sides re-derive together.
+_FEED_K = feeder.DEFAULT_CHUNKS
+_BATCH_ID_CASE = " ".join(
+    f"WHEN e.event_id < {i} * b.n // {_FEED_K} THEN {i - 1}"
+    for i in range(1, _FEED_K)
+)
+# Time-travel target: a strictly intermediate batch (neither first nor
+# last) — the sharpest off-by-one pin; requires K >= 3, which the sanity
+# check below enforces alongside the CASE shape.
+_TT_BATCH = _FEED_K // 2
+assert _FEED_K >= 3, "state time-travel oracle needs an intermediate batch"
+
+
 @query(
     "scan_state_changefeed",
-    oracle="""
+    oracle=f"""
     SELECT e.event_id,
-           CAST(CASE WHEN e.event_id < b.n // 3 THEN 0
-                     WHEN e.event_id < 2 * b.n // 3 THEN 1
-                     ELSE 2 END AS BIGINT) AS batch_id,
+           CAST(CASE {_BATCH_ID_CASE} ELSE {_FEED_K - 1} END AS BIGINT)
+               AS batch_id,
            'update' AS change_type
     FROM events e, (SELECT count(*) AS n FROM events) b
     """,
@@ -1747,10 +1762,10 @@ def scan_state_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "scan_state_time_travel",
-    oracle="""
+    oracle=f"""
     SELECT e.event_id
     FROM events e, (SELECT count(*) AS n FROM events) b
-    WHERE e.event_id < 2 * b.n // 3
+    WHERE e.event_id < {_TT_BATCH + 1} * b.n // {_FEED_K}
     """,
 )
 def scan_state_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1774,7 +1789,7 @@ def scan_state_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         ckpt,
         lambda st: st.select(F.col("key.event_id").alias("event_id")),
-        batchId="1",
+        batchId=str(_TT_BATCH),
     )
 
 
