@@ -569,7 +569,11 @@ _SEMDEDUP_TAU = 0.35  # this synthetic corpus has no 0.99-grade dups (max
 # pairs at every SF, so the drop set is non-empty and the machinery is
 # genuinely exercised. A production corpus would run the classic 0.9+.
 
-_SEMDEDUP_ORACLE = f"""
+# Shared oracle front half (dvecs → normed → centroids → assigned) — the
+# flat and |cell|-capped keys append their own pair stage, so assignment
+# SQL can never drift between them (mirrors _semdedup_assign on the Spark
+# side).
+_SEMDEDUP_ASSIGN_CTES = """
     WITH dvecs AS (
         SELECT vec_id, label,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -600,7 +604,9 @@ _SEMDEDUP_ORACLE = f"""
                                   DESC, c.cell) AS rn
               FROM normed d CROSS JOIN centroids c)
         WHERE rn = 1
-    ),
+    )"""
+
+_SEMDEDUP_ORACLE = f"""{_SEMDEDUP_ASSIGN_CTES},
     dropped AS (
         SELECT DISTINCT a.vec_id
         FROM assigned a JOIN assigned b
@@ -646,6 +652,35 @@ def semdedup_plan(e: DataFrame) -> DataFrame:
     """The dedup_semantic plan over any (vec_id, label, embedding) frame —
     split out so tests can drive edge-case vectors (all-zero) the corpus
     lacks (same discipline as quantize_int8_plan)."""
+    assigned = _semdedup_assign(e)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .filter(
+            _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nv") * F.col("b.nv"))
+            >= F.lit(_SEMDEDUP_TAU)
+        )
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return assigned.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        F.col("cell").cast("bigint").alias("cell"),
+        F.col("hit").isNull().alias("is_kept"),
+    )
+
+
+def _semdedup_assign(e: DataFrame) -> DataFrame:
+    """Shared SemDeDup front half (normalize → rounded per-label centroid
+    codebook → broadcast in-row argmax assignment), returning
+    (vec_id, v, nv, cell) — used by both the flat key and the
+    |cell|-capped key, so the assignment semantics can never drift
+    between them."""
     dv = e.select("vec_id", "label", _dvec("embedding").alias("v"))
     # Zero-norm guard: ANSI mode throws DIVIDE_BY_ZERO even for DOUBLE,
     # so an all-zero vector must divide by a safe stand-in (the quantize
@@ -701,16 +736,96 @@ def semdedup_plan(e: DataFrame) -> DataFrame:
             ),
         )
     )
-    assigned = (
+    return (
         normed.crossJoin(F.broadcast(codebook))
         .withColumn("cell", (-best["neg_cell"]).cast("int"))
         .select("vec_id", "v", "nv", "cell")
     )
-    a, b = assigned.alias("a"), assigned.alias("b")
+
+
+# |cell| cap for the capped SemDeDup key: any assignment cell larger than
+# this is hash-split into ceil(|cell| / CAP) sub-cells, bounding per-pair
+# work. 32 binds at EVERY shipped SF (cells are ~50 vectors at sf0.001/0.01
+# and ~200 at sf0.1), so the split machinery is genuinely exercised by the
+# driver H-check, not just dormant scaffolding.
+_SEMDEDUP_CELL_CAP = 32
+
+_SEMDEDUP_CAPPED_ORACLE = f"""{_SEMDEDUP_ASSIGN_CTES},
+    counts AS (
+        SELECT cell,
+               (count(*) + {_SEMDEDUP_CELL_CAP - 1}) // {_SEMDEDUP_CELL_CAP}
+                   AS m
+        FROM assigned GROUP BY cell
+    ),
+    sub AS (
+        SELECT a.vec_id, a.v, a.nv, a.cell, a.vec_id % c.m AS subcell
+        FROM assigned a JOIN counts c USING (cell)
+    ),
+    dropped AS (
+        SELECT DISTINCT a.vec_id
+        FROM sub a JOIN sub b
+          ON a.cell = b.cell AND a.subcell = b.subcell
+         AND b.vec_id < a.vec_id
+        WHERE list_dot_product(a.v, b.v) / (a.nv * b.nv) >= {_SEMDEDUP_TAU}
+    )
+    SELECT s.vec_id, CAST(s.cell AS BIGINT) AS cell,
+           CAST(s.subcell AS BIGINT) AS subcell,
+           (d.vec_id IS NULL) AS is_kept
+    FROM sub s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+"""
+
+
+@query("dedup_semantic_capped", oracle=_SEMDEDUP_CAPPED_ORACLE)
+def dedup_semantic_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with a hard |cell| bound — the 100 TB-safe variant of
+    dedup_semantic. The flat key's pair stage is Σ|cell|² over a FIXED
+    cell count, which at 100× data is 10,000× the pair work (all-pairs
+    within a tenth of the corpus). Here every assignment cell larger
+    than _SEMDEDUP_CELL_CAP is split into m = ceil(|cell| / CAP)
+    sub-cells by ``vec_id % m`` — a deterministic, oracle-replicable
+    hash-split — and near-dup pairs are only scored WITHIN a sub-cell,
+    so pair work is ≤ n·CAP/2 regardless of corpus size: linear in n at
+    a fixed bound (measured 1×→10× in SCALING.md).
+
+    The trade is recall, stated honestly: a hash-split can separate two
+    near-dups into different sub-cells (an id-hash is content-blind), so
+    this key under-drops relative to the flat key; production SemDeDup
+    instead sizes the k-means codebook so cells are small AND
+    content-coherent (Abbas et al. 2023 run k ≈ n/expected-cell-size).
+    The capped shape is what keeps that recipe executable when a cell
+    still overflows its budget — e.g. a degenerate corpus where half the
+    vectors collapse onto one centroid, exactly the skew case that kills
+    the flat plan. Output adds the subcell id so the H-check pins the
+    split arithmetic itself, not just the surviving set.
+
+    Plan shape: assignment is the shared broadcast argmax
+    (_semdedup_assign, zero shuffle); the cell-count side is ≤ #cells
+    rows and broadcast back, so the only shuffles are the two pair-join
+    exchanges on (cell, subcell) — same count as the flat key, smaller
+    payload per task."""
+    return semdedup_capped_plan(load_table(spark, sf_dir, "embeddings"))
+
+
+def semdedup_capped_plan(e: DataFrame) -> DataFrame:
+    """The dedup_semantic_capped plan over any (vec_id, label, embedding)
+    frame — split out so tests can drive a pathological single-cell
+    corpus and verify the cap binds (sub-cell pair isolation)."""
+    assigned = _semdedup_assign(e)
+    counts = assigned.groupBy("cell").agg(
+        F.expr(
+            f"CAST((count(*) + {_SEMDEDUP_CELL_CAP - 1})"
+            f" DIV {_SEMDEDUP_CELL_CAP} AS BIGINT)"
+        ).alias("m")
+    )
+    sub = assigned.join(F.broadcast(counts), "cell").withColumn(
+        "subcell", F.col("vec_id") % F.col("m")
+    )
+    a, b = sub.alias("a"), sub.alias("b")
     dropped = (
         a.join(
             b,
             (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.subcell") == F.col("b.subcell"))
             & (F.col("b.vec_id") < F.col("a.vec_id")),
         )
         .filter(
@@ -721,8 +836,9 @@ def semdedup_plan(e: DataFrame) -> DataFrame:
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    return assigned.join(dropped, "vec_id", "left").select(
+    return sub.join(dropped, "vec_id", "left").select(
         "vec_id",
         F.col("cell").cast("bigint").alias("cell"),
+        F.col("subcell").cast("bigint").alias("subcell"),
         F.col("hit").isNull().alias("is_kept"),
     )

@@ -230,6 +230,35 @@ def test_semdedup_zero_vector(spark):
     assert all(rows[i]["cell"] in (0, 1) for i in (1, 2, 3))
 
 
+def test_semdedup_cap_binds(spark):
+    """r10: the |cell|-capped variant must actually SPLIT an oversized
+    cell and stop scoring pairs across the split. A pathological
+    single-label corpus of cap+2 identical vectors collapses onto one
+    centroid; uncapped, all pairs score ≥ τ and only vec_id 0 survives.
+    Capped with m = 2 sub-cells (vec_id % 2), each parity class keeps
+    exactly its own lowest id — proving pair work is confined to
+    sub-cells (the linear-at-scale guarantee), not just re-labelled."""
+    from sparkstreamingstateful_spark.operators.llm_vector import (
+        _SEMDEDUP_CELL_CAP,
+        semdedup_capped_plan,
+        semdedup_plan,
+    )
+
+    n = _SEMDEDUP_CELL_CAP + 2
+    df = spark.createDataFrame(
+        [(i, 0, [1.0, 2.0, 3.0, 4.0]) for i in range(n)],
+        "vec_id long, label int, embedding array<float>",
+    )
+    flat = {r["vec_id"]: r["is_kept"] for r in semdedup_plan(df).collect()}
+    assert flat[0] is True and sum(flat.values()) == 1
+
+    rows = {r["vec_id"]: r for r in semdedup_capped_plan(df).collect()}
+    assert {r["subcell"] for r in rows.values()} == {0, 1}
+    kept = sorted(i for i, r in rows.items() if r["is_kept"])
+    assert kept == [0, 1]  # lowest id of each parity sub-cell survives
+    assert all(rows[i]["subcell"] == i % 2 for i in range(n))
+
+
 def test_udf_pandas_iter_init_amortized(spark):
     """U10's reason to exist: one init per TASK, streamed over that
     task's Arrow batches. Observed through the UDF's own output (UDF
