@@ -29,6 +29,7 @@ _MODULES = [
     "sparkstreamingstateful_spark.operators.nested",
     "sparkstreamingstateful_spark.operators.sqlsurface",
     "sparkstreamingstateful_spark.operators.udfs",
+    "sparkstreamingstateful_spark.operators.codecs",
     "sparkstreamingstateful_spark.operators.llm_text",
     "sparkstreamingstateful_spark.operators.llm_vector",
     "sparkstreamingstateful_spark.operators.llm_pipeline",
