@@ -17,6 +17,9 @@ Join-strategy posture for 100 TB:
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -265,3 +268,153 @@ def join_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.l_returnflag").alias("l_returnflag"),
         F.col("b.l_extendedprice").alias("price"),
     )
+
+
+# ------------------------------------------------------------- skew (AQE)
+def _skewed_fact_layout(sf_dir: str) -> str:
+    """Multi-file lineitem layout for the AQE skew key, cached per content
+    fingerprint (the derived-layout discipline from operators/scans.py).
+
+    AQE's OptimizeSkewedJoin can only split a skewed reduce partition at
+    MAP-TASK granularity (ShufflePartitionsUtil.createSkewPartitionSpecs
+    groups whole per-mapper blocks): a hot partition fed by ONE mapper is
+    unsplittable and the rule silently reports zero skewed partitions —
+    measured here, and invisible until you read the rule's debug log.
+    The shipped fixture is a single parquet file with a single row group,
+    so the whole fact scan IS one mapper; a real 100 TB fact arrives as
+    thousands of files/row-groups and never hits this. The layout
+    restores the at-scale topology: the table sliced into ~4000-row
+    files (8..64 of them), one mapper each."""
+    import pyarrow.parquet as pq
+
+    from .scans import _dir_tag
+
+    out = os.path.join(
+        tempfile.gettempdir(), f"sss_skewfact_{_dir_tag(sf_dir, 'lineitem')}"
+    )
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        t = pq.read_table(f"{sf_dir}/lineitem.parquet")
+        n = t.num_rows
+        k = min(64, max(8, n // 4000))
+        os.makedirs(out, exist_ok=True)
+        for i in range(k):
+            lo, hi = i * n // k, (i + 1) * n // k
+            pq.write_table(t.slice(lo, hi - lo), os.path.join(out, f"{i:04d}.parquet"))
+        with open(os.path.join(out, "_DONE"), "w") as f:
+            f.write("")
+    return out
+
+
+def _skew_confs(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """Conf window for the AQE skew-join key, sized from the fact table's
+    parquet footer so the hot partition is flagged at EVERY shipped SF and
+    the split count stays O(constant) as data grows: the skew threshold is
+    ~1/3 of the estimated hot-partition shuffle bytes (assuming ~12 B/row
+    of compressed (key, price, qty) payload) and the advisory target is
+    half that, so AQE carves the hot partition into a handful of
+    task-sized splits instead of thousands. Broadcast is disabled on both
+    planner and AQE sides — a broadcast join has no shuffle to skew, and
+    the point of this key is the sort-merge path a 100 TB fact x fact
+    join is forced onto."""
+    import pyarrow.parquet as pq
+
+    n_rows = pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata.num_rows
+    est_hot = n_rows * 8 // 10 * 12  # 80% of rows x ~12 B compressed
+    thr = max(4096, est_hot // 3)
+    return {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": str(thr),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(max(2048, thr // 6)),
+        # one map task per layout file — without this the small files are
+        # PACKED back into one read task (openCostInBytes padding) and the
+        # hot partition becomes single-mapper-unsplittable again
+        "spark.sql.files.maxPartitionBytes": "1048576",
+    }
+
+
+def skew_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (lazy) skewed join plan: a derived fact key concentrating ~80%
+    of lineitem on ONE value joined to a 98-row derived dim — the
+    textbook hot-key shape that stalls a shuffle join on the straggler
+    partition. Split out so tests/test_plans.py can pin ``skew=true`` in
+    the AQE final plan inside its own conf window. The fact is read from
+    the multi-file derived layout (one mapper per file) — see
+    _skewed_fact_layout for why mapper count gates skew splitting."""
+    from ..catalog import SCHEMAS
+
+    li = spark.read.schema(SCHEMAS["lineitem"]).parquet(_skewed_fact_layout(sf_dir))
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 10 < 8, F.lit(0))
+        .otherwise(1 + F.col("l_orderkey") % 97)
+        .cast("bigint")
+        .alias("k"),
+        "l_extendedprice",
+        "l_quantity",
+    )
+    dim = spark.range(98).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("g"), (F.col("id") % 7).cast("string")).alias("grp"),
+    )
+    return (
+        fact.join(dim, "k")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "join_skew_aqe",
+    oracle="""
+    WITH fact AS (
+        SELECT CASE WHEN l_orderkey % 10 < 8 THEN 0
+                    ELSE 1 + l_orderkey % 97 END AS k,
+               l_extendedprice, l_quantity
+        FROM lineitem),
+    dim AS (SELECT i AS k, 'g' || CAST(i % 7 AS VARCHAR) AS grp
+            FROM range(98) t(i))
+    SELECT d.grp, count(*) AS n,
+           round(sum(f.l_extendedprice), 2) AS sum_price,
+           round(sum(f.l_quantity), 2) AS sum_qty
+    FROM fact f JOIN dim d ON f.k = d.k
+    GROUP BY d.grp
+    """,
+)
+def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE runtime skew-join handling (OptimizeSkewedJoin) — the
+    engine-native complement to agg_salted_skew's MANUAL salting: a fact
+    with one hot key (~80% of rows) sort-merge-joined un-salted, leaving
+    AQE to detect the oversized shuffle partition from map-output
+    statistics at stage boundary and split it into advisory-sized chunks
+    (each joined against a replicated read of the matching dim
+    partition). That runtime re-plan is exactly what rescues a 100 TB
+    hot-key join no one pre-salted — and it needs zero query rewrite,
+    which is why it's the first lever to reach for in production.
+    tests/test_plans.py pins ``skew=true`` inside the AQE final plan the
+    same way the DPP key pins its pruning expression; this H-check pins
+    that the split-and-union produces exactly the un-split result
+    (per-group counts and sums over the full join).
+
+    The conf window sets broadcast off (both planner and AQE) plus
+    footer-derived skew thresholds (see _skew_confs); the result is
+    materialized eagerly inside the window — AQE reads these confs at
+    execution, so a lazily-returned frame would re-plan under restored
+    session defaults (the scan_state_store lesson)."""
+    confs = _skew_confs(spark, sf_dir)
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        return skew_join_frame(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

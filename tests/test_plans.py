@@ -215,3 +215,30 @@ def test_dynamic_partition_pruning_plan(spark):
     assert "dynamicpruningexpression" in plan and "dynamicpruning#" in plan, (
         "no dynamic pruning expression in the fact scan's PartitionFilters"
     )
+
+
+def test_skew_join_plan(spark):
+    """The AQE skew key's sort-merge join must be runtime-optimized:
+    ``skew=true`` in the finalized plan proves OptimizeSkewedJoin split
+    the hot partition (detection alone logs nothing into the plan).
+    Driven through skew_join_frame inside the key's own conf window —
+    the registered key localCheckpoints eagerly, which discards the
+    join plan, so the lazy builder is the pin point."""
+    from sparkstreamingstateful_spark.operators.joins import (
+        _skew_confs,
+        skew_join_frame,
+    )
+    from sparkstreamingstateful_spark.plans import executed_plan
+
+    confs = _skew_confs(spark, SF_UNIT)
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = skew_join_frame(spark, SF_UNIT)
+        plan = executed_plan(df, execute=True)
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+    assert "skew=true" in plan, "OptimizeSkewedJoin did not split the hot partition"
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
