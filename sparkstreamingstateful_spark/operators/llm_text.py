@@ -854,6 +854,68 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_decode_bmp",
+    oracle="""
+    WITH d AS (SELECT doc_id, 2 + doc_id % 5 AS w, 2 + doc_id % 3 AS h
+               FROM documents),
+    px AS (
+        SELECT d.doc_id, d.w, d.h, x.i AS x, y.i AS y,
+               (d.doc_id + 2 * x.i + 5 * y.i) % 256 AS b,
+               (2 * d.doc_id + 3 * x.i + y.i) % 256 AS g,
+               (3 * d.doc_id + x.i + 4 * y.i) % 256 AS r
+        FROM d, range(6) x(i), range(4) y(i)
+        WHERE x.i < d.w AND y.i < d.h
+    )
+    SELECT doc_id,
+           CAST(max(w) AS INT) AS width,
+           CAST(max(h) AS INT) AS height,
+           CAST(max(w) * max(h) AS BIGINT) AS n_pixels,
+           avg(b) AS mean_b, avg(g) AS mean_g, avg(r) AS mean_r,
+           CAST(max(CASE WHEN x = 0 AND y = 0 THEN b END) AS BIGINT) AS tl_b,
+           CAST(max(CASE WHEN x = 0 AND y = 0 THEN g END) AS BIGINT) AS tl_g,
+           CAST(max(CASE WHEN x = 0 AND y = 0 THEN r END) AS BIGINT) AS tl_r
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL image decode path (L8): per-doc uncompressed 24-bit BMPs
+    are synthesized as genuine binary blobs in one mapInPandas stage, and
+    a SECOND stage parses them FROM BYTES ALONE — header struct fields,
+    4-byte row padding (widths 2..6 cover every pad 0..3), bottom-up row
+    order, BGR channel order — into width/height/channel means/top-left
+    pixel. The pixel function is closed-form integer arithmetic, so the
+    oracle replays the EXPECTED stats relationally (a lateral pixel-grid
+    expansion) without ever seeing the bytes: the H-check is an
+    independent conformance test of the parser. The top-left pixel pins
+    row ORDER (bottom-up files store it in the last row; means alone are
+    order-blind) and the padded stride pins stride handling (a 3*w
+    reader misreads every row after the first). Channel means are exact
+    cross-engine: integer sums are exact in float64 at these sizes and
+    both engines divide identically. Compressed formats stay behind the
+    honest NotImplementedError gate (functions/multimodal.py).
+
+    Scale: two narrow Arrow stages, zero shuffles, constant memory per
+    partition — the same posture as the other L8 keys, but with a real
+    parser in the decode slot."""
+    import pandas as pd
+
+    from ..functions.multimodal import decode_bmp_stats, synthesize_bmp
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [synthesize_bmp(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = d.mapInPandas(synth, "doc_id long, media binary")
+    return decode_bmp_stats(media)
+
+
 _EDGES_SQL = """
         SELECT a.doc_id AS a_id, b.doc_id AS b_id
         FROM (SELECT lang, doc_id,

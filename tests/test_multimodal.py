@@ -44,3 +44,26 @@ def test_sample_frames_chunking(spark):
     assert row["n_frames"] == 3
     assert row["n_sampled"] == 1
     assert row["sampled_hashes"] == hashlib.sha256(blob[:256]).hexdigest()
+
+
+def test_decode_bmp_top_down_and_rejections():
+    """decode_bmp must honor a NEGATIVE height (top-down row order — the
+    branch the synthesized corpus never takes) and reject non-BMP /
+    non-24bpp input loudly instead of mis-parsing."""
+    import struct
+
+    import pytest
+
+    src = mm.synthesize_bmp(11)
+    w, h = mm.bmp_dims(11)
+    # rewrite height to -h and reverse the stored rows: identical image
+    stride = (3 * w + 3) // 4 * 4
+    rows = [src[54 + i * stride : 54 + (i + 1) * stride] for i in range(h)]
+    top_down = src[:22] + struct.pack("<i", -h) + src[26:54] + b"".join(rows[::-1])
+    assert mm.decode_bmp(top_down) == mm.decode_bmp(src)
+
+    with pytest.raises(ValueError):
+        mm.decode_bmp(b"PNG not a bmp")
+    bad_bpp = src[:28] + struct.pack("<H", 8) + src[30:]
+    with pytest.raises(NotImplementedError):
+        mm.decode_bmp(bad_bpp)
