@@ -1562,3 +1562,148 @@ def test_session_window_exact_gap_boundary(spark):
         )
         got = {r["user_id"]: r["n_sessions"] for r in out.collect()}
         assert got == {1: 1, 2: 2}, (gap, got)
+
+
+def _evolution_processor(schema, write_two: bool):
+    """Minimal ValueState counter for the schema-evolution pins: schema is
+    either (n) or (n, extra); prior_extra reports whether the restarted
+    run saw a non-NULL value for the ADDED field in pre-evolution state."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class Evo(StatefulProcessor):
+        def init(self, handle):
+            self._s = handle.getValueState("s", schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            cur = self._s.get()
+            n = cur[0] if cur is not None else 0
+            had = bool(
+                cur is not None and write_two and len(cur) > 1 and cur[1] is not None
+            )
+            for pdf in rows:
+                n += len(pdf)
+            self._s.update((n, 0.5) if write_two else (n,))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n": [n], "prior_extra": [had]}
+            )
+
+        def close(self):
+            pass
+
+    return Evo()
+
+
+def _run_evolution_query(spark, feed, ckpt, proc, collected):
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("prior_extra", T.BooleanType()),
+        ]
+    )
+    st = spark.readStream.schema("user_id long, v double").parquet(feed)
+    out = st.groupBy("user_id").transformWithStateInPandas(
+        proc, outputStructType=out_schema, outputMode="Update", timeMode="None"
+    )
+    q = (
+        out.writeStream.foreachBatch(lambda df, bid: collected.extend(df.collect()))
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _evolution_fixture(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 2, 3, 1, 2], pa.int64()),
+            "v": pa.array([1.0] * 5, pa.float64()),
+        }
+    )
+    pq.write_table(t, os.path.join(feed, "0000.parquet"))
+    return feed, t, str(tmp_path / "ckpt")
+
+
+def test_tws_state_schema_evolution_default_encoding_rejects(spark, tmp_path):
+    """TWS state schema evolution, half 1 (measured r10): under the
+    DEFAULT UnsafeRow state encoding, restarting a checkpoint with an
+    ADDED ValueState field fails LOUDLY with
+    STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE — never silent corruption.
+    (The error's own suggestion, stateSchemaCheck=false, is the unsafe
+    override; the supported path is the avro encoding pinned in the
+    sibling test.)"""
+    from pyspark.sql import types as T
+
+    from sparkstreamingstateful_spark.streaming import queries as sq
+
+    if not sq._tws_available(spark):
+        pytest.skip("transformWithStateInPandas unavailable (protobuf gate)")
+    import pyarrow.parquet as pq
+
+    feed, t, ckpt = _evolution_fixture(tmp_path)
+    s1 = T.StructType([T.StructField("n", T.LongType())])
+    s2 = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("extra", T.DoubleType())]
+    )
+    got: list = []
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        _run_evolution_query(spark, feed, ckpt, _evolution_processor(s1, False), got)
+        pq.write_table(t, os.path.join(feed, "0001.parquet"))
+        with pytest.raises(Exception, match="STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE"):
+            _run_evolution_query(
+                spark, feed, ckpt, _evolution_processor(s2, True), got
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_tws_state_schema_evolution_avro_accepts(spark, tmp_path):
+    """TWS state schema evolution, half 2 (measured r10): with
+    spark.sql.streaming.stateStore.encodingFormat=avro the SAME restart
+    is ACCEPTED — pre-evolution counts carry across the checkpoint
+    (avro default-fills the added field, read back as NULL), so a
+    production deploy can widen its state record without replaying the
+    stream. Conf must be set before BOTH runs: the encoding is a
+    checkpoint property, not a per-run choice."""
+    from pyspark.sql import types as T
+
+    from sparkstreamingstateful_spark.streaming import queries as sq
+
+    if not sq._tws_available(spark):
+        pytest.skip("transformWithStateInPandas unavailable (protobuf gate)")
+    import pyarrow.parquet as pq
+
+    feed, t, ckpt = _evolution_fixture(tmp_path)
+    s1 = T.StructType([T.StructField("n", T.LongType())])
+    s2 = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("extra", T.DoubleType())]
+    )
+    got: list = []
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set("spark.sql.streaming.stateStore.encodingFormat", "avro")
+    try:
+        _run_evolution_query(spark, feed, ckpt, _evolution_processor(s1, False), got)
+        got.clear()
+        pq.write_table(t, os.path.join(feed, "0001.parquet"))
+        _run_evolution_query(spark, feed, ckpt, _evolution_processor(s2, True), got)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.unset("spark.sql.streaming.stateStore.encodingFormat")
+    by_user = {r.user_id: r for r in got}
+    # counts continue from the pre-evolution checkpoint: 2+2, 2+2, 1+1
+    assert {u: r.n for u, r in by_user.items()} == {1: 4, 2: 4, 3: 2}
+    # the added field default-fills as NULL in pre-evolution records
+    assert all(r.prior_extra is False for r in by_user.values())
