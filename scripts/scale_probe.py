@@ -97,6 +97,12 @@ PROBES = [
     # would measure the deliberately-uncapped configuration, which says
     # nothing about the operator's documented at-scale shape (same class
     # of probe-invalidity as text_language_id's suffixed tokens).
+    # r10: dedup_semantic_capped is the answer to exactly that corpus —
+    # cells still grow ×K but the hash-split cap bounds sub-cell size,
+    # so pair work (and t) must track ≈K, not K². The cap BINDS at every
+    # K here (cells ≥ 200 ≫ 32), making this the capped/uncapped
+    # contrast the flat key couldn't give.
+    ("dedup_semantic_capped", "embeddings"),
 ]
 
 # keys whose first run at a given dir includes a ONE-TIME source-layout

@@ -59,74 +59,21 @@ def query(name: str, oracle: str | None = None):
 # Evidence-priority ordering. The correctness driver checks exactly the
 # FIRST 50 registered keys each round (count cap, measured r1/r2), so
 # iteration order is the lever that decides which keys get hard oracle
-# signal. Round-9 rotation (per VERDICT r8 item 1 — finish the evidence
-# rotation): the window leads with (a) the twenty keys NEW this round with
-# zero driver evidence, then (b) the sixteen keys whose latest green
-# still dates to ROUND 4 — the oldest evidence in the union — then
-# (c) fourteen of the forty-eight r5-evidence keys. After this
-# window lands, max H-evidence age is r5 (the 34 r5 keys that didn't fit, which
-# lead the r10 window — listed first below the line), and everything
-# else carries r7/r8 evidence.
+# signal. Round-10 rotation (per VERDICT r9 item 2 — run the staged r10
+# window): (a) the four keys NEW this round, then (b) the rows-only key
+# plus all 34 keys whose latest green still dates to ROUND 5 — the
+# oldest evidence in the union — then (c) the 11 oldest r6/r7-evidence
+# keys to fill the window. After this window lands, max H-evidence age
+# is r7 (the rest of that cohort, which leads the r11 window below the
+# line), and everything else carries r8/r9 evidence.
 _KEY_PRIORITY = [
-    # (a) r9 additions with NO driver evidence yet (stream_window_session
-    # is not new but its oracle's session boundary was corrected in r9 —
-    # it sits in the r5 cohort below and stays inside the window)
-    "array_hof_predicates",
-    "scalar_mask",
-    "stream_window_session_dynamic",
-    "agg_hll_sketch",
-    "sql_identifier_clause",
-    "sql_try_cast",
-    "window_ignore_nulls",
-    "sql_not_in_null",
-    "scalar_bitwise",
-    "udf_pandas_iter",
-    "scan_dynamic_partition_pruning",
-    "events_sessionize_dynamic_gap",
-    "sql_agg_filter",
-    "scan_state_time_travel",
-    "scan_state_join_side",
-    "stream_static_join_anti",
-    "stream_static_join_left",
-    "scan_state_changefeed",
-    "dedup_semantic",
-    "observe_metrics",
-    # (b) r4-evidence cohort — the oldest greens in the union
-    "agg_collect",
-    "array_explode",
-    "array_ops",
-    "cte_query",
-    "embed_centroids",
-    "embed_similarity_topk",
-    "limit_topk",
-    "map_ops",
-    "scalar_cast",
-    "scalar_math",
-    "set_except_all",
-    "set_intersect_all",
-    "subquery_correlated_exists",
-    "subquery_in",
-    "subquery_scalar",
-    "vector_ops",
-    # (c) oldest r5-evidence keys (14 of 48)
-    "stateful_sessionize",
-    "stateful_running_agg",
-    "stateful_dedup_keyed",
-    "stream_window_late_drop",
-    "stream_window_tumbling",
-    "stream_window_sliding",
-    "stream_window_session",
-    "stream_dedup",
-    "stream_static_join",
-    "stream_stream_join",
-    "stream_text_analysis",
-    "stream_cdc_upsert",
-    "stateful_running_agg_tws",
-    "dedup_cluster_cc",
-    # --- 50-key boundary. Order below the line = next-rotation order:
-    # sample_seeded (rows-only by construction) first, then the 34
-    # r5-evidence keys that lead r10's window, then the r6/r7-window
-    # greens, then the keys checked in the r8 window (freshest).
+    # (a) r10 additions with NO driver evidence yet
+    "dedup_semantic_capped",
+    "codec_protobuf_roundtrip",
+    "join_skew_aqe",
+    "multimodal_decode_bmp",
+    # (b) rows-only key + the 34 r5-evidence keys (oldest greens in
+    # the union) that did not fit the r9 window
     "sample_seeded",
     "embed_near_dup",
     "scan_csv",
@@ -162,7 +109,7 @@ _KEY_PRIORITY = [
     "text_stats",
     "text_language_id",
     "text_token_count",
-    # r6/r7-window greens
+    # (c) oldest r6/r7-evidence keys (11 of the cohort fill the window)
     "stream_stream_join_full",
     "stream_stream_join_right",
     "json_variant",
@@ -174,6 +121,9 @@ _KEY_PRIORITY = [
     "join_left",
     "join_right",
     "join_full",
+    # --- 50-key boundary. Order below the line = next-rotation order:
+    # the remaining r6/r7-evidence cohort leads the r11 window, then the
+    # r8-window greens, then the r9-window greens (freshest evidence).
     "stream_python_datasource",
     "write_python_datasource",
     "stream_sink_python_datasource",
@@ -213,7 +163,6 @@ _KEY_PRIORITY = [
     "events_sessionize_batch",
     "events_funnel",
     "events_cohort_retention",
-    # r8-window greens (freshest evidence in the union)
     "stateful_running_agg_tws_bootstrap",
     "scd2_point_in_time_join",
     "stream_union_sources",
@@ -264,6 +213,58 @@ _KEY_PRIORITY = [
     "set_union_distinct",
     "set_intersect",
     "set_except",
+    # r8-window and r9-window greens (r9 window = the 50 keys checked
+    # in CORRECTNESS_r09; freshest evidence in the union)
+    "array_hof_predicates",
+    "scalar_mask",
+    "stream_window_session_dynamic",
+    "agg_hll_sketch",
+    "sql_identifier_clause",
+    "sql_try_cast",
+    "window_ignore_nulls",
+    "sql_not_in_null",
+    "scalar_bitwise",
+    "udf_pandas_iter",
+    "scan_dynamic_partition_pruning",
+    "events_sessionize_dynamic_gap",
+    "sql_agg_filter",
+    "scan_state_time_travel",
+    "scan_state_join_side",
+    "stream_static_join_anti",
+    "stream_static_join_left",
+    "scan_state_changefeed",
+    "dedup_semantic",
+    "observe_metrics",
+    "agg_collect",
+    "array_explode",
+    "array_ops",
+    "cte_query",
+    "embed_centroids",
+    "embed_similarity_topk",
+    "limit_topk",
+    "map_ops",
+    "scalar_cast",
+    "scalar_math",
+    "set_except_all",
+    "set_intersect_all",
+    "subquery_correlated_exists",
+    "subquery_in",
+    "subquery_scalar",
+    "vector_ops",
+    "stateful_sessionize",
+    "stateful_running_agg",
+    "stateful_dedup_keyed",
+    "stream_window_late_drop",
+    "stream_window_tumbling",
+    "stream_window_sliding",
+    "stream_window_session",
+    "stream_dedup",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_text_analysis",
+    "stream_cdc_upsert",
+    "stateful_running_agg_tws",
+    "dedup_cluster_cc",
 ]
 
 

@@ -62,11 +62,11 @@ def test_driver_window_all_hash_checked():
     # (measured r1/r2). Every slot in that window must be an H key (an R
     # key there burns a slot on a `no_oracle` row) — except an explicit
     # allowlist of R keys deliberately spending a slot on a rows-only
-    # driver row. r6: empty — agg_approx became H (bounded-accuracy
-    # oracle) and sample_seeded (rows-only BY CONSTRUCTION: no
-    # cross-engine RNG equality) sits below the line with fresh r5
-    # evidence.
-    allowed_r = set()
+    # driver row. r10: sample_seeded (rows-only BY CONSTRUCTION — no
+    # cross-engine RNG equality exists) leads the staged rotation window
+    # per VERDICT r9 item 2, so its only possible driver evidence (a
+    # rows-only row) gets refreshed this round.
+    allowed_r = {"sample_seeded"}
     keys = list(QUERIES)
     window = keys[:50]
     not_h = [k for k in window if k not in ORACLES and k not in allowed_r]
