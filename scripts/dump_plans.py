@@ -142,6 +142,34 @@ def main() -> None:
         plan = executed_plan(df, execute=True)
         out.append(f"## {key}\n\n*{note}* — shuffles: {shuffle_count(df)}\n")
         out.append("```\n" + plan.strip()[:4000] + "\n```\n")
+
+    # join_skew_aqe's registered key materializes eagerly inside its conf
+    # window (the returned frame is a localCheckpoint scan), so the plan
+    # showcase drives the lazy builder the same way test_skew_join_plan
+    # does — inside the window.
+    from sparkstreamingstateful_spark.operators.joins import (
+        _skew_confs,
+        skew_join_frame,
+    )
+
+    confs = _skew_confs(spark, SF)
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = skew_join_frame(spark, SF)
+        plan = executed_plan(df, execute=True)
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+    out.append(
+        "## join_skew_aqe\n\n*AQE runtime skew split (r10): the hot "
+        "fact partition (~80% of rows on one key) is carved into "
+        "advisory-sized mapper-range chunks — `skew=true` on the "
+        f"sort-merge join, dim partition replicated per chunk* — "
+        f"shuffles: {shuffle_count(df)}\n"
+    )
+    out.append("```\n" + plan.strip()[:4000] + "\n```\n")
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "PLANS.md"), "w") as f:
         f.write("\n".join(out))
