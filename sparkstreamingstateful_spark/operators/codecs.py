@@ -67,46 +67,55 @@ def _load_wire():
     return mod
 
 
+def _encode_delimited(wire, cols: dict, n: int) -> bytes:
+    """Encode ``n`` event rows (columnar dict of python lists) into one
+    varint-length-delimited proto3 blob — shared by the batch key's
+    mapInArrow stage and the streaming key's driver-side feed builder,
+    so the two wire layouts can never drift."""
+    pack_d = struct.Struct("<d").pack
+    out = bytearray()
+    for i in range(n):
+        msg = bytearray()
+        # proto3 implicit presence: zero-valued scalars are omitted
+        # (the decoder's defaults restore them — round-trip exact).
+        eid = cols["event_id"][i]
+        if eid:
+            wire.encode_tag(msg, 1, wire.VARINT)
+            wire.encode_varint(msg, eid)
+        uid = cols["user_id"][i]
+        if uid:
+            wire.encode_tag(msg, 2, wire.VARINT)
+            wire.encode_varint(msg, uid)
+        et = cols["event_type"][i]
+        if et:
+            wire.encode_len(msg, 3, et.encode("utf-8"))
+        val = cols["value"][i]
+        if val != 0.0:
+            wire.encode_tag(msg, 4, wire.I64)
+            msg += pack_d(val)
+        ts = cols["ts_us"][i]
+        if ts:
+            wire.encode_tag(msg, 5, wire.VARINT)
+            wire.encode_varint(msg, ts)
+        # forward-compat probe: a field this repo's decoder never
+        # learned — it must be skipped, not break framing
+        wire.encode_tag(msg, 9, wire.VARINT)
+        wire.encode_varint(msg, eid % 7)
+        wire.encode_varint(out, len(msg))
+        out += msg
+    return bytes(out)
+
+
 def _encode_event_batches(it):
     import pyarrow as pa
 
     wire = _load_wire()
-    pack_d = struct.Struct("<d").pack
     for batch in it:
         cols = {n: batch.column(i).to_pylist() for i, n in enumerate(batch.schema.names)}
-        out = bytearray()
         n = batch.num_rows
-        for i in range(n):
-            msg = bytearray()
-            # proto3 implicit presence: zero-valued scalars are omitted
-            # (the decoder's defaults restore them — round-trip exact).
-            eid = cols["event_id"][i]
-            if eid:
-                wire.encode_tag(msg, 1, wire.VARINT)
-                wire.encode_varint(msg, eid)
-            uid = cols["user_id"][i]
-            if uid:
-                wire.encode_tag(msg, 2, wire.VARINT)
-                wire.encode_varint(msg, uid)
-            et = cols["event_type"][i]
-            if et:
-                wire.encode_len(msg, 3, et.encode("utf-8"))
-            val = cols["value"][i]
-            if val != 0.0:
-                wire.encode_tag(msg, 4, wire.I64)
-                msg += pack_d(val)
-            ts = cols["ts_us"][i]
-            if ts:
-                wire.encode_tag(msg, 5, wire.VARINT)
-                wire.encode_varint(msg, ts)
-            # forward-compat probe: a field this repo's decoder never
-            # learned — it must be skipped, not break framing
-            wire.encode_tag(msg, 9, wire.VARINT)
-            wire.encode_varint(msg, eid % 7)
-            wire.encode_varint(out, len(msg))
-            out += msg
+        blob = _encode_delimited(wire, cols, n)
         yield pa.record_batch(
-            [pa.array([bytes(out)], pa.binary()), pa.array([n], pa.int64())],
+            [pa.array([blob], pa.binary()), pa.array([n], pa.int64())],
             names=["blob", "n_msgs"],
         )
 
@@ -201,3 +210,111 @@ def codec_protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         _decode_event_batches,
         "event_id long, user_id long, event_type string, value double, ts_us long",
     )
+
+
+# ---------------------------------------------------------- streaming decode
+def _proto_blob_feed(sf_dir: str) -> str:
+    """Chunked protobuf-blob feed for the streaming decode key, cached per
+    content fingerprint (the derived-layout discipline): the events table
+    sliced into feeder.DEFAULT_CHUNKS row-order chunks, each encoded
+    driver-side into ONE delimited proto3 blob row — exactly the shape a
+    Kafka topic hands a consumer (one binary value per record batch),
+    replayed as one micro-batch per file via mtime ordering."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..streaming.feeder import DEFAULT_CHUNKS
+    from .scans import _dir_tag
+
+    out = os.path.join(
+        tempfile.gettempdir(), f"sss_protoblobs_{_dir_tag(sf_dir, 'events')}"
+    )
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        wire = _load_wire()
+        t = pq.read_table(f"{sf_dir}/events.parquet")
+        ts = t.column("ts")
+        # epoch micros, same unit duality handling as the catalog: raw
+        # int64 ts columns are NANOS, timestamp columns cast exactly
+        if pa.types.is_integer(ts.type):
+            ts_us = [v // 1000 for v in ts.to_pylist()]
+        else:
+            ts_us = ts.cast(pa.timestamp("us")).cast(pa.int64()).to_pylist()
+        cols = {
+            "event_id": t.column("event_id").to_pylist(),
+            "user_id": t.column("user_id").to_pylist(),
+            "event_type": t.column("event_type").to_pylist(),
+            "value": t.column("value").to_pylist(),
+            "ts_us": ts_us,
+        }
+        n = t.num_rows
+        os.makedirs(out, exist_ok=True)
+        base = 1_600_000_000
+        for i in range(DEFAULT_CHUNKS):
+            lo, hi = i * n // DEFAULT_CHUNKS, (i + 1) * n // DEFAULT_CHUNKS
+            chunk = {k: v[lo:hi] for k, v in cols.items()}
+            blob = _encode_delimited(wire, chunk, hi - lo)
+            path = os.path.join(out, f"{i:04d}.parquet")
+            pq.write_table(
+                pa.table(
+                    {
+                        "blob": pa.array([blob], pa.binary()),
+                        "n_msgs": pa.array([hi - lo], pa.int64()),
+                    }
+                ),
+                path,
+            )
+            os.utime(path, (base + i, base + i))
+        with open(os.path.join(out, "_DONE"), "w") as f:
+            f.write("")
+    return out
+
+
+@query(
+    "stream_codec_protobuf",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_id,
+           CAST(min(user_id) AS BIGINT) AS min_user,
+           CAST(max(user_id) AS BIGINT) AS max_user,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_codec_protobuf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING protobuf ingest (S8 × ST): a file stream of delimited
+    proto3 blobs — the Kafka-value shape, one blob per micro-batch — is
+    decoded IN-STREAM by the same mapInArrow stage the batch key uses,
+    then aggregated per event_type across micro-batches in complete
+    mode. The H-check pins the decoded stream against a batch oracle
+    over the source table: a framing slip at a chunk boundary, a batch
+    lost to the decode stage, or replayed rows all shift the counts.
+    With the spark-protobuf jar this stage would be
+    ``from_protobuf(value)`` on a Kafka source; the framing, micro-batch
+    flow, and state semantics are identical.
+
+    Scale: the decode rides the stream's existing partition parallelism
+    (no extra shuffle before the agg's own exchange), and complete-mode
+    state is one row per event_type — O(groups), not O(rows)."""
+    from ..streaming.runner import run_stream
+
+    feed = _proto_blob_feed(sf_dir)
+    blobs = (
+        spark.readStream.schema("blob binary, n_msgs long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    rows = blobs.mapInArrow(
+        _decode_event_batches,
+        "event_id long, user_id long, event_type string, value double, ts_us long",
+    )
+    agg = rows.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").alias("sum_id"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    return run_stream(agg, output_mode="complete")

@@ -29,17 +29,17 @@ def _tokens(col="text"):
     return F.split(F.col(col), " ")
 
 
-def _shingle_idx(toks):
-    """Start-index array for 3-gram shingles, SAFE for documents with
-    fewer than 3 tokens: ``sequence(0, n-3)`` on a 1–2-token doc yields a
-    DESCENDING [0, -1] and ``toks[i+2]`` then indexes out of bounds —
+def _shingle_idx(toks, g: int = 3):
+    """Start-index array for g-gram shingles, SAFE for documents with
+    fewer than g tokens: ``sequence(0, n-g)`` on a short doc yields a
+    DESCENDING sequence and ``toks[i+g-1]`` then indexes out of bounds —
     an [INVALID_ARRAY_INDEX] crash under default ANSI mode (measured on
-    4.1.2), phantom shingles with ANSI off. Short docs get an empty
-    index array, matching the oracles' empty ``range(1, len(l) - 1)``.
+    this distribution), phantom shingles with ANSI off. Short docs get an
+    empty index array, matching the oracles' empty ``range(...)``.
     The current corpus has no short docs (the H-checks never tripped
     this), but a real ingest certainly does."""
     n = F.size(toks)
-    return F.when(n >= 3, F.sequence(F.lit(0), n - 3)).otherwise(
+    return F.when(n >= g, F.sequence(F.lit(0), n - g)).otherwise(
         F.array().cast("array<int>")
     )
 
@@ -1129,5 +1129,103 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.avg(F.log(F.col("total")) - F.log(F.col("cnt").cast("double"))), 4
             ).alias("neg_logp"),
+        )
+    )
+
+
+# ------------------------------------------------------- decontamination
+# Benchmark decontamination (the GPT-3 appendix-C recipe, kept by every
+# serious pretraining pipeline since): drop/flag any TRAINING document
+# sharing an n-gram with the EVALUATION set, so benchmark answers can't
+# leak into the corpus. Here the eval set is the src0/src1 slice of
+# documents (50 docs at sf0.01 — the realistic shape: eval ≪ train) and
+# the n-gram is a 5-token shingle (the corpus plants enough cross-source
+# phrase overlap that the hit set is non-empty at every SF; production
+# runs 8–13).
+_DECON_EVAL_SRC = ("src0", "src1")
+_DECON_G = 5
+
+
+@query(
+    "decontaminate_ngram",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS l FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, source,
+               unnest(list_distinct(list_transform(
+                   range(1, len(l) - {_DECON_G - 2}),
+                   i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' ||
+                        l[i+3] || ' ' || l[i+4]))) AS g
+        FROM toks
+    ),
+    ev AS (
+        SELECT DISTINCT g FROM sh
+        WHERE source IN ('src0', 'src1')
+    ),
+    hits AS (
+        SELECT s.doc_id, CAST(count(DISTINCT s.g) AS BIGINT) AS n_hits
+        FROM sh s JOIN ev USING (g)
+        WHERE s.source NOT IN ('src0', 'src1')
+        GROUP BY s.doc_id
+    )
+    SELECT d.doc_id, d.source,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           (h.doc_id IS NULL) AS is_clean
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.source NOT IN ('src0', 'src1')
+    """,
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set decontamination against an eval slice: every train
+    doc (source ∉ eval) is flagged with the number of DISTINCT 5-gram
+    shingles it shares with any eval doc (n_hits; is_clean = zero hits).
+    Output covers the whole train side, so the H-check pins hit counts
+    AND the clean set — a missed shingle, an off-by-one window, or a
+    short-doc phantom all shift it.
+
+    Scale posture: the eval side is the SMALL side by construction
+    (benchmarks are thousands of docs; the corpus is billions), so its
+    distinct shingle set builds in one hash-agg and BROADCASTS — the
+    train side then streams through one scan + broadcast-hash semi
+    probe + per-doc count, never shuffling the corpus's shingle stream.
+    Shingles are xxhash64-compressed for the probe (8 bytes vs ~30-char
+    strings, JVM built-in; the string-item oracle is unchanged — same
+    discipline as dedup_ngram_jaccard). An eval set too big to
+    broadcast degrades gracefully to the same plan minus the hint: a
+    shuffle equi-join on the shingle hash, still never corpus².
+    Short-doc safety: _shingle_idx's guarded sequence (an ANSI
+    out-of-bounds crash otherwise, measured)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    shingles = F.array_distinct(
+        F.transform(
+            _shingle_idx(toks, _DECON_G),
+            lambda i: F.xxhash64(
+                F.concat_ws(
+                    " ", toks[i], toks[i + 1], toks[i + 2], toks[i + 3], toks[i + 4]
+                )
+            ),
+        )
+    )
+    is_eval = F.col("source").isin(*_DECON_EVAL_SRC)
+    exploded = d.select("doc_id", "source", F.explode(shingles).alias("g"))
+    ev = exploded.filter(is_eval).select("g").distinct()
+    hits = (
+        exploded.filter(~is_eval)
+        .join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("h"))
+    )
+    return (
+        d.filter(~is_eval)
+        .select("doc_id", "source")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce(F.col("h"), F.lit(0)).cast("bigint").alias("n_hits"),
+            F.col("h").isNull().alias("is_clean"),
         )
     )

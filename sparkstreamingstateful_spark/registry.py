@@ -60,9 +60,9 @@ def query(name: str, oracle: str | None = None):
 # FIRST 50 registered keys each round (count cap, measured r1/r2), so
 # iteration order is the lever that decides which keys get hard oracle
 # signal. Round-10 rotation (per VERDICT r9 item 2 — run the staged r10
-# window): (a) the four keys NEW this round, then (b) the rows-only key
+# window): (a) the six keys NEW this round, then (b) the rows-only key
 # plus all 34 keys whose latest green still dates to ROUND 5 — the
-# oldest evidence in the union — then (c) the 11 oldest r6/r7-evidence
+# oldest evidence in the union — then (c) the 9 oldest r6/r7-evidence
 # keys to fill the window. After this window lands, max H-evidence age
 # is r7 (the rest of that cohort, which leads the r11 window below the
 # line), and everything else carries r8/r9 evidence.
@@ -70,6 +70,8 @@ _KEY_PRIORITY = [
     # (a) r10 additions with NO driver evidence yet
     "dedup_semantic_capped",
     "codec_protobuf_roundtrip",
+    "stream_codec_protobuf",
+    "decontaminate_ngram",
     "join_skew_aqe",
     "multimodal_decode_bmp",
     # (b) rows-only key + the 34 r5-evidence keys (oldest greens in
@@ -119,11 +121,11 @@ _KEY_PRIORITY = [
     "scalar_try_arithmetic",
     "sql_group_by_all",
     "join_left",
-    "join_right",
-    "join_full",
     # --- 50-key boundary. Order below the line = next-rotation order:
     # the remaining r6/r7-evidence cohort leads the r11 window, then the
     # r8-window greens, then the r9-window greens (freshest evidence).
+    "join_right",
+    "join_full",
     "stream_python_datasource",
     "write_python_datasource",
     "stream_sink_python_datasource",
