@@ -418,3 +418,97 @@ def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ----------------------------------------------------- binned range join
+_RANGE_DAYS = 3  # |l_shipdate - o_orderdate| <= 3 days
+_BIN_DAYS = 7  # bucket width: one window never spans more than 2 buckets
+_PROBE_MOD = 499  # deterministic probe slice: 4/31/301 orders at the 3 SFs
+
+
+@query(
+    "join_range_binned",
+    oracle=f"""
+    WITH probes AS (
+        SELECT o_orderkey,
+               epoch_us(o_orderdate) // 86400000000 AS o_day
+        FROM orders WHERE o_orderkey % {_PROBE_MOD} = 0
+    ),
+    li AS (
+        SELECT epoch_us(l_shipdate) // 86400000000 AS l_day,
+               l_extendedprice
+        FROM lineitem
+    ),
+    hits AS (
+        SELECT p.o_orderkey,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(l.l_extendedprice) AS s
+        FROM probes p JOIN li l
+          ON abs(l.l_day - p.o_day) <= {_RANGE_DAYS}
+        GROUP BY p.o_orderkey
+    )
+    SELECT p.o_orderkey,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_near,
+           round(coalesce(h.s, 0), 2) AS sum_near_price
+    FROM probes p LEFT JOIN hits h USING (o_orderkey)
+    """,
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURE interval join (no equi key anywhere) via BUCKET BINNING — the
+    classic rewrite that turns "every lineitem shipped within ±3 days of
+    each probe order's date, across ALL orders" from a nested-loop/cross
+    product into an equi-join: time is binned into 7-day buckets (width
+    > window span, so a window overlaps at most 2 buckets), the probe
+    side explodes to its overlapped buckets (≤2 rows each), both sides
+    equi-join ON BUCKET, and the exact residual ``abs(Δdays) <= 3``
+    filters candidates. J7 keeps its natural equi component; this key is
+    the case with NONE — un-binned, Catalyst's only plan is a nested
+    loop over the fact table, which is exactly what cannot run at
+    100 TB. Cost = Σ per-bucket |facts|x|probes| — bounded by the
+    window/bucket ratio, never |facts|x|probes| overall; both sides
+    shuffle once on the bucket key (or the probe side broadcasts when
+    small, as here — either way a HASH join, never a loop).
+
+    Day arithmetic is exact integers on both engines (epoch_us DIV
+    86400000000 — interval/date arithmetic differs across engines,
+    integer division doesn't). Output keeps empty probes (n_near = 0
+    via coalesce, so no NULL-bearing BIGINT reaches the driver's
+    fetchdf). The probe slice is deterministic (o_orderkey % mod)."""
+    us_per_day = 86_400_000_000
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    probes = orders.filter(F.col("o_orderkey") % _PROBE_MOD == 0).select(
+        "o_orderkey",
+        F.expr(f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV {us_per_day}").alias(
+            "o_day"
+        ),
+    )
+    left = li.select(
+        F.expr(f"unix_micros(CAST(l_shipdate AS TIMESTAMP)) DIV {us_per_day}").alias(
+            "l_day"
+        ),
+        "l_extendedprice",
+    ).withColumn("bucket", F.expr(f"l_day DIV {_BIN_DAYS}"))
+    right = probes.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"(o_day - {_RANGE_DAYS}) DIV {_BIN_DAYS}"),
+                F.expr(f"(o_day + {_RANGE_DAYS}) DIV {_BIN_DAYS}"),
+            )
+        ),
+    )
+    hits = (
+        left.join(right, "bucket")
+        .filter(F.abs(F.col("l_day") - F.col("o_day")) <= _RANGE_DAYS)
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_extendedprice").alias("s"),
+        )
+    )
+    return probes.join(hits, "o_orderkey", "left").select(
+        "o_orderkey",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_near"),
+        F.round(F.coalesce(F.col("s"), F.lit(0.0)), 2).alias("sum_near_price"),
+    )

@@ -60,9 +60,9 @@ def query(name: str, oracle: str | None = None):
 # FIRST 50 registered keys each round (count cap, measured r1/r2), so
 # iteration order is the lever that decides which keys get hard oracle
 # signal. Round-10 rotation (per VERDICT r9 item 2 — run the staged r10
-# window): (a) the six keys NEW this round, then (b) the rows-only key
+# window): (a) the seven keys NEW this round, then (b) the rows-only key
 # plus all 34 keys whose latest green still dates to ROUND 5 — the
-# oldest evidence in the union — then (c) the 9 oldest r6/r7-evidence
+# oldest evidence in the union — then (c) the 8 oldest r6/r7-evidence
 # keys to fill the window. After this window lands, max H-evidence age
 # is r7 (the rest of that cohort, which leads the r11 window below the
 # line), and everything else carries r8/r9 evidence.
@@ -73,6 +73,7 @@ _KEY_PRIORITY = [
     "stream_codec_protobuf",
     "decontaminate_ngram",
     "join_skew_aqe",
+    "join_range_binned",
     "multimodal_decode_bmp",
     # (b) rows-only key + the 34 r5-evidence keys (oldest greens in
     # the union) that did not fit the r9 window
@@ -111,7 +112,7 @@ _KEY_PRIORITY = [
     "text_stats",
     "text_language_id",
     "text_token_count",
-    # (c) oldest r6/r7-evidence keys (11 of the cohort fill the window)
+    # (c) oldest r6/r7-evidence keys (8 of the cohort fill the window)
     "stream_stream_join_full",
     "stream_stream_join_right",
     "json_variant",
@@ -120,10 +121,10 @@ _KEY_PRIORITY = [
     "udtf_analyze",
     "scalar_try_arithmetic",
     "sql_group_by_all",
-    "join_left",
     # --- 50-key boundary. Order below the line = next-rotation order:
     # the remaining r6/r7-evidence cohort leads the r11 window, then the
     # r8-window greens, then the r9-window greens (freshest evidence).
+    "join_left",
     "join_right",
     "join_full",
     "stream_python_datasource",
