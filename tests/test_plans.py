@@ -242,3 +242,16 @@ def test_skew_join_plan(spark):
             spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
     assert "skew=true" in plan, "OptimizeSkewedJoin did not split the hot partition"
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_range_binned_join_no_nested_loop(spark):
+    """join_range_binned exists to AVOID the nested-loop plan a pure
+    (no-equi-key) interval join otherwise forces: the binned form must
+    plan as a HASH join on the bucket key (broadcast or shuffled), with
+    zero BroadcastNestedLoopJoin / CartesianProduct anywhere."""
+    from sparkstreamingstateful_spark.plans import executed_plan
+
+    df = QUERIES["join_range_binned"](spark, SF_UNIT)
+    plan = executed_plan(df, execute=True)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan

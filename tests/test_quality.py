@@ -289,3 +289,27 @@ def test_udf_pandas_iter_init_amortized(spark):
         )
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_decontaminate_short_doc_guard(spark):
+    """A train doc with fewer than 5 tokens must contribute zero
+    shingles (the guarded sequence) rather than ANSI-crashing or
+    producing phantom shingles that could cross-match the eval side."""
+    from sparkstreamingstateful_spark.operators.llm_text import (
+        _shingle_idx,
+        _tokens,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "only three tokens"), (2, "a b c d e f")],
+        "doc_id long, text string",
+    )
+    import pyspark.sql.functions as F
+
+    rows = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", F.size(_shingle_idx(_tokens(), 5)).alias("n")
+        ).collect()
+    }
+    assert rows == {1: 0, 2: 2}
