@@ -318,3 +318,237 @@ def stream_codec_protobuf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
     return run_stream(agg, output_mode="complete")
+
+
+# ------------------------------------------------------------- avro wire
+# The spark-avro jar is absent (recorded in SURVEY §2.1), but — like the
+# protobuf keys above — the WIRE level is a pure public spec
+# (avro.apache.org/docs/current/specification: zigzag-varint longs,
+# little-endian doubles, length-prefixed strings, 'Obj\x01' container
+# framing with per-block counts and sync markers). This clean-room
+# reader/writer pair covers Avro ingest end-to-end without the jar; a
+# deployment with spark-avro would swap the mapInArrow parse for
+# ``format("avro")`` over the same files — these ARE valid null-codec
+# Avro containers.
+
+_AVRO_MAGIC = b"Obj\x01"
+_AVRO_SYNC = bytes(range(16))  # fixed sync marker (any 16 bytes are legal)
+_AVRO_SCHEMA = (
+    '{"type":"record","name":"Event","fields":['
+    '{"name":"event_id","type":"long"},'
+    '{"name":"user_id","type":"long"},'
+    '{"name":"event_type","type":"string"},'
+    '{"name":"value","type":"double"},'
+    '{"name":"ts_us","type":"long"}]}'
+)
+_AVRO_BLOCK_ROWS = 1000
+
+
+def _avro_zigzag(out: bytearray, n: int) -> None:
+    """Avro long: zigzag then base-128 varint (public spec)."""
+    z = (n << 1) ^ (n >> 63)
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _avro_read_long(data: bytes, pos: int) -> tuple[int, int]:
+    result = shift = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return (result >> 1) ^ -(result & 1), pos
+        shift += 7
+
+
+def write_avro_container(path: str, cols: dict, n: int) -> None:
+    """Write ``n`` event rows as a valid null-codec Avro container file
+    (magic, metadata map with schema+codec, sync, row blocks)."""
+    pack_d = struct.Struct("<d").pack
+    out = bytearray(_AVRO_MAGIC)
+    # file metadata map: one block of 2 entries, then the 0 terminator
+    _avro_zigzag(out, 2)
+    for k, v in (
+        ("avro.schema", _AVRO_SCHEMA.encode()),
+        ("avro.codec", b"null"),
+    ):
+        _avro_zigzag(out, len(k))
+        out += k.encode()
+        _avro_zigzag(out, len(v))
+        out += v
+    _avro_zigzag(out, 0)
+    out += _AVRO_SYNC
+    for lo in range(0, n, _AVRO_BLOCK_ROWS):
+        hi = min(lo + _AVRO_BLOCK_ROWS, n)
+        block = bytearray()
+        for i in range(lo, hi):
+            _avro_zigzag(block, cols["event_id"][i])
+            _avro_zigzag(block, cols["user_id"][i])
+            et = cols["event_type"][i].encode("utf-8")
+            _avro_zigzag(block, len(et))
+            block += et
+            block += pack_d(cols["value"][i])
+            _avro_zigzag(block, cols["ts_us"][i])
+        _avro_zigzag(out, hi - lo)
+        _avro_zigzag(out, len(block))
+        out += block
+        out += _AVRO_SYNC
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+def _decode_avro_batches(it):
+    """mapInArrow stage over a binaryFile scan: parse whole Avro
+    container files FROM BYTES ALONE — magic, metadata map (the embedded
+    writer schema must equal the expected one, codec must be null; both
+    enforced loudly, never guessed), sync-marker integrity per block."""
+    import json
+
+    import pyarrow as pa
+
+    unpack_d = struct.Struct("<d").unpack_from
+    for batch in it:
+        names = batch.schema.names
+        content = batch.column(names.index("content"))
+        ids, users, types, vals, tss = [], [], [], [], []
+        for data in content.to_pylist():
+            if data[:4] != _AVRO_MAGIC:
+                raise ValueError("not an Avro container: bad magic")
+            pos = 4
+            meta = {}
+            while True:
+                cnt, pos = _avro_read_long(data, pos)
+                if cnt == 0:
+                    break
+                if cnt < 0:  # negative count: abs(count) preceded by size
+                    cnt = -cnt
+                    _, pos = _avro_read_long(data, pos)
+                for _ in range(cnt):
+                    kl, pos = _avro_read_long(data, pos)
+                    k = data[pos : pos + kl].decode()
+                    pos += kl
+                    vl, pos = _avro_read_long(data, pos)
+                    meta[k] = data[pos : pos + vl]
+                    pos += vl
+            codec = meta.get("avro.codec", b"null")
+            if codec != b"null":
+                raise NotImplementedError(f"avro codec {codec!r} not supported")
+            if json.loads(meta["avro.schema"]) != json.loads(_AVRO_SCHEMA):
+                raise ValueError("writer schema differs from expected schema")
+            sync = data[pos : pos + 16]
+            pos += 16
+            total = len(data)
+            while pos < total:
+                n_rows, pos = _avro_read_long(data, pos)
+                n_bytes, pos = _avro_read_long(data, pos)
+                end = pos + n_bytes
+                for _ in range(n_rows):
+                    v, pos = _avro_read_long(data, pos)
+                    ids.append(v)
+                    v, pos = _avro_read_long(data, pos)
+                    users.append(v)
+                    ln, pos = _avro_read_long(data, pos)
+                    types.append(bytes(data[pos : pos + ln]).decode("utf-8"))
+                    pos += ln
+                    vals.append(unpack_d(data, pos)[0])
+                    pos += 8
+                    v, pos = _avro_read_long(data, pos)
+                    tss.append(v)
+                if pos != end:
+                    raise ValueError("avro block over/under-read")
+                if data[pos : pos + 16] != sync:
+                    raise ValueError("avro sync marker mismatch")
+                pos += 16
+        yield pa.record_batch(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(users, pa.int64()),
+                pa.array(types, pa.string()),
+                pa.array(vals, pa.float64()),
+                pa.array(tss, pa.int64()),
+            ],
+            names=["event_id", "user_id", "event_type", "value", "ts_us"],
+        )
+
+
+def _avro_layout(sf_dir: str) -> str:
+    """events as a directory of null-codec Avro container files (one per
+    feeder chunk, multi-block), cached per content fingerprint."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..streaming.feeder import DEFAULT_CHUNKS
+    from .scans import _dir_tag
+
+    out = os.path.join(
+        tempfile.gettempdir(), f"sss_avro_{_dir_tag(sf_dir, 'events')}"
+    )
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        t = pq.read_table(f"{sf_dir}/events.parquet")
+        ts = t.column("ts")
+        if pa.types.is_integer(ts.type):
+            ts_us = [v // 1000 for v in ts.to_pylist()]
+        else:
+            ts_us = ts.cast(pa.timestamp("us")).cast(pa.int64()).to_pylist()
+        cols = {
+            "event_id": t.column("event_id").to_pylist(),
+            "user_id": t.column("user_id").to_pylist(),
+            "event_type": t.column("event_type").to_pylist(),
+            "value": t.column("value").to_pylist(),
+            "ts_us": ts_us,
+        }
+        n = t.num_rows
+        os.makedirs(out, exist_ok=True)
+        for i in range(DEFAULT_CHUNKS):
+            lo, hi = i * n // DEFAULT_CHUNKS, (i + 1) * n // DEFAULT_CHUNKS
+            chunk = {k: v[lo:hi] for k, v in cols.items()}
+            write_avro_container(
+                os.path.join(out, f"{i:04d}.avro"), chunk, hi - lo
+            )
+        with open(os.path.join(out, "_DONE"), "w") as f:
+            f.write("")
+    return out
+
+
+@query(
+    "codec_avro_container",
+    oracle="""
+    SELECT event_id, user_id, event_type, value,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us
+    FROM events
+    """,
+)
+def codec_avro_container(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro container ingest at the WIRE level (the jar-blocked S-row's
+    offline-closable half, protobuf-key symmetry): events written as
+    genuine null-codec Avro container files — 'Obj\\x01' magic, metadata
+    map carrying the writer schema + codec, 16-byte sync markers,
+    multi-block row framing, zigzag-varint longs, IEEE-LE doubles,
+    length-prefixed strings — then ingested via Spark's ``binaryFile``
+    source (the standard whole-file ingest path) and parsed from bytes
+    alone in a mapInArrow stage that verifies magic, codec, embedded
+    writer schema, per-block byte accounting, and every sync marker.
+    The H-check compares the decoded rows PER ROW against the source
+    table — a zigzag slip, block mis-framing, or sync drift hash-fails.
+    With spark-avro present the parse stage becomes ``format("avro")``
+    over the very same files.
+
+    Scale: binaryFile parallelizes per file (an Avro lake is many
+    files), the parse is one narrow Arrow stage, zero shuffles; block
+    framing means constant memory per block even for huge files."""
+    feed = _avro_layout(sf_dir)
+    files = spark.read.format("binaryFile").load(feed + "/*.avro")
+    return files.select("content").mapInArrow(
+        _decode_avro_batches,
+        "event_id long, user_id long, event_type string, value double, ts_us long",
+    )

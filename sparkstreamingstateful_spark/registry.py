@@ -60,9 +60,9 @@ def query(name: str, oracle: str | None = None):
 # FIRST 50 registered keys each round (count cap, measured r1/r2), so
 # iteration order is the lever that decides which keys get hard oracle
 # signal. Round-10 rotation (per VERDICT r9 item 2 — run the staged r10
-# window): (a) the seven keys NEW this round, then (b) the rows-only key
+# window): (a) the eight keys NEW this round, then (b) the rows-only key
 # plus all 34 keys whose latest green still dates to ROUND 5 — the
-# oldest evidence in the union — then (c) the 8 oldest r6/r7-evidence
+# oldest evidence in the union — then (c) the 7 oldest r6/r7-evidence
 # keys to fill the window. After this window lands, max H-evidence age
 # is r7 (the rest of that cohort, which leads the r11 window below the
 # line), and everything else carries r8/r9 evidence.
@@ -71,6 +71,7 @@ _KEY_PRIORITY = [
     "dedup_semantic_capped",
     "codec_protobuf_roundtrip",
     "stream_codec_protobuf",
+    "codec_avro_container",
     "decontaminate_ngram",
     "join_skew_aqe",
     "join_range_binned",
@@ -112,7 +113,7 @@ _KEY_PRIORITY = [
     "text_stats",
     "text_language_id",
     "text_token_count",
-    # (c) oldest r6/r7-evidence keys (8 of the cohort fill the window)
+    # (c) oldest r6/r7-evidence keys (7 of the cohort fill the window)
     "stream_stream_join_full",
     "stream_stream_join_right",
     "json_variant",
@@ -120,10 +121,10 @@ _KEY_PRIORITY = [
     "agg_listagg",
     "udtf_analyze",
     "scalar_try_arithmetic",
-    "sql_group_by_all",
     # --- 50-key boundary. Order below the line = next-rotation order:
     # the remaining r6/r7-evidence cohort leads the r11 window, then the
     # r8-window greens, then the r9-window greens (freshest evidence).
+    "sql_group_by_all",
     "join_left",
     "join_right",
     "join_full",
