@@ -742,3 +742,226 @@ def events_sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame
             "sum_v",
         )
     )
+
+
+# ------------------------------------------------------ linear interpolation
+@query(
+    "events_interpolate_linear",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS lo,
+               date_trunc('hour', max(ts)) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    hourly AS (
+        SELECT date_trunc('hour', ts) AS h, event_type,
+               count(*) AS c,
+               CAST(floor(
+                   CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS DOUBLE)
+                   / count(*)) AS BIGINT) AS v4
+        FROM events
+        GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT CAST(s.h AS TIMESTAMP) AS h, t.event_type,
+               epoch_us(CAST(s.h AS TIMESTAMP)) // 3600000000 AS e,
+               a.c, a.v4
+        FROM spine s CROSS JOIN types t
+        LEFT JOIN hourly a ON a.h = s.h AND a.event_type = t.event_type
+    ),
+    nav AS (
+        SELECT h, event_type, e, c, v4,
+               last_value(CASE WHEN v4 IS NOT NULL THEN {'e': e, 'v': v4} END
+                          IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS p,
+               first_value(CASE WHEN v4 IS NOT NULL THEN {'e': e, 'v': v4} END
+                           IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY e
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS nx
+        FROM grid
+    )
+    SELECT h, event_type, CAST(coalesce(c, 0) AS BIGINT) AS n,
+           CASE
+             WHEN v4 IS NOT NULL THEN CAST(v4 AS DOUBLE) / 10000.0
+             WHEN p IS NOT NULL AND nx IS NOT NULL THEN
+               CAST(p.v + CAST(floor(
+                   CAST((nx.v - p.v) * (e - p.e) AS DOUBLE)
+                   / CAST(nx.e - p.e AS DOUBLE)) AS BIGINT)
+                    AS DOUBLE) / 10000.0
+           END AS v_interp
+    FROM nav
+    """,
+)
+def events_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR gap interpolation (the hypertable ``interpolate()``
+    primitive, E13's sibling): where LOCF carries the last value flat,
+    this draws the line between the neighboring OBSERVED hourly
+    averages and evaluates it at each missing bucket — the right fill
+    for continuously-varying signals (rates, temperatures, prices).
+    Hourly per-type averages land on the generated [min, max] hour x
+    type spine; per missing bucket the previous and next observations
+    arrive as ``last/first(struct(epoch, v), ignorenulls)`` over one
+    ordered per-type window pass each (a navigation struct, so value
+    and coordinate travel together and stay consistent); buckets
+    before the first or after the last observation stay NULL in both
+    engines.
+
+    Numeric determinism (learned the hard way in this key's first
+    TWO drafts — the sf0.001 probe caught interpolated half-ties and
+    the sf0.1 probe caught an observed-average half-tie the smaller
+    scales missed): ANY round() of a computed double can land on a
+    decimal half-tie where Spark's BigDecimal-exact rounding and
+    DuckDB's scaled-float rounding split. So this key contains NO
+    round() at all. Values are floor-quantized per row to BIGINT
+    1e-4 units (floor has no half-ties: an exact integer input
+    floors exactly, anything else floors the identical
+    nearest-double in both engines), hourly averages are
+    floor(sum4 / n) on exact integer sums, time is the hour INDEX
+    (epoch_us div 3600000000) so every numerator stays < 2^53 and
+    the double divisions see exactly-represented integers, and the
+    interpolant is pv4 + floor(dv4 * de / den) in the same integer
+    units. The single /10000.0 at the end is an exact-input
+    division both engines perform identically.
+
+    ANSI note (the r9 lesson): when the bucket IS observed, prev ==
+    next and the denominator is zero — Spark's projection does not
+    short-circuit through CASE the way DuckDB does, so the division
+    is computed under an ``F.when(ne != pe)`` guard.
+
+    Scale: identical shape to events_gap_fill — one hash agg over the
+    fact, a broadcast spine x types join, and two ordered window
+    passes over the AGGREGATED grid (rows = hours x types, bounded by
+    the time range, never the data volume)."""
+    ev = load_table(spark, sf_dir, "events")
+    vi = F.floor(F.col("value") * 10000).cast("bigint")
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"), "event_type")
+        .agg(F.count(F.lit(1)).alias("c"), F.sum(vi).alias("s4"))
+        .select(
+            "h",
+            "event_type",
+            "c",
+            F.floor(F.col("s4").cast("double") / F.col("c"))
+            .cast("bigint")
+            .alias("v4"),
+        )
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    grid = (
+        spine.crossJoin(types)
+        .join(hourly, ["h", "event_type"], "left")
+        .withColumn("e", F.expr("unix_micros(h) div 3600000000"))
+    )
+    obs = F.when(
+        F.col("v4").isNotNull(),
+        F.struct(F.col("e"), F.col("v4").alias("v")),
+    )
+    w_back = (
+        Window.partitionBy("event_type")
+        .orderBy("e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("e")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    nav = grid.select(
+        "h",
+        "event_type",
+        "e",
+        "c",
+        "v4",
+        F.last(obs, ignorenulls=True).over(w_back).alias("p"),
+        F.first(obs, ignorenulls=True).over(w_fwd).alias("nx"),
+    )
+    pe, pv = F.col("p.e"), F.col("p.v")
+    ne, nv = F.col("nx.e"), F.col("nx.v")
+    # guarded division: observed buckets have pe == ne, and Spark
+    # evaluates every CASE branch's subexpressions under ANSI mode
+    step = F.when(
+        ne != pe,
+        F.floor(
+            ((nv - pv) * (F.col("e") - pe)).cast("double")
+            / (ne - pe).cast("double")
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    return nav.select(
+        "h",
+        "event_type",
+        F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("n"),
+        F.when(
+            F.col("v4").isNotNull(),
+            F.col("v4").cast("double") / F.lit(10000.0),
+        )
+        .when(
+            pe.isNotNull() & ne.isNotNull(),
+            (pv + step).cast("double") / F.lit(10000.0),
+        )
+        .alias("v_interp"),
+    )
+
+
+# --------------------------------------------------------- OHLC downsampling
+@query(
+    "events_resample_ohlc",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS h, event_type,
+           min({'ts': ts, 'eid': event_id, 'v': value}).v AS open_v,
+           round(max(value), 4) AS high_v,
+           round(min(value), 4) AS low_v,
+           max({'ts': ts, 'eid': event_id, 'v': value}).v AS close_v,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           round(sum(value), 4) AS sum_v
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC (open-high-low-close) downsampling — the candlestick /
+    sensor-rollup primitive every timeseries engine ships: per (hour,
+    event_type) bucket, the FIRST and LAST observed value in event-time
+    order plus the extremes and volume. First/last are computed with
+    the ``min/max(struct(ts, event_id, value))`` trick — the ordering
+    tuple and the payload travel in one struct, so open/close come out
+    of the SAME hash aggregate as the extremes: one partial+final agg,
+    one shuffle on the bucket key, NO window pass and no second scan
+    (the naive row_number()-based first/last would force a full sort
+    per bucket). Ties are impossible by construction (event_id is
+    unique), so both engines pick identical rows; struct comparison is
+    field-lexicographic in both. open/close are raw parquet doubles
+    (cross-engine exact); the aggregated extremes and sum are rounded
+    in-SQL on both sides.
+
+    Scale: this is the map-side-combinable shape — partial OHLC structs
+    merge associatively, so 100 TB of ticks reduce to hours x types
+    rows with no global ordering anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id").alias("eid"), F.col("value"))
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(
+        F.min(key).getField("value").alias("open_v"),
+        F.round(F.max("value"), 4).alias("high_v"),
+        F.round(F.min("value"), 4).alias("low_v"),
+        F.max(key).getField("value").alias("close_v"),
+        F.count(F.lit(1)).alias("n_obs"),
+        F.round(F.sum("value"), 4).alias("sum_v"),
+    )

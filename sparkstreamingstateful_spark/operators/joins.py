@@ -512,3 +512,85 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_near"),
         F.round(F.coalesce(F.col("s"), F.lit(0.0)), 2).alias("sum_near_price"),
     )
+
+
+# ---------------------------------------------------- runtime bloom filter
+_BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # at shipped test SFs the probe scan is far below the default 10 GB
+    # application-side threshold, so lower it to exercise the rewrite;
+    # at 100 TB the DEFAULT thresholds fire on exactly this plan shape
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    # broadcast must be off on both planner and AQE sides: a broadcast
+    # join already prunes probe rows at the hash table — the bloom
+    # rewrite exists for the SHUFFLE join a 100 TB x 100 GB join forces
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def bloom_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (lazy) plan under the runtime-bloom-filter conf window: the big
+    fact (lineitem) shuffle-joined to a dimension slice carrying a
+    SELECTIVE non-key predicate (urgent orders). Split out so
+    tests/test_plans.py can pin the injected ``bloom_filter_agg`` /
+    ``might_contain`` pair in the optimized plan inside the same window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "join_bloom_runtime_filter",
+    oracle="""
+    SELECT o.o_orderstatus, count(*) AS n,
+           round(sum(l.l_extendedprice), 2) AS sum_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY o.o_orderstatus
+    """,
+)
+def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime BLOOM-FILTER join pruning (InjectRuntimeFilter) — the third
+    runtime-pruning mechanism in the Catalyst toolkit after static
+    partition pruning (E9) and DPP (E9b), and the one that works on
+    NON-partition join keys: when one join side carries a selective
+    predicate, Catalyst injects ``bloom_filter_agg`` over the creation
+    side's join keys as a scalar subquery and wraps the probe side's
+    scan in ``might_contain(bloomFilter, xxhash64(key))`` — so fact rows
+    whose key cannot possibly survive the join die AT THE SCAN, before
+    the shuffle. At 100 TB that is the difference between shuffling the
+    whole fact table and shuffling only the ~matching slice; row-level
+    runtime filtering composes with (and rescues plans outside) DPP,
+    which needs the key to be a partition column. The H-check pins that
+    the bloom-filtered join (false positives possible at the filter,
+    impossible after the join) produces exactly the unfiltered result.
+
+    Conf window: thresholds lowered so the rewrite fires at test SFs
+    (defaults trigger on exactly this shape at cluster scale) and
+    broadcast disabled — the rewrite targets shuffle joins. Result is
+    materialized eagerly inside the window (the scan_state_store
+    lesson: a lazily-returned frame would re-plan under restored
+    session defaults); tests/test_plans.py pins the injected filter in
+    the optimized plan."""
+    prev = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    try:
+        for k, v in _BLOOM_CONFS.items():
+            spark.conf.set(k, v)
+        return bloom_join_frame(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -1229,3 +1229,153 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("h").isNull().alias("is_clean"),
         )
     )
+
+
+# --------------------------------------------------------------- BM25 search
+_BM25_TERMS = ("stream", "hash", "window")
+_BM25_K1 = "1.2"
+_BM25_B = "0.75"
+
+
+def _bm25_oracle() -> str:
+    n_df = [
+        f"""count(*) FILTER (WHERE list_contains(string_split(text, ' '),
+            '{t}')) AS df{i}"""
+        for i, t in enumerate(_BM25_TERMS)
+    ]
+    tf = [
+        f"""len(list_filter(string_split(text, ' '), x -> x = '{t}'))
+            AS tf{i}"""
+        for i, t in enumerate(_BM25_TERMS)
+    ]
+    idf = [
+        f"""ln((CAST(s.n_docs - s.df{i} AS DOUBLE) + 0.5)
+               / (CAST(s.df{i} AS DOUBLE) + 0.5) + 1.0)"""
+        for i in range(len(_BM25_TERMS))
+    ]
+    # CAST the k1/b literals: bare 1.2 is DECIMAL in DuckDB, and DECIMAL
+    # 1.2 + 1.0 = exact 2.2 while double 1.2 + 1.0 carries the binary
+    # representation error — a last-ulp split Spark's double literals
+    # can't reproduce (measured: 105/105 scored rows off in the 16th
+    # digit before these casts)
+    k1 = f"CAST({_BM25_K1} AS DOUBLE)"
+    b = f"CAST({_BM25_B} AS DOUBLE)"
+    part = [
+        f"""({idf[i]}) * (CAST(d.tf{i} AS DOUBLE) * ({k1} + 1.0)
+             / (CAST(d.tf{i} AS DOUBLE)
+                + {k1} * (1.0 - {b}
+                          + {b} * (CAST(d.dl AS DOUBLE)
+                                   / s.avgdl))))"""
+        for i in range(len(_BM25_TERMS))
+    ]
+    return f"""
+    WITH stats AS (
+        SELECT count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+                   / count(*) AS avgdl,
+               {", ".join(n_df)}
+        FROM documents
+    ),
+    docs AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl,
+               {", ".join(tf)}
+        FROM documents
+    )
+    SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+           CAST(tf0 + tf1 + tf2 AS BIGINT) AS tf_total,
+           {part[0]} + {part[1]} + {part[2]} AS score
+    FROM docs d CROSS JOIN stats s
+    WHERE d.tf0 + d.tf1 + d.tf2 > 0
+    """
+
+
+@query("text_bm25_search", oracle=_bm25_oracle())
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval over the corpus — the lexical half of every
+    retrieval/RAG stack (and of dataset curation by keyword): score =
+    Σ_terms IDF(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with the
+    classic k1=1.2, b=0.75, Robertson-style smoothed IDF. Corpus stats
+    (N, avgdl, per-term document frequencies) reduce to ONE row via
+    conditional aggregation in a single pass, broadcast back over the
+    corpus scan (scalar-subquery shape — no shuffle touches the docs),
+    and per-doc term frequencies come from a codegen'd array filter on
+    the tokenized text. One scan for stats + one scan for scoring; both
+    linear, no pairwise anything — the inverted-index-free form that
+    works when the query arrives WITH the batch job.
+
+    Numeric determinism: NO rounding anywhere — but NOT single-phase.
+    The first draft computed IDF in-plan with ``F.log`` and every
+    scored row split from the oracle in the 16th digit: JVM
+    ``Math.log`` and glibc ``log`` (DuckDB, CPython) differ by one ulp
+    on real inputs (measured: the ln INPUT was bit-identical, the
+    outputs were not). So the query is TWO-PHASE, the way a warehouse
+    actually runs BM25: phase 1 reduces the corpus to one 5-value
+    stats row (the same map-side-combinable agg an uncorrelated scalar
+    subquery would run), the three IDF constants are evaluated
+    driver-side with ``math.log`` (glibc — bit-equal to the oracle's
+    in-SQL ``ln``, measured), and phase 2 scores the corpus with IDF
+    as double LITERALS. Every remaining operand is an
+    exactly-represented integer cast to double or a shared literal
+    (the oracle CASTs its k1/b literals to DOUBLE — bare 1.2 is
+    DECIMAL in DuckDB and DECIMAL 1.2 + 1.0 is exact where double
+    arithmetic is not), and the per-term products are summed in fixed
+    textual order (s0 + s1 + s2) on both engines — bit-equal by
+    construction, not by rounding."""
+    import math
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    # double literals, NOT F.expr("1.2") (which parses as DECIMAL and
+    # drags the whole expression through decimal promotion)
+    k1, b = F.lit(float(_BM25_K1)), F.lit(float(_BM25_B))
+
+    def _eq(term):
+        # single-arg lambda on purpose: a 2-arg lambda makes F.filter
+        # pass (element, index) and the "term" becomes the index column
+        return lambda x: x == term
+
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.size(toks)).cast("double") / F.count(F.lit(1))
+        ).alias("avgdl"),
+        *[
+            F.count_if(F.array_contains(toks, t)).alias(f"df{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    ).collect()[0]
+    idf = [
+        math.log(
+            (float(stats.n_docs - stats[f"df{i}"]) + 0.5)
+            / (float(stats[f"df{i}"]) + 0.5)
+            + 1.0
+        )
+        for i in range(len(_BM25_TERMS))
+    ]
+
+    tf_cols = [
+        F.size(F.filter(toks, _eq(t))).alias(f"tf{i}")
+        for i, t in enumerate(_BM25_TERMS)
+    ]
+    docs = d.select("doc_id", F.size(toks).alias("dl"), *tf_cols)
+    parts = []
+    for i in range(len(_BM25_TERMS)):
+        tfd = F.col(f"tf{i}").cast("double")
+        denom = tfd + k1 * (
+            F.lit(1.0)
+            - b
+            + b * (F.col("dl").cast("double") / F.lit(float(stats.avgdl)))
+        )
+        parts.append(F.lit(idf[i]) * (tfd * (k1 + F.lit(1.0)) / denom))
+    score = parts[0] + parts[1] + parts[2]
+    return (
+        docs.filter((F.col("tf0") + F.col("tf1") + F.col("tf2")) > 0)
+        .select(
+            "doc_id",
+            F.col("dl").cast("bigint").alias("dl"),
+            (F.col("tf0") + F.col("tf1") + F.col("tf2"))
+            .cast("bigint")
+            .alias("tf_total"),
+            score.alias("score"),
+        )
+    )

@@ -68,6 +68,10 @@ def query(name: str, oracle: str | None = None):
 # line), and everything else carries r8/r9 evidence.
 _KEY_PRIORITY = [
     # (a) r10 additions with NO driver evidence yet
+    "events_interpolate_linear",
+    "events_resample_ohlc",
+    "join_bloom_runtime_filter",
+    "text_bm25_search",
     "dedup_semantic_capped",
     "codec_protobuf_roundtrip",
     "stream_codec_protobuf",

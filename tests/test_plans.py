@@ -255,3 +255,29 @@ def test_range_binned_join_no_nested_loop(spark):
     plan = executed_plan(df, execute=True)
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_bloom_runtime_filter_plan(spark):
+    """join_bloom_runtime_filter exists for the injected filter: the
+    OPTIMIZED plan must carry the ``bloom_filter_agg`` creation-side
+    subquery and a ``might_contain`` predicate on the probe side's
+    scan — proof Catalyst rewrote the shuffle join to kill non-matching
+    fact rows at the scan. Driven through bloom_join_frame inside the
+    key's conf window (the registered key localCheckpoints eagerly,
+    which discards the join plan)."""
+    from sparkstreamingstateful_spark.operators.joins import (
+        _BLOOM_CONFS,
+        bloom_join_frame,
+    )
+
+    prev = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    try:
+        for k, v in _BLOOM_CONFS.items():
+            spark.conf.set(k, v)
+        df = bloom_join_frame(spark, SF_UNIT)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+    assert "bloom_filter_agg" in plan, "runtime bloom filter not injected"
+    assert "might_contain" in plan
