@@ -511,3 +511,57 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_parts")
         ).alias("merged_within_5pct"),
     )
+
+
+# ------------------------------------------------------------ A11: histogram
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+                WHEN o_totalprice >= 500000.0 THEN 21
+                ELSE CAST(floor(o_totalprice / 25000.0) AS BIGINT) + 1
+           END AS bucket,
+           -- DOUBLE, not BIGINT: bucket_lo is NULL for under/overflow
+           -- buckets, and whether those exist is DATA-dependent — a
+           -- NULL-bearing BIGINT turns float64 through fetchdf (r6)
+           CAST(CASE WHEN o_totalprice < 0.0 OR o_totalprice >= 500000.0
+                THEN NULL
+                ELSE CAST(floor(o_totalprice / 25000.0) AS BIGINT) * 25000
+           END AS DOUBLE) AS bucket_lo,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via ``width_bucket`` — the numeric-binning
+    primitive behind every distribution dashboard and data-profiling
+    pass: order totals binned into 20 x 25k buckets over [0, 500k) with
+    the SQL-standard under/overflow buckets 0 and nb+1. The H-check
+    pins Spark's ``width_bucket`` boundary semantics (v < lo -> 0,
+    v >= hi -> nb+1, else floor((v-lo)/w)+1 with w = (hi-lo)/nb) against
+    an arithmetic replication in the oracle — DuckDB has no
+    width_bucket, which makes the oracle an independent spelling of the
+    same contract rather than the same builtin twice. Bounds chosen so
+    the bucket width (25000) is an exact double: the division both
+    engines floor is then the identical nearest-double for every input.
+
+    Scale: one map-side-combinable hash agg on a 22-value derived key —
+    the cheapest possible shuffle; at 100 TB this is the same one-pass
+    shape as any GROUP BY, and the bucket expression lives in
+    whole-stage codegen."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.width_bucket(
+        F.col("o_totalprice"), F.lit(0.0), F.lit(500000.0), F.lit(20)
+    )
+    lo = F.when(
+        (F.col("o_totalprice") >= 0.0) & (F.col("o_totalprice") < 500000.0),
+        F.floor(F.col("o_totalprice") / 25000.0).cast("bigint") * 25000,
+    ).cast("double")
+    return o.groupBy(
+        bucket.alias("bucket"), lo.alias("bucket_lo")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )

@@ -263,3 +263,57 @@ def array_hof_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_len"),
     )
+
+
+@query(
+    "map_hof",
+    oracle="""
+    SELECT doc_id,
+           n_chars * 2 AS chars_doubled,
+           CAST((CASE WHEN n_chars > 100 THEN 1 ELSE 0 END)
+              + (CASE WHEN len(string_split(text, ' ')) > 100
+                      THEN 1 ELSE 0 END) AS INTEGER) AS n_large,
+           n_chars + len(string_split(text, ' ')) AS zipped_total,
+           'chars,words' AS keys_csv
+    FROM documents
+    """,
+)
+def map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map HIGHER-ORDER functions (N9) — the lambda surface over MapType
+    that N3's map_ops (build/keys/lookup/size) leaves untouched:
+    ``transform_values`` (rescale every entry), ``map_filter`` (drop
+    entries by predicate), ``map_zip_with`` (key-aligned merge of two
+    maps — THE shape for merging per-entity feature maps without
+    exploding), and a ``map_from_entries``/``map_entries`` round trip
+    feeding the key list. DuckDB's map lambdas aren't comparable
+    entry-wise through fetchdf, so (the map_ops convention) the oracle
+    states the expected SCALAR outcomes relationally and the H-check
+    pins each HOF's result: doubled lookup = n_chars*2, filter
+    survivor count via CASE arithmetic, zip-merged total = sum of both
+    metrics. All lambdas run on the JVM (interpreted HOF path, no
+    Python); per-row maps here are 2 entries, so the non-codegen HOF
+    cost is bounded by a constant per row at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    m = F.create_map(
+        F.lit("chars"), F.col("n_chars").cast("bigint"),
+        F.lit("words"), F.size(toks).cast("bigint"),
+    )
+    m2 = F.map_from_entries(
+        F.array(
+            F.struct(F.lit("chars").alias("k"), F.lit(0).cast("bigint").alias("v")),
+            F.struct(F.lit("words").alias("k"), F.lit(0).cast("bigint").alias("v")),
+        )
+    )
+    doubled = F.transform_values(m, lambda k, v: v * 2)
+    large = F.map_filter(m, lambda k, v: v > 100)
+    zipped = F.map_zip_with(m, m2, lambda k, v1, v2: v1 + v2)
+    return d.select(
+        "doc_id",
+        doubled.getItem("chars").alias("chars_doubled"),
+        F.size(large).alias("n_large"),
+        (
+            zipped.getItem("chars") + zipped.getItem("words")
+        ).alias("zipped_total"),
+        F.array_join(F.map_keys(m2), ",").alias("keys_csv"),
+    )

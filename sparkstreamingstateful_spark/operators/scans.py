@@ -569,3 +569,105 @@ def write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
     )
+
+
+# ------------------------------------------------------------- z-order layout
+_Z_BITS = 11  # covers user_id <= 1499 and the ~720-hour event window
+_Z_FILE_WIDTH = 65536  # 2^16 z-values per file => 64 files over 22 bits
+# aligned query rectangle: 4 users x 32 hours — user block sized to stay
+# POPULATED at every shipped SF (user_id tops out at 14 at sf0.001)
+_Z_USER_LO, _Z_USER_HI = 8, 11
+_Z_HOUR_LO, _Z_HOUR_HI = 256, 287
+
+
+def _z_interleave_sql(x: str, y: str) -> str:
+    """Morton interleave as pure +/>>/&/<< arithmetic — the same textual
+    expression runs on both engines (DuckDB ``^`` is POWER, never used
+    here; CLAUDE gotcha)."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def _z_interleave_col(x, y):
+    z = F.lit(0).cast("bigint")
+    for i in range(_Z_BITS):
+        z = z + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(
+            F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+    return z
+
+
+@query(
+    "layout_zorder",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_id, user_id,
+               epoch_us(date_trunc('hour', ts)) // 3600000000
+                 - (SELECT min(epoch_us(date_trunc('hour', ts))
+                              // 3600000000) FROM events) AS h_idx
+        FROM events
+    ),
+    z AS (
+        SELECT event_id, user_id, h_idx,
+               {_z_interleave_sql("user_id", "h_idx")} AS zval
+        FROM base
+    )
+    SELECT event_id, user_id, h_idx, zval,
+           zval // {_Z_FILE_WIDTH} AS file_id
+    FROM z
+    WHERE user_id BETWEEN {_Z_USER_LO} AND {_Z_USER_HI}
+      AND h_idx BETWEEN {_Z_HOUR_LO} AND {_Z_HOUR_HI}
+    """,
+)
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER (Morton) clustering key — the multi-dimensional data
+    layout trick behind Delta/Iceberg ``OPTIMIZE ZORDER BY``: bit-
+    interleave two dimensions (user, event hour) so that a RECTANGLE in
+    (user, time) space maps to a small number of CONTIGUOUS z-ranges —
+    i.e. to a handful of files once data is range-partitioned by zval,
+    instead of the every-file scatter a single-dimension sort gives the
+    second column. file_id = zval div 2^16 is exactly the file
+    assignment a range-partitioned z-sorted write produces (computed
+    arithmetically, so no global sort is needed HERE: at 100 TB the
+    write itself does one range-exchange on zval — the same cost as any
+    sorted write — and every later rectangle query prunes by file
+    min/max stats). The H-check pins the per-row interleave arithmetic
+    (11 bits per dimension, pure +/>>/&/<< shared with the oracle
+    text) and the query-rectangle slice; tests/test_layout.py asserts
+    the locality claim itself: the aligned rectangle lands in ONE
+    z-file, and a single-user full-history query touches a bounded
+    handful of z-files where a time-sorted layout scatters it across
+    nearly every file.
+
+    Scale: narrow per-row expression in whole-stage codegen + one
+    pushed-down filter — zero shuffles in the query; the layout cost
+    is paid once at write time."""
+    ev = load_table(spark, sf_dir, "events")
+    h_abs = F.expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+    base = ev.select("event_id", "user_id", h_abs.alias("h_abs"))
+    h0 = base.agg(F.min("h_abs").alias("h0"))
+    z = (
+        base.crossJoin(F.broadcast(h0))
+        .select(
+            "event_id",
+            "user_id",
+            (F.col("h_abs") - F.col("h0")).alias("h_idx"),
+        )
+        .withColumn(
+            "zval", _z_interleave_col(F.col("user_id"), F.col("h_idx"))
+        )
+    )
+    return z.filter(
+        F.col("user_id").between(_Z_USER_LO, _Z_USER_HI)
+        & F.col("h_idx").between(_Z_HOUR_LO, _Z_HOUR_HI)
+    ).select(
+        "event_id",
+        "user_id",
+        "h_idx",
+        "zval",
+        F.expr(f"zval div {_Z_FILE_WIDTH}").alias("file_id"),
+    )

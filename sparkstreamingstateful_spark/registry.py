@@ -72,6 +72,9 @@ _KEY_PRIORITY = [
     "events_resample_ohlc",
     "join_bloom_runtime_filter",
     "text_bm25_search",
+    "agg_histogram",
+    "layout_zorder",
+    "map_hof",
     "dedup_semantic_capped",
     "codec_protobuf_roundtrip",
     "stream_codec_protobuf",

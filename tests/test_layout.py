@@ -71,3 +71,49 @@ def test_bucketed_join_no_shuffle(spark):
         # with a non-default threshold would otherwise be silently
         # rewritten for every later plan-shape test
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_zorder_locality(spark):
+    """The layout_zorder claim itself: (a) the key's aligned query
+    rectangle maps to ONE z-file; (b) a single-user full-history query
+    touches a BOUNDED handful of z-files (fixed user bits confine z to
+    one 2^19-wide band = at most 8 of the 64 2^16-wide files) while a
+    time-sorted layout scatters exactly that query across most of the
+    dataset's files — the one-layout-serves-both-shapes property that
+    justifies paying the z-sort at write time."""
+    from sparkstreamingstateful_spark.operators.scans import (
+        _Z_FILE_WIDTH,
+        _z_interleave_col,
+    )
+
+    ev = load_table(spark, SF_UNIT, "events")
+    h_abs = F.expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+    base = ev.select("event_id", "user_id", h_abs.alias("h_abs"))
+    h0 = base.agg(F.min("h_abs").alias("h0"))
+    z = base.crossJoin(F.broadcast(h0)).select(
+        "user_id",
+        (F.col("h_abs") - F.col("h0")).alias("h_idx"),
+        _z_interleave_col(
+            F.col("user_id"), F.col("h_abs") - F.col("h0")
+        ).alias("zval"),
+    )
+    zfile = F.expr(f"zval div {_Z_FILE_WIDTH}")
+
+    rect = z.filter(
+        F.col("user_id").between(8, 11) & F.col("h_idx").between(256, 287)
+    )
+    assert rect.count() > 0
+    assert rect.select(zfile.alias("f")).distinct().count() == 1
+
+    one_user = z.filter(F.col("user_id") == 8)
+    z_files = one_user.select(zfile.alias("f")).distinct().count()
+    assert z_files <= 8, f"single-user query touched {z_files} z-files"
+    # time-sorted baseline: 12 hours per file (720 h / 60 files); the
+    # user's events are spread across the whole window, so nearly every
+    # hour-file is touched
+    hour_files = (
+        one_user.select(F.expr("h_idx div 12").alias("f")).distinct().count()
+    )
+    assert hour_files > 2 * z_files, (
+        f"time-sort touched {hour_files}, z {z_files} — locality claim void"
+    )
