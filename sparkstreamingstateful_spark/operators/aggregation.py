@@ -565,3 +565,44 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
     )
+
+
+# ------------------------------------------------------- A12: exact mode
+@query(
+    "agg_mode",
+    oracle="""
+    WITH counts AS (
+        SELECT l_returnflag, l_quantity, count(*) AS c
+        FROM lineitem
+        GROUP BY 1, 2
+    )
+    SELECT l_returnflag,
+           -max({'c': c, 'nq': -l_quantity}).nq AS mode_qty,
+           max({'c': c, 'nq': -l_quantity}).c AS mode_n
+    FROM counts
+    GROUP BY l_returnflag
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MODE (most frequent value) per group, with a DETERMINISTIC
+    tie rule — Spark 4 ships a ``mode()`` aggregate but documents its
+    tie choice as arbitrary, which can never hash-match a second
+    engine; the portable spelling is the two-level aggregate: count per
+    (group, value), then per-group argmax over ``struct(count,
+    -value)`` so ties break to the SMALLEST value identically
+    everywhere. Two map-side-combinable hash aggs, shuffles bounded by
+    the distinct-value count (never the row count) — the
+    heavy-hitter-per-segment shape at any scale. The negation trick
+    rides the same ``min/max(struct)`` ordering both engines share
+    (E18's device)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    best = F.max(
+        F.struct(F.col("c"), (-F.col("l_quantity")).alias("nq"))
+    )
+    return counts.groupBy("l_returnflag").agg(
+        (-best.getField("nq")).alias("mode_qty"),
+        best.getField("c").alias("mode_n"),
+    )

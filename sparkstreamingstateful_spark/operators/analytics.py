@@ -965,3 +965,89 @@ def events_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_obs"),
         F.round(F.sum("value"), 4).alias("sum_v"),
     )
+
+
+# ------------------------------------------------------ rolling z-score
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH q AS (
+        SELECT event_id, user_id, ts,
+               CAST(floor(value * 100) AS BIGINT) AS v2
+        FROM events
+    ),
+    w AS (
+        SELECT event_id, user_id, v2,
+               count(*) OVER win AS n,
+               sum(v2) OVER win AS s,
+               sum(v2 * v2) OVER win AS ss
+        FROM q
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, CAST(n AS BIGINT) AS n,
+           CASE WHEN n * ss - s * s > 0 THEN
+               CAST(n * v2 - s AS DOUBLE)
+                   / sqrt(CAST(n * ss - s * s AS DOUBLE))
+           END AS z,
+           CASE WHEN n * ss - s * s > 0 THEN
+               abs(CAST(n * v2 - s AS DOUBLE)
+                   / sqrt(CAST(n * ss - s * s AS DOUBLE))) > 3.0
+           END AS is_anomaly
+    FROM w
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection — the streaming-metrics
+    primitive every observability stack runs: each event scored against
+    the trailing 50-observation window of ITS OWN user's history,
+    z = (v − μ)/σ, flag at |z| > 3. One shuffle on user_id, one ordered
+    window pass computing count/sum/sum-of-squares — the classic
+    single-pass variance identity z = (n·v − s) / √(n·ss − s²).
+
+    Numeric determinism (the E17 discipline): values floor-quantize to
+    1e-2 BIGINT units so every windowed sum is EXACT integer arithmetic
+    (ss ≤ 50·(56021)² ≈ 1.6e11 and n·ss ≈ 8e12 both < 2^53 — checked
+    against the data's value ceiling), and the only floating ops are
+    one division and one ``sqrt`` on exactly-represented integers —
+    both IEEE correctly-rounded in BOTH engines, so z is bit-equal with
+    no rounding anywhere. Degenerate windows (n=1 or constant values →
+    zero variance) yield NULL via a guard that also satisfies ANSI
+    mode's non-short-circuiting DOUBLE division.
+
+    Scale: windows are per-user (millions of partitions at 100 TB, each
+    a bounded ordered pass) — never a global sort; the quantization and
+    the variance identity both ride whole-stage codegen."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100).cast("bigint").alias("v2"),
+    )
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-49, Window.currentRow)
+    )
+    w = q.select(
+        "event_id",
+        "user_id",
+        "v2",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum("v2").over(win).alias("s"),
+        F.sum(F.col("v2") * F.col("v2")).over(win).alias("ss"),
+    )
+    var_term = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    z = F.when(
+        var_term > 0,
+        (F.col("n") * F.col("v2") - F.col("s")).cast("double")
+        / F.sqrt(var_term.cast("double")),
+    )
+    return w.select(
+        "event_id",
+        "user_id",
+        F.col("n").cast("bigint").alias("n"),
+        z.alias("z"),
+        F.when(var_term > 0, F.abs(z) > 3.0).alias("is_anomaly"),
+    )

@@ -594,3 +594,76 @@ def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ---------------------------------------------------- as-of with tolerance
+_ASOF_TOL_US = 15 * 60 * 1_000_000  # 15-minute match window
+
+
+@query(
+    "join_asof_tolerance",
+    oracle=f"""
+    SELECT p.event_id AS purchase_id,
+           -- DOUBLE both sides: the matched columns are NULL-bearing
+           -- (J8's fetchdf rule)
+           CAST(CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= {_ASOF_TOL_US}
+                     THEN c.event_id END AS DOUBLE) AS click_id,
+           CAST(CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= {_ASOF_TOL_US}
+                     THEN epoch_us(p.ts) - epoch_us(c.ts) END
+                AS DOUBLE) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH TOLERANCE (pandas ``merge_asof(tolerance=...)``,
+    kdb ``wj`` within-window semantics): each purchase takes the user's
+    most recent prior click ONLY if it happened within 15 minutes —
+    stale context is worse than none for attribution/feature joins.
+    Same scalable union + running-``last(ignorenulls)`` rewrite as J8
+    (one shuffle, one ordered pass per key, no candidate blow-up), but
+    the navigation struct carries the click's TIMESTAMP alongside its
+    id so the tolerance test is a row-local filter after the window —
+    the oracle spells the identical semantics as DuckDB ASOF + a CASE
+    on the matched age. Gap arithmetic in exact integer epoch-micros;
+    both nullable outputs CAST DOUBLE (J8's fetchdf rule)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.struct(
+            # events.ts loads as TIMESTAMP_NTZ; unix_micros wants TZ —
+            # the session is UTC-pinned so the cast is exact
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("c_us"),
+            F.col("event_id").alias("click_id"),
+        ).alias("c"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.lit(None)
+        .cast("struct<c_us:long,click_id:long>")
+        .alias("c"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.col("lc.c_us")
+    in_tol = gap <= _ASOF_TOL_US
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("lc", F.last("c", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select(
+            "purchase_id",
+            F.when(in_tol, F.col("lc.click_id")).cast("double").alias("click_id"),
+            F.when(in_tol, gap).cast("double").alias("gap_us"),
+        )
+    )

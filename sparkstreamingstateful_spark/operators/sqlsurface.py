@@ -535,3 +535,56 @@ sql_try_cast = _sql_query(
 # trailing 'x'), IDENTICAL text on both engines; the nullable INT result
 # is CAST DOUBLE per the fetchdf contract (whether NULLs exist here is
 # NOT data-dependent — the dirtying guarantees them at every SF).
+
+
+# Q21–Q23 [r10]: the order-fulfillment TPC-H trio (q4 / q12 / q14
+# shapes), adapted to this schema's columns (no l_commitdate /
+# l_receiptdate / l_shipmode in the synthetic lineitem): "late" is
+# shipped > 60 days after order date, and q12's ship-mode axis becomes
+# the return flag. Same plan shapes as the originals: q4 = EXISTS
+# semi-join + priority agg, q12 = join + two-tier conditional agg,
+# q14 = join + conditional-revenue ratio.
+sql_tpch_q4like = _sql_query(
+    "sql_tpch_q4like",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL '60' DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+
+sql_tpch_q12like = _sql_query(
+    "sql_tpch_q12like",
+    """
+    SELECT l_returnflag,
+           -- CAST: DuckDB sum(INTEGER) is HUGEINT -> float64 via fetchdf
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL '30' DAY
+    GROUP BY l_returnflag
+    """,
+)
+
+sql_tpch_q14like = _sql_query(
+    "sql_tpch_q14like",
+    """
+    SELECT round(100.0 * round(sum(CASE WHEN p_type = 'PROMO'
+                       THEN l_extendedprice * (1 - l_discount)
+                       ELSE 0.0 END), 2)
+               / round(sum(l_extendedprice * (1 - l_discount)), 2),
+                 4) AS promo_revenue_pct
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    """,
+)

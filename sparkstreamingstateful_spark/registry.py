@@ -60,12 +60,13 @@ def query(name: str, oracle: str | None = None):
 # FIRST 50 registered keys each round (count cap, measured r1/r2), so
 # iteration order is the lever that decides which keys get hard oracle
 # signal. Round-10 rotation (per VERDICT r9 item 2 — run the staged r10
-# window): (a) the eight keys NEW this round, then (b) the rows-only key
-# plus all 34 keys whose latest green still dates to ROUND 5 — the
-# oldest evidence in the union — then (c) the 7 oldest r6/r7-evidence
-# keys to fill the window. After this window lands, max H-evidence age
-# is r7 (the rest of that cohort, which leads the r11 window below the
-# line), and everything else carries r8/r9 evidence.
+# window): (a) the FIFTEEN keys new this round (the VERDICT-item eight
+# plus the mid-round additions — exactly the ~15-key budget VERDICT r9
+# set so the r5 cohort still clears), then (b) the rows-only key plus
+# all 34 keys whose latest green still dates to ROUND 5 — the oldest
+# evidence in the union. That fills the window to exactly 50; the
+# r6/r7-evidence cohort that was staged third now leads the r11 window
+# below the line. After this window lands, max H-evidence age is r6.
 _KEY_PRIORITY = [
     # (a) r10 additions with NO driver evidence yet
     "events_interpolate_linear",
@@ -129,8 +130,16 @@ _KEY_PRIORITY = [
     "udtf_analyze",
     "scalar_try_arithmetic",
     # --- 50-key boundary. Order below the line = next-rotation order:
-    # the remaining r6/r7-evidence cohort leads the r11 window, then the
-    # r8-window greens, then the r9-window greens (freshest evidence).
+    # first the keys ADDED LATE in r10 with no driver evidence at all
+    # (each locally sim-verified at sf0.001/0.01/0.1 — see SURVEY §2),
+    # then the displaced r6/r7-evidence cohort, then the r8-window
+    # greens, then the r9-window greens (freshest evidence).
+    "events_anomaly_zscore",
+    "join_asof_tolerance",
+    "agg_mode",
+    "sql_tpch_q4like",
+    "sql_tpch_q12like",
+    "sql_tpch_q14like",
     "sql_group_by_all",
     "join_left",
     "join_right",
