@@ -121,6 +121,37 @@ SHOWCASE = [
      "one shuffle on user_id into SessionWindow + MergingSessionsExec — "
      "the dynamic gap CASE is a row-local codegen expression, so "
      "variable gaps cost nothing over fixed"),
+    ("join_range_binned", "pure (no-equi-key) interval join (r10): "
+     "7-day bucket binning turns it into a hash join on the bucket key "
+     "+ exact residual filter — no BroadcastNestedLoopJoin anywhere, "
+     "which is the only plan Catalyst could otherwise produce"),
+    ("events_interpolate_linear", "linear gap interpolation (r10): one "
+     "partial+final hash agg on the fact, broadcast spine join, and "
+     "TWO ordered window passes (prev/next navigation structs) over "
+     "the ALREADY-AGGREGATED hours x types grid — the raw events never "
+     "enter a window"),
+    ("events_resample_ohlc", "OHLC downsampling (r10): open/close ride "
+     "min/max(struct) through the SAME single partial+final hash "
+     "aggregate as the extremes — one shuffle on the bucket key, no "
+     "window, no second scan"),
+    ("events_anomaly_zscore", "rolling z-score (r10): one shuffle on "
+     "user_id, one ordered window pass computing count/sum/sum-sq; "
+     "quantization and the variance identity are row-local codegen"),
+    ("layout_zorder", "z-order clustering key (r10): the 44-term Morton "
+     "interleave is a narrow codegen expression over the scan with the "
+     "rectangle filter pushed down; the one exchange is the 1-row "
+     "min-hour anchor agg (layout metadata at a real deployment) — no "
+     "data rows shuffle"),
+    ("text_bm25_search", "BM25 scoring (r10): phase-2 plan — per-doc "
+     "tf/dl and the score polynomial are row-local over ONE corpus "
+     "scan (IDF constants folded in as literals); nothing pairwise, "
+     "no join, no shuffle"),
+    ("agg_histogram", "width_bucket histogram (r10): bucket id computed "
+     "in codegen feeding one partial+final hash agg on a 22-value "
+     "key — the cheapest possible shuffle"),
+    ("agg_mode", "deterministic mode (r10): two stacked partial+final "
+     "hash aggs — the shuffle after level 1 carries distinct "
+     "(group, value) pairs, never raw rows"),
 ]
 
 
@@ -170,6 +201,35 @@ def main() -> None:
         f"shuffles: {shuffle_count(df)}\n"
     )
     out.append("```\n" + plan.strip()[:4000] + "\n```\n")
+
+    # join_bloom_runtime_filter: same conf-window treatment — the
+    # registered key materializes eagerly, so the lazy builder is driven
+    # inside the window and the OPTIMIZED plan is shown (the injected
+    # bloom_filter_agg subquery + might_contain predicate live there).
+    from sparkstreamingstateful_spark.operators.joins import (
+        _BLOOM_CONFS,
+        bloom_join_frame,
+    )
+
+    prev = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    try:
+        for k, v in _BLOOM_CONFS.items():
+            spark.conf.set(k, v)
+        bdf = bloom_join_frame(spark, SF)
+        bplan = bdf._jdf.queryExecution().optimizedPlan().toString()
+        bshuffles = shuffle_count(bdf)
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+    out.append(
+        "## join_bloom_runtime_filter\n\n*runtime bloom-filter join "
+        "pruning (r10): InjectRuntimeFilter wraps the fact scan in "
+        "might_contain(bloom_filter_agg(xxhash64(key))) fed by the "
+        "selectively-filtered dim — non-matching fact rows die at the "
+        "scan, before the shuffle (OPTIMIZED plan shown; the filter is "
+        f"a logical-plan rewrite)* — shuffles: {bshuffles}\n"
+    )
+    out.append("```\n" + bplan.strip()[:4000] + "\n```\n")
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "PLANS.md"), "w") as f:
         f.write("\n".join(out))

@@ -103,6 +103,26 @@ PROBES = [
     # K here (cells ≥ 200 ≫ 32), making this the capped/uncapped
     # contrast the flat key couldn't give.
     ("dedup_semantic_capped", "embeddings"),
+    # r10 batch-2: the timeseries family — interpolation is
+    # window-over-aggregated-spine like gap_fill (must stay ≈flat:
+    # hours × types is K-independent), OHLC is one hash agg (≈K),
+    # the rolling z-score is per-user bounded windows (≈K), the
+    # tolerance as-of is union + one ordered pass (≈K); z-order is a
+    # narrow codegen map + pushed filter (≈K over the scan, output
+    # stays small); mode is two hash aggs with distinct-bounded
+    # shuffle (≈K scan cost). BM25's scan cost is ≈K but matches come
+    # only from replica 1 (the probe suffixes every token, so the
+    # query terms miss renamed replicas — language_id's caveat, except
+    # here the scan/stats cost is still the honest scale signal).
+    # agg_histogram / join_bloom_runtime_filter are not probeable:
+    # they read `orders`, which the replica dirs don't carry.
+    ("events_interpolate_linear", "events"),
+    ("events_resample_ohlc", "events"),
+    ("events_anomaly_zscore", "events"),
+    ("join_asof_tolerance", "events"),
+    ("layout_zorder", "events"),
+    ("agg_mode", "lineitem"),
+    ("text_bm25_search", "documents"),
 ]
 
 # keys whose first run at a given dir includes a ONE-TIME source-layout

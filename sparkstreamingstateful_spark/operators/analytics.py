@@ -1051,3 +1051,97 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z"),
         F.when(var_term > 0, F.abs(z) > 3.0).alias("is_anomaly"),
     )
+
+
+# ------------------------------------------------- mean-shift changepoints
+@query(
+    "events_changepoint_meanshift",
+    oracle="""
+    WITH q AS (
+        SELECT event_id, user_id, ts,
+               CAST(floor(value * 100) AS BIGINT) AS v2
+        FROM events
+    ),
+    w AS (
+        SELECT event_id, user_id,
+               -- "trailing" is a DuckDB reserved word (TRIM syntax)
+               count(*) OVER w_new AS n1, sum(v2) OVER w_new AS s1,
+               count(*) OVER w_old AS n0, sum(v2) OVER w_old AS s0
+        FROM q
+        WINDOW w_new AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+               w_old AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 19 PRECEDING AND 10 PRECEDING)
+    )
+    SELECT event_id, user_id,
+           CAST(n1 AS BIGINT) AS n1, CAST(n0 AS BIGINT) AS n0,
+           CASE WHEN n0 > 0 THEN
+               CAST(s1 AS DOUBLE) / n1 / 100.0
+             - CAST(s0 AS DOUBLE) / n0 / 100.0
+           END AS mean_shift,
+           CASE WHEN n0 > 0 THEN
+               abs(n0 * s1 - n1 * s0) > 50 * 100 * n0 * n1
+           END AS is_shift
+    FROM w
+    """,
+)
+def events_changepoint_meanshift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-shift CHANGEPOINT detection — the two-sample sliding test
+    behind level-shift alerting: at each event, compare the mean of the
+    user's 10 most recent observations against the mean of the 10
+    before those; flag when the level moved by more than 50.0. The
+    FLAG is decided entirely in exact integer arithmetic — the
+    threshold test |s1/n1 − s0/n0| > thr cross-multiplies to
+    |n0·s1 − n1·s0| > thr·n0·n1 (all BIGINT on 1e-2-quantized values,
+    magnitudes ≪ 2^53), so the boolean cannot ulp-flip; the reported
+    shift magnitude is two exact-integer divisions, bit-equal by
+    construction (E20's discipline). Warm-up rows with an empty
+    trailing window yield NULLs under an ANSI-safe guard.
+
+    Scale: one shuffle on user_id; BOTH frames share the same ordered
+    per-user pass (Spark plans one Window operator when partition and
+    ordering agree) — per-user parallel at any corpus size, no
+    iterative state (CUSUM-style recursions don't decompose into
+    window frames; the two-sample form is the scan-friendly spelling)."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100).cast("bigint").alias("v2"),
+    )
+    recent = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    trailing = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, -10)
+    )
+    w = q.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(recent).alias("n1"),
+        F.sum("v2").over(recent).alias("s1"),
+        F.count(F.lit(1)).over(trailing).alias("n0"),
+        F.sum("v2").over(trailing).alias("s0"),
+    )
+    has_base = F.col("n0") > 0
+    shift = (
+        F.col("s1").cast("double") / F.col("n1") / F.lit(100.0)
+        - F.col("s0").cast("double") / F.col("n0") / F.lit(100.0)
+    )
+    flag = (
+        F.abs(F.col("n0") * F.col("s1") - F.col("n1") * F.col("s0"))
+        > F.lit(50 * 100) * F.col("n0") * F.col("n1")
+    )
+    return w.select(
+        "event_id",
+        "user_id",
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n0").cast("bigint").alias("n0"),
+        F.when(has_base, shift).alias("mean_shift"),
+        F.when(has_base, flag).alias("is_shift"),
+    )

@@ -588,3 +588,27 @@ sql_tpch_q14like = _sql_query(
       AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
     """,
 )
+
+
+# Q24 [r10]: SQL PIVOT clause. DuckDB's PIVOT is its own dialect (ON/
+# USING), so the oracle is the relational spelling — conditional
+# aggregation — which also documents what the clause desugars to.
+sql_pivot_clause = _sql_query(
+    "sql_pivot_clause",
+    """
+    SELECT * FROM (
+        SELECT l_linestatus, l_returnflag, l_quantity FROM lineitem
+    )
+    PIVOT (
+        round(sum(l_quantity), 2) FOR l_returnflag IN ('A' AS a, 'N' AS n, 'R' AS r)
+    )
+    """,
+    oracle="""
+    SELECT l_linestatus,
+           round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS a,
+           round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS n,
+           round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS r
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)

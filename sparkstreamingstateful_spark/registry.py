@@ -135,6 +135,8 @@ _KEY_PRIORITY = [
     # then the displaced r6/r7-evidence cohort, then the r8-window
     # greens, then the r9-window greens (freshest evidence).
     "events_anomaly_zscore",
+    "events_changepoint_meanshift",
+    "sql_pivot_clause",
     "join_asof_tolerance",
     "agg_mode",
     "sql_tpch_q4like",
