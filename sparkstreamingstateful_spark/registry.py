@@ -28,6 +28,7 @@ _MODULES = [
     "sparkstreamingstateful_spark.operators.sortset",
     "sparkstreamingstateful_spark.operators.nested",
     "sparkstreamingstateful_spark.operators.sqlsurface",
+    "sparkstreamingstateful_spark.operators.tpch",
     "sparkstreamingstateful_spark.operators.udfs",
     "sparkstreamingstateful_spark.operators.codecs",
     "sparkstreamingstateful_spark.operators.llm_text",
@@ -142,6 +143,21 @@ _KEY_PRIORITY = [
     "sql_tpch_q4like",
     "sql_tpch_q12like",
     "sql_tpch_q14like",
+    # TPC-H completion suite (operators/tpch.py) — with these, all 22
+    # canonical TPC-H shapes are keyed; added after the r10 freeze, so
+    # no driver evidence yet (sim-verified locally, see SURVEY §2.8)
+    "sql_tpch_q6like",
+    "sql_tpch_q8like",
+    "sql_tpch_q9like",
+    "sql_tpch_q10like",
+    "sql_tpch_q11like",
+    "sql_tpch_q13like",
+    "sql_tpch_q15like",
+    "sql_tpch_q17like",
+    "sql_tpch_q19like",
+    "sql_tpch_q20like",
+    "sql_tpch_q21like",
+    "sql_tpch_q22like",
     "sql_group_by_all",
     "join_left",
     "join_right",
