@@ -1,0 +1,270 @@
+"""Corpus quality-control operators (SURVEY.md §2.11 extension): the
+filter/QC stage every production LLM-data pipeline runs between raw
+ingest and training — sub-document exact dedup (the C4 recipe operates
+on paragraphs; this corpus's single-line docs are windowed into fixed
+passages instead), within-document repetition filtering (the Gopher
+repetition rules), document-level heuristic quality gates (the Gopher
+quality rules), and a one-pass data-quality profile (the
+expectation-check primitive for any table entering the pipeline).
+
+Scale posture (100 TB):
+
+* ``dedup_passage`` is the dedup_cross_source shape one level down:
+  explode docs into passages (narrow, in-row), one hash aggregation on
+  the passage fingerprint with an in-aggregate arg-min — a single
+  shuffle keyed by content hash, no window, no pairwise work;
+* ``text_repetition_ngram`` and ``text_gopher_quality`` are pure
+  narrow per-row expressions (zero shuffle — they fuse into the scan at
+  any corpus size); the n-gram work is in-row HOF arithmetic, never a
+  corpus-wide shingle explode;
+* ``dq_profile`` computes every column's null/distinct/min/max in ONE
+  scan (multi-aggregate), then unpivots the single result row — the
+  count(DISTINCT) columns expand via Catalyst's EXPAND (one shuffle),
+  which beats per-column scans 6:1 at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+PASSAGE_TOKENS = 32  # fixed passage window for sub-document dedup
+
+
+@query(
+    "dedup_passage",
+    oracle=f"""
+    SELECT md5(ptext) AS passage_hash,
+           count(*) AS n_copies,
+           -- in-aggregate arg-min on an encoded (doc_id, pidx) pair:
+           -- pidx < 1000 always (553-char docs), so the encoding is a
+           -- total order identical to the struct-min Spark computes
+           CAST(min(doc_id * 1000 + pidx) // 1000 AS BIGINT) AS keep_doc,
+           CAST(min(doc_id * 1000 + pidx) % 1000 AS BIGINT) AS keep_idx
+    FROM (SELECT doc_id, s // {PASSAGE_TOKENS} AS pidx,
+                 array_to_string(
+                     list_slice(toks, s + 1, s + {PASSAGE_TOKENS}), ' ') AS ptext
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+                       unnest(range(0, len(string_split(text, ' ')),
+                                    {PASSAGE_TOKENS})) AS s
+                FROM documents))
+    GROUP BY md5(ptext)
+    HAVING count(*) > 1
+    """,
+)
+def dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup (C4-style): documents are windowed into
+    fixed 32-token passages, each passage is fingerprinted, and every
+    fingerprint seen more than once reports its copy count plus the
+    canonical keeper (lowest (doc_id, passage_idx)). Boilerplate that
+    repeats across documents — headers, footers, license blocks — is
+    exactly what this catches and document-level dedup cannot.
+
+    Plan: narrow in-row passage explode → ONE hash aggregation on the
+    content hash with an in-aggregate ``min(struct(...))`` arg-min (the
+    dedup_cross_source discipline: no window, no second shuffle, no
+    pairwise work) → linear in corpus size at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    passages = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 1, F.lit(PASSAGE_TOKENS)),
+        lambda s: F.struct(
+            (s / PASSAGE_TOKENS).cast("bigint").alias("pidx"),
+            F.array_join(F.slice(toks, s + 1, PASSAGE_TOKENS), " ").alias("ptext"),
+        ),
+    )
+    exploded = d.select("doc_id", F.explode(passages).alias("p")).select(
+        "doc_id", F.col("p.pidx").alias("pidx"), F.col("p.ptext").alias("ptext")
+    )
+    return (
+        exploded.groupBy(F.md5(F.col("ptext")).alias("passage_hash"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min(F.struct("doc_id", "pidx")).alias("keeper"),
+        )
+        .where(F.col("n_copies") > 1)
+        .select(
+            "passage_hash",
+            "n_copies",
+            F.col("keeper.doc_id").alias("keep_doc"),
+            F.col("keeper.pidx").alias("keep_idx"),
+        )
+    )
+
+
+@query(
+    "text_repetition_ngram",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_ngrams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+           -- exact-int division: identical IEEE result on both engines;
+           -- short docs (< 3 tokens) have zero n-grams -> 0.0 by CASE
+           CASE WHEN len(grams) = 0 THEN 0.0e0
+                ELSE 1e0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                           / CAST(len(grams) AS DOUBLE) END AS dup_frac,
+           CASE WHEN len(grams) > 0
+                 AND 1e0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                           / CAST(len(grams) AS DOUBLE) > 0.2
+                THEN 1 ELSE 0 END AS flagged
+    FROM (SELECT doc_id,
+                 list_transform(
+                     range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                     i -> string_split(text, ' ')[i] || ' ' ||
+                          string_split(text, ' ')[i + 1] || ' ' ||
+                          string_split(text, ' ')[i + 2]) AS grams
+          FROM documents)
+    """,
+)
+def text_repetition_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition filter (the Gopher "duplicate n-grams"
+    rule): per document, the fraction of word 3-grams that are repeats
+    (1 − distinct/total); documents above 20% duplicate trigrams are
+    flagged — the template-spam / stuck-decoder signature that document-
+    LEVEL dedup never sees. Pure narrow in-row expression (shingle array
+    + array_distinct), zero shuffle: fuses into the corpus scan at any
+    size. The dup fraction divides two exact ints → bit-identical across
+    engines; sub-3-token docs have zero n-grams and score 0.0 under an
+    ANSI-safe guard (the _shingle_idx discipline from llm_text)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    idx = F.when(n >= 3, F.sequence(F.lit(0), n - 3)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3)
+        ),
+    )
+    n_ngrams = F.size(grams).cast("bigint")
+    n_distinct = F.size(F.array_distinct(grams)).cast("bigint")
+    dup_frac = F.when(n_ngrams == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - n_distinct.cast("double") / n_ngrams.cast("double")
+    )
+    return d.select(
+        "doc_id",
+        n_ngrams.alias("n_ngrams"),
+        n_distinct.alias("n_distinct"),
+        dup_frac.alias("dup_frac"),
+        F.when(dup_frac > 0.2, F.lit(1)).otherwise(F.lit(0)).alias("flagged"),
+    )
+
+
+@query(
+    "text_gopher_quality",
+    oracle="""
+    SELECT doc_id, nw AS n_words,
+           mean_wl,
+           CAST(sh AS BIGINT) AS stop_hits,
+           CASE WHEN nw BETWEEN 40 AND 80
+                 AND mean_wl >= 4.2 AND mean_wl <= 4.8
+                 AND sh >= 2 THEN 1 ELSE 0 END AS keep
+    FROM (SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+                 -- sum of word lengths = chars - separators: exact ints,
+                 -- one identical division -> bit-stable double
+                 CAST(length(text) - len(string_split(text, ' ')) + 1
+                      AS DOUBLE)
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_wl,
+                 len(list_filter(string_split(text, ' '),
+                                 t -> t IN ('the', 'a'))) AS sh
+          FROM documents)
+    """,
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style heuristic quality gate, per document: word count in
+    [40, 80], mean word length in [4.2, 4.8], and at least two stopword
+    hits ('the'/'a' — this corpus's function words). Each rule's raw
+    statistic is emitted alongside the keep decision so downstream can
+    re-threshold without recomputation. All-narrow expression pipeline,
+    zero shuffle. Mean word length avoids a per-word aggregate entirely:
+    sum(word lengths) = length(text) − (n−1) separators — exact integer
+    arithmetic and one identical IEEE division on both engines (the
+    threshold literals compare identical doubles, so the boundary cannot
+    flip cross-engine)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    nw = F.size(toks).cast("bigint")
+    mean_wl = (F.length("text") - F.size(toks) + 1).cast("double") / F.size(
+        toks
+    ).cast("double")
+    sh = F.size(F.filter(toks, lambda t: t.isin("the", "a"))).cast("bigint")
+    keep = (
+        nw.between(40, 80) & (mean_wl >= 4.2) & (mean_wl <= 4.8) & (sh >= 2)
+    )
+    return d.select(
+        "doc_id",
+        nw.alias("n_words"),
+        mean_wl.alias("mean_wl"),
+        sh.alias("stop_hits"),
+        F.when(keep, F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+    )
+
+
+_DQ_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+@query(
+    "dq_profile",
+    oracle="""
+    SELECT * FROM (
+    """
+    + "\nUNION ALL\n".join(
+        f"""
+        SELECT '{c}' AS column_name,
+               count(*) - count({c}) AS n_nulls,
+               count(DISTINCT {c}) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_val,
+               CAST(max({c}) AS VARCHAR) AS max_val
+        FROM orders
+        """
+        for c in _DQ_COLS
+    )
+    + """
+    ) ORDER BY column_name
+    """,
+)
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-quality profile of the orders table: per column,
+    null count, exact distinct count, and min/max (stringified so the
+    unpivoted rows share one type) — the expectation-check primitive a
+    pipeline runs before accepting an input drop.
+
+    Plan shape is the point: ALL six columns' aggregates compute in ONE
+    scan — Catalyst plans the multi-count(DISTINCT) via a single EXPAND
+    + two-phase aggregate — and the 1×24 result row is unpivoted
+    driver-side-free with stack(). The oracle spells the same profile as
+    six scalar scans (DuckDB has no EXPAND), which is exactly the 6:1
+    scan amplification the Spark shape avoids at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _DQ_COLS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"{c}__nn"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__mn"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__mx"),
+        ]
+    one = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__mn, {c}__mx" for c in _DQ_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_DQ_COLS)}, {stack_args}) AS "
+        "(column_name, n_nulls, n_distinct, min_val, max_val)"
+    ).orderBy("column_name")

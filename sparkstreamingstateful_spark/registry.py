@@ -34,6 +34,7 @@ _MODULES = [
     "sparkstreamingstateful_spark.operators.llm_text",
     "sparkstreamingstateful_spark.operators.llm_vector",
     "sparkstreamingstateful_spark.operators.llm_pipeline",
+    "sparkstreamingstateful_spark.operators.llm_quality",
     "sparkstreamingstateful_spark.operators.analytics",
     "sparkstreamingstateful_spark.streaming.queries",
 ]
@@ -158,6 +159,11 @@ _KEY_PRIORITY = [
     "sql_tpch_q20like",
     "sql_tpch_q21like",
     "sql_tpch_q22like",
+    # Corpus QC family (operators/llm_quality.py) — same staging
+    "dedup_passage",
+    "text_repetition_ngram",
+    "text_gopher_quality",
+    "dq_profile",
     "sql_group_by_all",
     "join_left",
     "join_right",
