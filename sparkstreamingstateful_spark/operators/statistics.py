@@ -1,0 +1,194 @@
+"""Statistical-modeling operators (SURVEY.md §2 A/E families): ordinary
+least squares per group and series autocorrelation — the model-fitting
+primitives an analytics engine layers over its aggregates.
+
+Cross-engine float discipline (why these are NOT spelled with the
+built-in ``regr_slope``/``corr`` aggregates): those accumulate DOUBLES,
+and double summation is order-dependent — Spark's partial aggregation
+over 32 partitions and DuckDB's single-threaded scan would disagree in
+the last ulps, which the driver's value-hash cannot tolerate. Instead
+every Σ is an EXACT BIGINT sum of per-row integer-quantized terms
+(quantity is integral, money is 2-decimal, value is 2-decimal — all
+verified against the data), and the closed-form combination happens once
+at the end in DOUBLE: identical exact integers in, one identical IEEE
+expression tree out → bit-equal on both engines with zero rounding. A
+companion test pins Spark's native regr_* aggregates against the closed
+form to ~1e-9 relative, so the built-in surface is exercised too.
+
+Scale posture: both keys are one partial+final hash aggregation (the
+sums are map-side combinable) — the same shuffle shape as any GROUP BY
+at 100 TB. The BIGINT moment sums overflow loudly (ANSI) near 2^63,
+which for y² terms caps a single group around 10^4× this corpus — at
+true 100 TB, shard the moment aggregation (e.g. per day) and merge,
+which the associative sums permit by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+def _ols_outputs(nd, sx, sy, sxx, sxy, syy):
+    """The shared closed-form OLS expression tree (Spark side). The
+    oracle spells the IDENTICAL tree — same operand order, same
+    parenthesization — so every double op is the same IEEE op."""
+    d1 = nd * sxy - sx * sy
+    denx = nd * sxx - sx * sx
+    deny = nd * syy - sy * sy
+    slope = F.when(denx == 0, F.lit(None).cast("double")).otherwise(d1 / denx)
+    intercept = F.when(denx == 0, F.lit(None).cast("double")).otherwise(
+        (sy - (d1 / denx) * sx) / nd
+    )
+    r2 = F.when((denx * deny) == 0, F.lit(None).cast("double")).otherwise(
+        (d1 * d1) / (denx * deny)
+    )
+    return slope, intercept, r2
+
+
+@query(
+    "agg_linear_regression",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS DOUBLE) AS nd,
+               CAST(sum(x) AS DOUBLE) AS sx,
+               CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(x * x) AS DOUBLE) AS sxx,
+               CAST(sum(x * y) AS DOUBLE) AS sxy,
+               CAST(sum(y * y) AS DOUBLE) AS syy
+        FROM (SELECT l_returnflag,
+                     CAST(round(l_quantity) AS BIGINT) AS x,
+                     CAST(round(l_extendedprice) AS BIGINT) AS y
+              FROM lineitem)
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(nd AS BIGINT) AS n,
+           CASE WHEN (nd * sxx - sx * sx) = 0 THEN NULL
+                ELSE (nd * sxy - sx * sy) / (nd * sxx - sx * sx) END AS slope,
+           CASE WHEN (nd * sxx - sx * sx) = 0 THEN NULL
+                ELSE (sy - ((nd * sxy - sx * sy) / (nd * sxx - sx * sx)) * sx)
+                     / nd END AS intercept,
+           CASE WHEN ((nd * sxx - sx * sx) * (nd * syy - sy * sy)) = 0
+                THEN NULL
+                ELSE ((nd * sxy - sx * sy) * (nd * sxy - sx * sy))
+                     / ((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+           END AS r2
+    FROM s
+    """,
+)
+def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary least squares: price-per-quantity slope,
+    intercept, and R² per return flag — the `regr_slope`/`regr_r2`
+    surface, spelled as exact-moment sums + one closed-form double
+    combination (see module docstring for why the native accumulator
+    can't be hash-checked cross-engine). x = integral quantity, y =
+    whole-dollar price (scale-0 round of a 2-decimal double is
+    cross-engine safe: both engines round the SAME double half-away —
+    unlike scale-2 round, measured in tpch.py). Degenerate groups (zero
+    x or y variance) emit NULL under an ANSI-safe guard."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity")).cast("bigint")
+    y = F.round(F.col("l_extendedprice")).cast("bigint")
+    s = (
+        li.select("l_returnflag", x.alias("x"), y.alias("y"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("double").alias("nd"),
+            F.sum("x").cast("double").alias("sx"),
+            F.sum("y").cast("double").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+            F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        )
+    )
+    slope, intercept, r2 = _ols_outputs(
+        F.col("nd"), F.col("sx"), F.col("sy"),
+        F.col("sxx"), F.col("sxy"), F.col("syy"),
+    )
+    return s.select(
+        "l_returnflag",
+        F.col("nd").cast("bigint").alias("n"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )
+
+
+@query(
+    "events_autocorr_lag1",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+        FROM events
+        GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    pairs AS (
+        SELECT event_type,
+               lag(v) OVER (PARTITION BY event_type ORDER BY h) AS x,
+               v AS y
+        FROM hourly
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(count(*) AS DOUBLE) AS nd,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(x) AS DOUBLE) AS sx,
+               CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(x * x) AS DOUBLE) AS sxx,
+               CAST(sum(x * y) AS DOUBLE) AS sxy,
+               CAST(sum(y * y) AS DOUBLE) AS syy
+        FROM pairs
+        WHERE x IS NOT NULL
+        GROUP BY event_type
+    )
+    SELECT event_type, n_pairs,
+           CASE WHEN ((nd * sxx - sx * sx) * (nd * syy - sy * sy)) <= 0
+                THEN NULL
+                ELSE (nd * sxy - sx * sy)
+                     / sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+           END AS autocorr
+    FROM s
+    """,
+)
+def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each event type's hourly volume series —
+    the seasonality/persistence diagnostic behind forecasting and
+    anomaly baselining. Series = hourly sums in exact 1e-2 BIGINT units
+    (the events_anomaly_zscore quantization), pairs via one ordered
+    window lag per type, Pearson r from exact moment sums + one
+    closed-form double tree with an IEEE-correctly-rounded sqrt (the two
+    float ops both engines agree on bit-for-bit). Plan: one hash agg →
+    one per-type window pass → one tiny agg; everything partitioned by
+    event_type, no global order."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("v"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    pairs = hourly.select(
+        "event_type",
+        F.lag("v").over(w).alias("x"),
+        F.col("v").alias("y"),
+    ).where(F.col("x").isNotNull())
+    s = pairs.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("nd"),
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    nd, sx, sy = F.col("nd"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    den = (nd * sxx - sx * sx) * (nd * syy - sy * sy)
+    r = F.when(den <= 0, F.lit(None).cast("double")).otherwise(
+        (nd * sxy - sx * sy) / F.sqrt(den)
+    )
+    return s.select("event_type", "n_pairs", r.alias("autocorr"))

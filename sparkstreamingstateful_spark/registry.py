@@ -36,6 +36,7 @@ _MODULES = [
     "sparkstreamingstateful_spark.operators.llm_pipeline",
     "sparkstreamingstateful_spark.operators.llm_quality",
     "sparkstreamingstateful_spark.operators.analytics",
+    "sparkstreamingstateful_spark.operators.statistics",
     "sparkstreamingstateful_spark.streaming.queries",
 ]
 
@@ -164,6 +165,9 @@ _KEY_PRIORITY = [
     "text_repetition_ngram",
     "text_gopher_quality",
     "dq_profile",
+    # Statistical modeling (operators/statistics.py) — same staging
+    "agg_linear_regression",
+    "events_autocorr_lag1",
     "sql_group_by_all",
     "join_left",
     "join_right",

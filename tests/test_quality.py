@@ -313,3 +313,36 @@ def test_decontaminate_short_doc_guard(spark):
         ).collect()
     }
     assert rows == {1: 0, 2: 2}
+
+
+def test_native_regr_matches_closed_form(spark):
+    """agg_linear_regression deliberately spells OLS as exact moment sums
+    (double-sum order dependence makes the native accumulators
+    un-hash-checkable cross-engine); this pins Spark's OWN regr_slope /
+    regr_intercept / regr_r2 against that closed form to 1e-9 relative,
+    so the built-in aggregate surface is exercised and the closed form
+    is proven to BE ordinary least squares, not merely self-consistent."""
+    li = load_table(spark, SF_UNIT, "lineitem")
+    x = F.round(F.col("l_quantity")).cast("bigint")
+    y = F.round(F.col("l_extendedprice")).cast("bigint")
+    native = {
+        r["l_returnflag"]: r
+        for r in li.select("l_returnflag", x.alias("x"), y.alias("y"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("regr_slope(y, x)").alias("slope"),
+            F.expr("regr_intercept(y, x)").alias("intercept"),
+            F.expr("regr_r2(y, x)").alias("r2"),
+        )
+        .collect()
+    }
+    closed = {
+        r["l_returnflag"]: r
+        for r in QUERIES["agg_linear_regression"](spark, SF_UNIT).collect()
+    }
+    assert set(native) == set(closed) and len(native) == 3
+    for flag, n in native.items():
+        c = closed[flag]
+        for col in ("slope", "intercept", "r2"):
+            rel = abs(n[col] - c[col]) / max(abs(c[col]), 1e-12)
+            assert rel < 1e-9, (flag, col, n[col], c[col])
