@@ -216,6 +216,29 @@ _DQ_COLS = [
     "o_orderpriority",
 ]
 
+# Columns that are DOUBLE: stringifying the raw double is engine-renderer
+# territory (Spark switches to scientific notation at ≥1e7, DuckDB never
+# does — ADVICE r10 item 1), so doubles render through the repo's measured
+# fixed-point rule instead: quantize to BIGINT cents (`round(x*100)` is
+# cross-engine exact for 2-decimal money columns, see operators/tpch.py),
+# then BUILD the decimal string from the integer — quotient '.' zero-padded
+# remainder — which is renderer-independent by construction. Valid for the
+# non-negative money domain (o_totalprice > 0 at every SF).
+_DQ_DOUBLE_COLS = {"o_totalprice"}
+
+
+def _dq_minmax_sql(c: str, fn: str, intdiv: str, strtype: str = "VARCHAR") -> str:
+    """min/max rendered as a stable string; `intdiv` is the engine's
+    integer-division spelling ('//' DuckDB, 'div' Spark) and `strtype`
+    its string cast-type name ('VARCHAR' DuckDB, 'STRING' Spark)."""
+    if c in _DQ_DOUBLE_COLS:
+        cents = f"CAST(round({fn}({c}) * 100) AS BIGINT)"
+        return (
+            f"concat(CAST(({cents}) {intdiv} 100 AS {strtype}), '.', "
+            f"lpad(CAST(({cents}) % 100 AS {strtype}), 2, '0'))"
+        )
+    return f"CAST({fn}({c}) AS {strtype})"
+
 
 @query(
     "dq_profile",
@@ -227,8 +250,8 @@ _DQ_COLS = [
         SELECT '{c}' AS column_name,
                count(*) - count({c}) AS n_nulls,
                count(DISTINCT {c}) AS n_distinct,
-               CAST(min({c}) AS VARCHAR) AS min_val,
-               CAST(max({c}) AS VARCHAR) AS max_val
+               {_dq_minmax_sql(c, 'min', '//')} AS min_val,
+               {_dq_minmax_sql(c, 'max', '//')} AS max_val
         FROM orders
         """
         for c in _DQ_COLS
@@ -257,8 +280,8 @@ def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias(f"{c}__nn"),
             F.count_distinct(F.col(c)).alias(f"{c}__nd"),
-            F.min(F.col(c)).cast("string").alias(f"{c}__mn"),
-            F.max(F.col(c)).cast("string").alias(f"{c}__mx"),
+            F.expr(_dq_minmax_sql(c, "min", "div", "STRING")).alias(f"{c}__mn"),
+            F.expr(_dq_minmax_sql(c, "max", "div", "STRING")).alias(f"{c}__mx"),
         ]
     one = o.agg(*aggs)
     stack_args = ", ".join(

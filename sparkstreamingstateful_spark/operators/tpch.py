@@ -310,8 +310,11 @@ sql_tpch_q21like = _sql_query(
 )
 
 # Q22: global sales opportunity — rich-but-inactive customers by country
-# code. The country code is the first two digits of the customer number
-# (this corpus has no phone column), and since every synthetic customer
+# code. The country code is digits 7-8 of the customer number (substr
+# offset 16 of 'Customer#000000042'; this corpus has no phone column —
+# the leading digits are the constant '00' at every shipped SF, so the
+# TRAILING digits are what vary and keep the grouping non-degenerate),
+# and since every synthetic customer
 # has at least one order, "inactive" = no orders since 2000-01-01; the
 # shape is Q22's: a scalar AVG subquery threshold AND a NOT EXISTS anti
 # join, grouped on a derived key. substr() spells identically in both
@@ -322,7 +325,7 @@ sql_tpch_q21like = _sql_query(
 sql_tpch_q22like = _sql_query(
     "sql_tpch_q22like",
     """
-    SELECT substr(c_name, 10, 2) AS cntrycode,
+    SELECT substr(c_name, 16, 2) AS cntrycode,
            count(*) AS numcust,
            sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 1e2
                AS totacctbal
@@ -332,7 +335,7 @@ sql_tpch_q22like = _sql_query(
       AND NOT EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey
                         AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
-    GROUP BY substr(c_name, 10, 2)
+    GROUP BY substr(c_name, 16, 2)
     ORDER BY cntrycode
     """,
 )

@@ -71,72 +71,13 @@ def query(name: str, oracle: str | None = None):
 # r6/r7-evidence cohort that was staged third now leads the r11 window
 # below the line. After this window lands, max H-evidence age is r6.
 _KEY_PRIORITY = [
-    # (a) r10 additions with NO driver evidence yet
-    "events_interpolate_linear",
-    "events_resample_ohlc",
-    "join_bloom_runtime_filter",
-    "text_bm25_search",
-    "agg_histogram",
-    "layout_zorder",
-    "map_hof",
-    "dedup_semantic_capped",
-    "codec_protobuf_roundtrip",
-    "stream_codec_protobuf",
-    "codec_avro_container",
-    "decontaminate_ngram",
-    "join_skew_aqe",
-    "join_range_binned",
-    "multimodal_decode_bmp",
-    # (b) rows-only key + the 34 r5-evidence keys (oldest greens in
-    # the union) that did not fit the r9 window
-    "sample_seeded",
-    "embed_near_dup",
-    "scan_csv",
-    "scan_json",
-    "scan_text",
-    "sql_tpch_q3like",
-    "sql_tpch_q5like",
-    "udf_python",
-    "udf_pandas",
-    "udaf_applyInPandas",
-    "udtf_python",
-    "map_in_pandas",
-    "text_tokenize_wordcount",
-    "text_quality_score",
-    "doc_fingerprint",
-    "dedup_exact",
-    "dedup_simhash",
-    "multimodal_binary",
-    "doc_chunking",
-    "corpus_sample_stratified",
-    "pii_scrub",
-    "dedup_cross_source",
-    "embed_ann_ivf",
-    "join_asof",
-    "agg_hash_q1",
-    "agg_percentiles",
-    "events_resample_1h",
-    "window_distribution",
-    "sql_parameterized",
-    "values_inline",
-    "json_extract",
-    "struct_ops",
-    "text_stats",
-    "text_language_id",
-    "text_token_count",
-    # (c) oldest r6/r7-evidence keys (7 of the cohort fill the window)
-    "stream_stream_join_full",
-    "stream_stream_join_right",
-    "json_variant",
-    "sql_pipe_syntax",
-    "agg_listagg",
-    "udtf_analyze",
-    "scalar_try_arithmetic",
-    # --- 50-key boundary. Order below the line = next-rotation order:
-    # first the keys ADDED LATE in r10 with no driver evidence at all
-    # (each locally sim-verified at sf0.001/0.01/0.1 — see SURVEY §2),
-    # then the displaced r6/r7-evidence cohort, then the r8-window
-    # greens, then the r9-window greens (freshest evidence).
+    # (a) Round-12 rotation (VERDICT r11 item 1 — the #1 item for two
+    # consecutive verdicts): the 26 keys that have NEVER been inside a
+    # driver window (added after the r10 freeze; every one sim-verified
+    # at sf0.001/0.01/0.1 — TPC-H completion suite, corpus-QC quartet,
+    # statistics pair, plus agg_mode / z-score / changepoint /
+    # asof-tolerance / pivot-clause / q4-q12-q14like). dq_profile and
+    # sql_tpch_q22like carry this round's ADVICE fixes.
     "events_anomaly_zscore",
     "events_changepoint_meanshift",
     "sql_pivot_clause",
@@ -145,9 +86,6 @@ _KEY_PRIORITY = [
     "sql_tpch_q4like",
     "sql_tpch_q12like",
     "sql_tpch_q14like",
-    # TPC-H completion suite (operators/tpch.py) — with these, all 22
-    # canonical TPC-H shapes are keyed; added after the r10 freeze, so
-    # no driver evidence yet (sim-verified locally, see SURVEY §2.8)
     "sql_tpch_q6like",
     "sql_tpch_q8like",
     "sql_tpch_q9like",
@@ -160,14 +98,14 @@ _KEY_PRIORITY = [
     "sql_tpch_q20like",
     "sql_tpch_q21like",
     "sql_tpch_q22like",
-    # Corpus QC family (operators/llm_quality.py) — same staging
     "dedup_passage",
     "text_repetition_ngram",
     "text_gopher_quality",
     "dq_profile",
-    # Statistical modeling (operators/statistics.py) — same staging
     "agg_linear_regression",
     "events_autocorr_lag1",
+    # (b) 24 oldest-evidence keys (displaced r6/r7 cohort, staged here
+    # since the r10 rotation) fill the window to exactly 50.
     "sql_group_by_all",
     "join_left",
     "join_right",
@@ -192,6 +130,10 @@ _KEY_PRIORITY = [
     "write_roundtrip",
     "project_compute",
     "filter_basic",
+    # --- 50-key boundary. Order below the line = next-rotation order:
+    # first the remaining r6/r7-evidence cohort, then the r8/r9-window
+    # greens, then the r10+r11 window (freshest evidence — checked
+    # byte-identically in BOTH of the last two rounds) at the bottom.
     "filter_conditional",
     "scalar_string",
     "scalar_date",
@@ -261,8 +203,6 @@ _KEY_PRIORITY = [
     "set_union_distinct",
     "set_intersect",
     "set_except",
-    # r8-window and r9-window greens (r9 window = the 50 keys checked
-    # in CORRECTNESS_r09; freshest evidence in the union)
     "array_hof_predicates",
     "scalar_mask",
     "stream_window_session_dynamic",
@@ -313,6 +253,64 @@ _KEY_PRIORITY = [
     "stream_cdc_upsert",
     "stateful_running_agg_tws",
     "dedup_cluster_cc",
+    # r10+r11 window (incl. sample_seeded, rows-only by construction)
+    "events_interpolate_linear",
+    "events_resample_ohlc",
+    "join_bloom_runtime_filter",
+    "text_bm25_search",
+    "agg_histogram",
+    "layout_zorder",
+    "map_hof",
+    "dedup_semantic_capped",
+    "codec_protobuf_roundtrip",
+    "stream_codec_protobuf",
+    "codec_avro_container",
+    "decontaminate_ngram",
+    "join_skew_aqe",
+    "join_range_binned",
+    "multimodal_decode_bmp",
+    "sample_seeded",
+    "embed_near_dup",
+    "scan_csv",
+    "scan_json",
+    "scan_text",
+    "sql_tpch_q3like",
+    "sql_tpch_q5like",
+    "udf_python",
+    "udf_pandas",
+    "udaf_applyInPandas",
+    "udtf_python",
+    "map_in_pandas",
+    "text_tokenize_wordcount",
+    "text_quality_score",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_simhash",
+    "multimodal_binary",
+    "doc_chunking",
+    "corpus_sample_stratified",
+    "pii_scrub",
+    "dedup_cross_source",
+    "embed_ann_ivf",
+    "join_asof",
+    "agg_hash_q1",
+    "agg_percentiles",
+    "events_resample_1h",
+    "window_distribution",
+    "sql_parameterized",
+    "values_inline",
+    "json_extract",
+    "struct_ops",
+    "text_stats",
+    "text_language_id",
+    "text_token_count",
+    "stream_stream_join_full",
+    "stream_stream_join_right",
+    "json_variant",
+    "sql_pipe_syntax",
+    "agg_listagg",
+    "udtf_analyze",
+    "scalar_try_arithmetic",
 ]
 
 
