@@ -123,6 +123,32 @@ PROBES = [
     ("layout_zorder", "events"),
     ("agg_mode", "lineitem"),
     ("text_bm25_search", "documents"),
+    # r12 (VERDICT r11 item 8): BM25 re-probed on a MATCH-PRESERVING
+    # replica corpus — every token suffixed EXCEPT the three BM25 query
+    # terms, so each replica contributes the same matching docs and the
+    # match count must scale exactly ×K (the committed SCALING.md noted
+    # the plain renamed corpus zeroes the match signal past replica 1);
+    # and the binned range join on a DATE+KEY-SHIFTED orders+lineitem
+    # replica pair (each replica shifts both sides' dates past the
+    # original range, so per-replica probe-fact structure replicates —
+    # probes ×K, per-probe candidates unchanged, cost ≈K; an unshifted
+    # replica would densify every time bucket ×K on BOTH sides and the
+    # probe would measure a ×K² candidate blow-up the operator's 100 TB
+    # posture never claims).
+    ("text_bm25_search:mp", "documents(match-preserving)"),
+    ("join_range_binned:rj", "orders+lineitem(date-shifted)"),
+    # r12 additions probeable on the existing replica tables: the
+    # subword tokenizer (distinct-word dictionary walk — vocab is
+    # derived from the scaled corpus itself, disjoint per replica, so
+    # distinct words ×K, rows = docs ×K, t should track ≈K), the
+    # quantile-sketch rollup (per-shard summaries + constant-size merge:
+    # ≈flat t, constant 3 rows), and the corpus-QC trio (narrow
+    # zero-shuffle scans / one content-hash agg: ≈K).
+    ("text_tokenize_subword", "documents"),
+    ("agg_quantile_sketch", "lineitem"),
+    ("dedup_passage", "documents"),
+    ("text_repetition_ngram", "documents"),
+    ("text_gopher_quality", "documents"),
 ]
 
 # keys whose first run at a given dir includes a ONE-TIME source-layout
@@ -244,6 +270,85 @@ def build(k: int) -> str:
     return out
 
 
+def _suffix_tokens_except(col: pa.ChunkedArray, tag: str, keep: tuple) -> pa.Array:
+    # token → token_tag, except tokens in `keep` (BM25's query terms),
+    # which pass through unchanged in every replica — the match-preserving
+    # variant: each replica contributes the same matching docs.
+    toks = pc.split_pattern(col.combine_chunks(), " ")
+    flat = pc.list_flatten(toks)
+    suffixed = pc.binary_join_element_wise(flat, pa.scalar(tag), "")
+    kept = pc.if_else(pc.is_in(flat, value_set=pa.array(list(keep))), flat, suffixed)
+    return pa.ListArray.from_arrays(toks.offsets, kept).cast(pa.list_(pa.string()))
+
+
+def build_bm25(k: int) -> str:
+    """Match-preserving documents replicas: all tokens renamed per replica
+    EXCEPT the BM25 query terms, so term matches scale exactly ×K."""
+    from sparkstreamingstateful_spark.operators.llm_text import _BM25_TERMS
+    from sparkstreamingstateful_spark.operators.scans import _src_fingerprint
+
+    fp = _src_fingerprint(SRC, "documents")
+    out = f"/tmp/sss_scale_bm25_{k}x_{fp}"
+    if os.path.isdir(out) and os.path.exists(f"{out}/.done"):
+        return out
+    os.makedirs(out, exist_ok=True)
+    d = pq.read_table(f"{SRC}/documents.parquet")
+    did = d.column("doc_id")
+    dspan = pc.max(did).as_py() + 1
+    reps = []
+    for i in range(k):
+        toks = _suffix_tokens_except(d.column("text"), f"_r{i}", _BM25_TERMS)
+        text = pc.binary_join(toks, " ")
+        t = d.set_column(
+            d.schema.get_field_index("doc_id"), "doc_id", pc.add(did, i * dspan)
+        )
+        t = t.set_column(t.schema.get_field_index("text"), "text", text)
+        reps.append(t)
+    pq.write_table(pa.concat_tables(reps), f"{out}/documents.parquet")
+    open(f"{out}/.done", "w").write("ok")
+    return out
+
+
+_RJ_SHIFT_DAYS = 4000  # > the orders/lineitem date span: replicas never overlap
+
+
+def build_rj(k: int) -> str:
+    """Date+key-shifted orders+lineitem replicas for the binned range
+    join: each replica shifts BOTH sides' dates past the original range,
+    so per-replica probe-fact structure replicates exactly (probes ×K,
+    per-probe candidate density unchanged → cost ≈K, never ×K² bucket
+    densification)."""
+    from datetime import timedelta
+
+    from sparkstreamingstateful_spark.operators.scans import _src_fingerprint
+
+    fp = _src_fingerprint(SRC, "orders", "lineitem")
+    out = f"/tmp/sss_scale_rj_{k}x_{fp}"
+    if os.path.isdir(out) and os.path.exists(f"{out}/.done"):
+        return out
+    os.makedirs(out, exist_ok=True)
+    for tbl, keycol, datecol in (
+        ("orders", "o_orderkey", "o_orderdate"),
+        ("lineitem", "l_orderkey", "l_shipdate"),
+    ):
+        t0 = pq.read_table(f"{SRC}/{tbl}.parquet")
+        key = t0.column(keycol)
+        span = pc.max(key).as_py() + 1
+        reps = []
+        for i in range(k):
+            t = t0.set_column(
+                t0.schema.get_field_index(keycol), keycol, pc.add(key, i * span)
+            )
+            shifted = pc.add(
+                t0.column(datecol), pa.scalar(timedelta(days=i * _RJ_SHIFT_DAYS))
+            )
+            t = t.set_column(t.schema.get_field_index(datecol), datecol, shifted)
+            reps.append(t)
+        pq.write_table(pa.concat_tables(reps), f"{out}/{tbl}.parquet")
+    open(f"{out}/.done", "w").write("ok")
+    return out
+
+
 def main() -> None:
     ks = [int(a) for a in sys.argv[1:]] or [3, 10]
     queries, _ = registry.collect()
@@ -251,23 +356,28 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     dirs = {1: SRC}
+    variant_dirs = {"mp": {1: SRC}, "rj": {1: SRC}}
     for k in ks:
         print(f"building {k}x ...", flush=True)
         dirs[k] = build(k)
+        variant_dirs["mp"][k] = build_bm25(k)
+        variant_dirs["rj"][k] = build_rj(k)
 
     # warm-up
     queries["agg_hash_q1"](spark, SRC).write.format("noop").mode("overwrite").save()
 
     results: dict[str, dict[int, tuple[float, int]]] = {}
     for key, table in PROBES:
+        base, _, variant = key.partition(":")
+        kdirs = variant_dirs.get(variant, dirs)
         results[key] = {}
-        for k, d in dirs.items():
-            if key in WARM_FIRST:
-                queries[key](spark, d).count()
-            elif key == "write_python_datasource":
+        for k, d in kdirs.items():
+            if base in WARM_FIRST:
+                queries[base](spark, d).count()
+            elif base == "write_python_datasource":
                 _clear_sink_cache(d)
             t0 = time.perf_counter()
-            df = queries[key](spark, d)
+            df = queries[base](spark, d)
             n = df.count()
             results[key][k] = (round(time.perf_counter() - t0, 2), n)
             print(f"{key} @{k}x: {results[key][k]}", flush=True)

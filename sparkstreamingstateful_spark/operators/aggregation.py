@@ -606,3 +606,122 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-best.getField("nq")).alias("mode_qty"),
         best.getField("c").alias("mode_n"),
     )
+
+
+# ----------------------------------------------- A14: mergeable quantile sketch
+_QSK_QS = [0.5, 0.9, 0.99]
+_QSK_SHARDS = 8
+_QSK_GRID = 128  # per-shard summary size; merged rank error <= 1/(2G)+1e-4
+
+_QSK_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT CAST({q} AS DOUBLE) AS q,
+           quantile_cont(l_extendedprice, {q}) AS exact_q,
+           TRUE AS direct_within_1pct,
+           TRUE AS merged_within_1pct
+    FROM lineitem
+    """
+    for q in _QSK_QS
+)
+
+
+@query("agg_quantile_sketch", oracle=_QSK_ORACLE)
+def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE summaries (A14) — the percentile twin of A10's
+    HLL rollup. Spark exposes no union-able quantile sketch object (no
+    KLL/REQ functions as of 4.1), so the mergeable summary is built from
+    first principles as an EQUI-DEPTH GRID: each shard reduces to a
+    fixed-size state — (row count, its own G=128-point quantile grid via
+    percentile_approx) — and any set of shards merges by weighting each
+    grid point at cnt/G rows and reading the merged CDF where it crosses
+    q·N. That two-level shape (per-partition/per-day fixed-size summary
+    persisted once; any later rollup merges summaries, never rescans the
+    fact table) is the 100 TB percentile-dashboard pattern.
+
+    H-checked contract (the agg_approx/A10 bound pattern — approximate
+    values can never cross-engine hash-match): for each q in (0.5, 0.9,
+    0.99) emit the EXACT percentile (Spark ``percentile`` == DuckDB
+    ``quantile_cont``, the agg_percentiles precedent) plus two flags
+    asserting the DIRECT percentile_approx estimate and the MERGED
+    grid estimate both land within 1% RANK error of q·N. Error budget
+    for the merged path: per-shard grid quantization ≤ cnt_i/(2·128)
+    plus sketch rank error cnt_i·1e-4, summing to ≈0.4% of N — half the
+    asserted bound. A broken merge (weighting, CDF walk, or a
+    percentile_approx regression) flips a flag and fails the driver.
+
+    Plan: one per-shard hash agg (8 rows of fixed-size state), one
+    1024-row single-partition window cumsum (constant-size regardless of
+    data SF — explicitly NOT a data-sized window), one broadcast
+    cross-join rank-check pass over the fact (6 probe rows), one exact
+    agg. Zero driver-side collects."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    grid = [(j + 0.5) / _QSK_GRID for j in range(_QSK_GRID)]
+    qs_arr = F.array(*[F.lit(float(q)) for q in _QSK_QS])
+
+    # Per-shard fixed-size summaries: (cnt, G-point grid).
+    shards = (
+        li.withColumn("shard", F.col("l_orderkey") % _QSK_SHARDS)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("cnt"),
+            F.percentile_approx("l_extendedprice", grid, 10000).alias("g"),
+        )
+    )
+    # Merge: each grid point carries cnt/G rows; walk the merged CDF.
+    points = shards.select(
+        (F.col("cnt") / _QSK_GRID).alias("w"),
+        F.explode("g").alias("val"),
+    )
+    w_cum = Window.orderBy("val", "w").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cdf = points.select(
+        "val", F.sum("w").over(w_cum).alias("cumw"), F.sum("w").over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("total")
+    )
+    merged = (
+        cdf.crossJoin(F.broadcast(spark.range(1).select(F.explode(qs_arr).alias("q"))))
+        .filter(F.col("cumw") >= F.col("q") * F.col("total"))
+        .groupBy("q")
+        .agg(F.min("val").alias("est"))
+        .withColumn("path", F.lit("merged"))
+    )
+    # Direct single-pass estimate at the same accuracy.
+    direct = (
+        li.agg(
+            F.percentile_approx("l_extendedprice", _QSK_QS, 10000).alias("d")
+        )
+        .select(F.explode(F.arrays_zip(qs_arr.alias("q"), F.col("d").alias("est"))).alias("z"))
+        .select(F.col("z.q").alias("q"), F.col("z.est").alias("est"))
+        .withColumn("path", F.lit("direct"))
+    )
+    probes = merged.unionByName(direct)  # 6 rows
+    # Exact rank of each estimate in ONE broadcast-probe pass.
+    ranks = (
+        li.crossJoin(F.broadcast(probes))
+        .groupBy("q", "path")
+        .agg(
+            F.sum(F.when(F.col("l_extendedprice") <= F.col("est"), 1).otherwise(0)).alias("rk"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "q",
+            "path",
+            (F.abs(F.col("rk") - F.col("q") * F.col("n")) <= 0.01 * F.col("n")).alias("ok"),
+        )
+    )
+    flags = ranks.groupBy("q").agg(
+        F.max(F.when(F.col("path") == "direct", F.col("ok"))).alias("direct_within_1pct"),
+        F.max(F.when(F.col("path") == "merged", F.col("ok"))).alias("merged_within_1pct"),
+    )
+    exact = (
+        li.agg(F.percentile("l_extendedprice", _QSK_QS).alias("ex"))
+        .select(F.explode(F.arrays_zip(qs_arr.alias("q"), F.col("ex").alias("exact_q"))).alias("z"))
+        .select(F.col("z.q").alias("q"), F.col("z.exact_q").alias("exact_q"))
+    )
+    return exact.join(flags, "q").select(
+        "q", "exact_q", "direct_within_1pct", "merged_within_1pct"
+    )

@@ -1,0 +1,236 @@
+"""``df.stat`` surface (SURVEY.md §2.4 extension, ST-A..ST-D): the
+DataFrameStatFunctions namespace — crosstab, stratified sampleBy,
+approxQuantile, freqItems. These are the profiling/sampling helpers an
+analyst reaches for before writing a single query, so they are
+first-class H-checked keys, each re-expressed under this repo's
+oracle discipline:
+
+* ``stat_crosstab`` IS the real API (``df.stat.crosstab``) — its output
+  is exact counts, directly hashable against a conditional-aggregate
+  oracle.
+* ``stat_sample_by`` H-checks sampleBy SEMANTICS (per-stratum fraction
+  map) through the repo's deterministic md5-bucket device (seed-free,
+  layout-free, engine-portable — the corpus_sample_stratified
+  precedent); the RNG-seeded ``df.stat.sampleBy`` API itself is
+  test-pinned (tests/test_dfstat.py) because Spark's seeded sample is
+  partition-layout-dependent and can never hash-match another engine.
+* ``stat_approx_quantile`` wraps the driver-returning
+  ``df.stat.approxQuantile`` API (it RETURNS a Python list by contract
+  — the one documented driver interaction in this module) and H-checks
+  the agg_approx-style accuracy bound: each estimate's exact rank must
+  sit within 1% of q·N, alongside the exact percentile both engines
+  agree on.
+* ``stat_freq_items`` H-checks freqItems' superset guarantee (every
+  item with frequency > support appears in the result) — the estimate
+  set itself may carry false positives by design, so the contract, not
+  the raw set, is what's hashed.
+
+Scale: crosstab/freqItems/approxQuantile are single-pass aggregates with
+fixed-size state; sampleBy-via-hash is a narrow zero-shuffle filter. The
+probe joins are broadcast one-row panels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+# Deterministic content-hash bucket in [0, 100) over an arbitrary BIGINT
+# key column — the md5-fold device shared with llm_pipeline (DuckDB lacks
+# conv(); the strpos fold is its exact equivalent).
+
+
+def _bucket_col(key: str):
+    return (
+        F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+
+
+def _duck_bucket(key: str) -> str:
+    h = f"md5(CAST({key} AS VARCHAR))"
+    return (
+        f"((strpos('0123456789abcdef', substr({h}, 1, 1)) - 1) * 4096"
+        f" + (strpos('0123456789abcdef', substr({h}, 2, 1)) - 1) * 256"
+        f" + (strpos('0123456789abcdef', substr({h}, 3, 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substr({h}, 4, 1)) - 1)) % 100"
+    )
+
+
+_STATUSES = ["F", "O", "P"]
+
+
+@query(
+    "stat_crosstab",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency table via the real ``df.stat.crosstab`` API: market
+    segment × order status pair counts, with absent combinations
+    zero-filled by the API. The oracle spells the identical table as a
+    conditional aggregate. Crosstab's value columns are named by the
+    data values themselves; they are re-aliased to a stable schema
+    (n_f/n_o/n_p) so the contract survives column-order changes.
+
+    Scale: one hash agg on the (segment, status) pair then a driver-side
+    pivot of a 5×3 result — crosstab is only for LOW-cardinality pairs
+    by contract (column count = distinct values of col2)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    joined = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "o_orderstatus"
+    )
+    ct = joined.stat.crosstab("c_mktsegment", "o_orderstatus")
+    return ct.select(
+        F.col("c_mktsegment_o_orderstatus").alias("c_mktsegment"),
+        *[F.col(f"`{s}`").alias(f"n_{s.lower()}") for s in _STATUSES],
+    )
+
+
+_SAMPLE_FRACTIONS = {"BUILDING": 40, "MACHINERY": 15, "FURNITURE": 25}
+_SAMPLE_CASE = (
+    "CASE c_mktsegment "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _SAMPLE_FRACTIONS.items())
+    + " ELSE 0 END"
+)
+
+
+@query(
+    "stat_sample_by",
+    oracle=f"""
+    SELECT c_custkey, c_mktsegment,
+           {_duck_bucket('c_custkey')} AS bucket
+    FROM customer
+    WHERE {_duck_bucket('c_custkey')} < {_SAMPLE_CASE}
+    """,
+)
+def stat_sample_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with a PER-STRATUM FRACTION MAP —
+    ``df.stat.sampleBy`` semantics (strata absent from the map sample at
+    0) made deterministic: membership is decided by an md5 bucket of the
+    row key against the stratum's fraction, not by seeded RNG, so the
+    sample is identical across engines, runs, partitionings, and cluster
+    sizes — the property a 100 TB pipeline needs for reproducible
+    train/eval splits. The seeded-RNG API itself is pinned in
+    tests/test_dfstat.py (its output is layout-dependent by contract).
+
+    Scale: narrow filter fused into the scan; zero shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    rate = F.expr(_SAMPLE_CASE)
+    return (
+        c.select(
+            "c_custkey",
+            "c_mktsegment",
+            _bucket_col("c_custkey").alias("bucket"),
+        )
+        .filter(F.col("bucket") < rate)
+    )
+
+
+_AQ_QS = [0.25, 0.5, 0.75, 0.95]
+
+_AQ_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT CAST({q} AS DOUBLE) AS q,
+           quantile_cont(c_acctbal, {q}) AS exact_q,
+           TRUE AS within_1pct
+    FROM customer
+    """
+    for q in _AQ_QS
+)
+
+
+@query("stat_approx_quantile", oracle=_AQ_ORACLE)
+def stat_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.stat.approxQuantile`` (Greenwald-Khanna) under the
+    agg_approx bound contract. The API returns a Python list BY
+    CONTRACT (this module's one documented driver interaction — the
+    list is 4 floats, not data); the H-checked surface is the exact
+    percentile plus a flag asserting each GK estimate's exact rank lies
+    within 1% of q·N, computed distributed via a broadcast probe panel.
+    relativeError=1e-3 gives a 0.1% rank guarantee — the assertion
+    leaves 10× headroom, so a flag flip means the sketch broke, not
+    that the data got unlucky."""
+    c = load_table(spark, sf_dir, "customer").select("c_acctbal")
+    ests = c.stat.approxQuantile("c_acctbal", [float(q) for q in _AQ_QS], 1e-3)
+    panel = spark.createDataFrame(
+        [(float(q), float(v)) for q, v in zip(_AQ_QS, ests)], "q double, est double"
+    )
+    ranks = (
+        c.crossJoin(F.broadcast(panel))
+        .groupBy("q")
+        .agg(
+            F.sum(F.when(F.col("c_acctbal") <= F.col("est"), 1).otherwise(0)).alias("rk"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "q",
+            (F.abs(F.col("rk") - F.col("q") * F.col("n")) <= 0.01 * F.col("n")).alias(
+                "within_1pct"
+            ),
+        )
+    )
+    qs_arr = F.array(*[F.lit(float(q)) for q in _AQ_QS])
+    exact = (
+        c.agg(F.percentile("c_acctbal", [float(q) for q in _AQ_QS]).alias("ex"))
+        .select(
+            F.explode(F.arrays_zip(qs_arr.alias("q"), F.col("ex").alias("exact_q"))).alias("z")
+        )
+        .select(F.col("z.q").alias("q"), F.col("z.exact_q").alias("exact_q"))
+    )
+    return exact.join(ranks, "q").select("q", "exact_q", "within_1pct")
+
+
+_FREQ_SUPPORT = 0.15
+
+
+@query(
+    "stat_freq_items",
+    oracle=f"""
+    SELECT o_orderpriority AS item, count(*) AS exact_n, TRUE AS found
+    FROM orders
+    GROUP BY o_orderpriority
+    HAVING count(*) > {_FREQ_SUPPORT} * (SELECT count(*) FROM orders)
+    """,
+)
+def stat_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.stat.freqItems`` (Karp-Papadimitriou-Shenker single-pass
+    heavy hitters). KPS guarantees a SUPERSET: every item with frequency
+    > support is returned, possibly plus false positives — so the raw
+    set can never be an exact oracle target. The H-checked contract is
+    the guarantee itself: compute the exact frequent set (count >
+    support·N, a plain aggregate both engines share), then flag each
+    exact item's membership in the KPS result — all TRUE, or the sketch
+    broke. The order-priority column is ~uniform at 20% per value;
+    support=0.15 keeps every stratum 5 points clear of the threshold at
+    any SF, so the exact set is never data-dependent-fragile.
+
+    Scale: KPS is one pass with O(1/support) state; the membership probe
+    is a broadcast one-row cross join."""
+    o = load_table(spark, sf_dir, "orders")
+    fi = o.stat.freqItems(["o_orderpriority"], support=_FREQ_SUPPORT)
+    total = o.agg(F.count(F.lit(1)).alias("total"))
+    exact = (
+        o.groupBy(F.col("o_orderpriority").alias("item"))
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("exact_n") > _FREQ_SUPPORT * F.col("total"))
+    )
+    return exact.crossJoin(F.broadcast(fi)).select(
+        "item",
+        "exact_n",
+        F.array_contains(F.col("o_orderpriority_freqItems"), F.col("item")).alias(
+            "found"
+        ),
+    )

@@ -1379,3 +1379,147 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             score.alias("score"),
         )
     )
+
+
+# ------------------------------------------------------- subword tokenization
+_SUBWORD_VOCAB_K = 64
+_SUBWORD_LENS = (2, 3, 4)
+
+_SUBWORD_ORACLE = f"""
+    WITH RECURSIVE wf AS (
+        SELECT doc_id, word FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+            FROM documents
+        ) WHERE word <> ''
+    ),
+    vocab AS (
+        SELECT piece FROM (
+            SELECT substr(word, s, l) AS piece, count(*) AS c
+            FROM wf,
+                 (VALUES (2), (3), (4)) lens(l),
+                 LATERAL unnest(range(1, length(word) - l + 2)) AS starts(s)
+            GROUP BY piece
+        ) ORDER BY c DESC, piece LIMIT {_SUBWORD_VOCAB_K}
+    ),
+    dw AS (SELECT DISTINCT word FROM wf),
+    walk(word, pos, np, nu) AS (
+        SELECT word, 1, 0, 0 FROM dw
+        UNION ALL
+        SELECT word,
+               pos + CASE WHEN m4 THEN 4 WHEN m3 THEN 3 WHEN m2 THEN 2
+                          ELSE 1 END,
+               np + 1,
+               nu + CASE WHEN m4 OR m3 OR m2 THEN 0 ELSE 1 END
+        FROM (
+            SELECT word, pos, np, nu,
+                   length(word) - pos >= 3 AND substr(word, pos, 4) IN
+                       (SELECT piece FROM vocab) AS m4,
+                   length(word) - pos >= 2 AND substr(word, pos, 3) IN
+                       (SELECT piece FROM vocab) AS m3,
+                   length(word) - pos >= 1 AND substr(word, pos, 2) IN
+                       (SELECT piece FROM vocab) AS m2
+            FROM walk WHERE pos <= length(word)
+        )
+    ),
+    fin AS (SELECT word, np, nu FROM walk WHERE pos > length(word))
+    SELECT doc_id, count(*) AS n_words,
+           CAST(sum(np) AS BIGINT) AS n_pieces,
+           CAST(sum(nu) AS BIGINT) AS n_unk
+    FROM wf JOIN fin USING (word)
+    GROUP BY doc_id
+"""
+
+
+@query("text_tokenize_subword", oracle=_SUBWORD_ORACLE)
+def text_tokenize_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword tokenization (WordPiece-style greedy longest-match) — the
+    corpus-shaping step text_tokenize_wordcount's whitespace split only
+    approximates. Fully deterministic and data-derived: the vocabulary is
+    the top-64 most frequent substrings of length 2-4 across all word
+    occurrences (ties broken lexicographically — exact integer counts,
+    so the vocab is identical cross-engine), and each word encodes by the
+    greedy walk: at each position take the longest vocab piece (4, then
+    3, then 2 chars); if none matches, emit a single-char UNK piece and
+    advance one. Output per document: word, piece, and UNK-piece counts.
+
+    The Spark walk runs as an in-row ``F.aggregate`` state machine over
+    the word's character positions (acc = (pos, n_pieces, n_unk); steps
+    where i != pos pass through) — no UDF, no recursion limits; the
+    oracle replays the IDENTICAL walk as a DuckDB recursive CTE, so the
+    greedy semantics (longest-match order, boundary guards, UNK
+    fallback) are pinned cross-engine, not just "some tokenizer ran".
+
+    Scale: the expensive walk runs on DISTINCT words only (dictionary
+    encoding — the corpus can hold trillions of tokens but only millions
+    of distinct words), then joins back to occurrences by word; vocab
+    derivation is one hash agg over in-row-exploded substrings. The HOF
+    walk is interpreted (not codegen), which is why confining it to the
+    distinct-word dictionary matters."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+
+    lens_arr = F.array(*[F.lit(l) for l in _SUBWORD_LENS])
+    pieces = (
+        words.select("word", F.explode(lens_arr).alias("l"))
+        .filter(F.length("word") >= F.col("l"))
+        .select(
+            "word",
+            "l",
+            F.explode(
+                F.sequence(F.lit(1), F.length("word") - F.col("l") + 1)
+            ).alias("s"),
+        )
+        .select(F.col("word").substr(F.col("s"), F.col("l")).alias("piece"))
+    )
+    vocab = (
+        pieces.groupBy("piece")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "piece")
+        .limit(_SUBWORD_VOCAB_K)
+    )
+    vb = vocab.agg(F.collect_list("piece").alias("vb"))
+
+    dw = words.select("word").distinct().crossJoin(F.broadcast(vb))
+
+    def _step(acc, i):
+        wlen = F.length(F.col("word"))
+        m4 = (wlen - i >= 3) & F.array_contains(
+            F.col("vb"), F.col("word").substr(i, F.lit(4))
+        )
+        m3 = (wlen - i >= 2) & F.array_contains(
+            F.col("vb"), F.col("word").substr(i, F.lit(3))
+        )
+        m2 = (wlen - i >= 1) & F.array_contains(
+            F.col("vb"), F.col("word").substr(i, F.lit(2))
+        )
+        adv = F.when(m4, F.lit(4)).when(m3, F.lit(3)).when(m2, F.lit(2)).otherwise(
+            F.lit(1)
+        )
+        unk = F.when(m4 | m3 | m2, F.lit(0)).otherwise(F.lit(1))
+        return F.when(i != acc["pos"], acc).otherwise(
+            F.struct(
+                (acc["pos"] + adv).alias("pos"),
+                (acc["np"] + 1).alias("np"),
+                (acc["nu"] + unk).alias("nu"),
+            )
+        )
+
+    fin = F.aggregate(
+        F.sequence(F.lit(1), F.length("word")),
+        F.struct(
+            F.lit(1).alias("pos"), F.lit(0).alias("np"), F.lit(0).alias("nu")
+        ),
+        _step,
+    )
+    tok = dw.select("word", fin["np"].alias("np"), fin["nu"].alias("nu"))
+    return (
+        words.join(tok, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("np").cast("bigint").alias("n_pieces"),
+            F.sum("nu").cast("bigint").alias("n_unk"),
+        )
+    )

@@ -583,7 +583,7 @@ _Z_HOUR_LO, _Z_HOUR_HI = 256, 287
 def _z_interleave_sql(x: str, y: str) -> str:
     """Morton interleave as pure +/>>/&/<< arithmetic — the same textual
     expression runs on both engines (DuckDB ``^`` is POWER, never used
-    here; CLAUDE gotcha)."""
+    here; a known cross-engine gotcha)."""
     terms = []
     for i in range(_Z_BITS):
         terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
@@ -671,3 +671,201 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "zval",
         F.expr(f"zval div {_Z_FILE_WIDTH}").alias("file_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dirty-ingest surface (S6k/S6l): parser-mode contract on corrupt input.
+# Every production ingest path meets malformed records; the reader's three
+# modes (PERMISSIVE + columnNameOfCorruptRecord / DROPMALFORMED / FAILFAST)
+# are the knobs that decide whether they surface, vanish, or abort. The
+# corrupt rows are injected DETERMINISTICALLY (a modular rule on the key),
+# so the DuckDB oracle reproduces the expected per-mode counts and the
+# clean-row aggregate straight from the parquet source — the H-check pins
+# the parser contract itself, not just "it didn't crash". FAILFAST (abort)
+# can't return a DataFrame and is pinned in tests/test_scans instead.
+#
+# Scale: the dirty layouts are one-time content-fingerprint-cached writes
+# (same discipline as every other derived layout); the reads are plain
+# distributed text-source scans with explicit schemas — per-record parse
+# error handling is local to the task, no driver involvement.
+# ---------------------------------------------------------------------------
+
+_JSON_CORRUPT_MOD = 97   # o_orderkey % 97 == 13 -> truncated JSON line
+_JSON_CORRUPT_RES = 13
+_CSV_BAD_MOD = 89        # c_custkey % 89 == 7 -> non-numeric acctbal field
+_CSV_BAD_RES = 7
+
+
+def dirty_json_layout(spark: SparkSession, sf_dir: str) -> str:
+    """orders projected to (key, status, price) as JSON lines, with rows
+    matching the modular rule truncated mid-object (guaranteed
+    unparseable). Written once per (sf_dir, orders content)."""
+    tag = _dir_tag(sf_dir, "orders")
+    out = os.path.join(tempfile.gettempdir(), f"sss_dirty_json_orders_{tag}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        o = load_table(spark, sf_dir, "orders")
+        line = F.to_json(
+            F.struct("o_orderkey", "o_orderstatus", "o_totalprice")
+        )
+        corrupt = F.concat(F.substring(line, 1, 12), F.lit('{"trunc'))
+        dirty = F.when(
+            F.col("o_orderkey") % _JSON_CORRUPT_MOD == _JSON_CORRUPT_RES,
+            corrupt,
+        ).otherwise(line)
+        o.select(dirty.alias("value")).write.mode("overwrite").text(out)
+    return out
+
+
+def dirty_csv_layout(spark: SparkSession, sf_dir: str) -> str:
+    """customer projected to (key, segment, acctbal) as headerless CSV,
+    with rows matching the modular rule carrying 'N/A' in the DOUBLE
+    acctbal field (type-malformed under an explicit schema)."""
+    tag = _dir_tag(sf_dir, "customer")
+    out = os.path.join(tempfile.gettempdir(), f"sss_dirty_csv_customer_{tag}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        c = load_table(spark, sf_dir, "customer")
+        bal = F.when(
+            F.col("c_custkey") % _CSV_BAD_MOD == _CSV_BAD_RES, F.lit("N/A")
+        ).otherwise(F.col("c_acctbal").cast("string"))
+        c.select(
+            F.concat_ws(
+                ",",
+                F.col("c_custkey").cast("string"),
+                F.col("c_mktsegment"),
+                bal,
+            ).alias("value")
+        ).write.mode("overwrite").text(out)
+    return out
+
+
+def _ingest_mode_row(df: DataFrame, mode: str, price_col: str, corrupt) -> DataFrame:
+    """One (mode, n_rows, n_corrupt, clean_total_c) summary row. The money
+    total is exact BIGINT cents (the fixed-point rule) over rows the
+    parser accepted cleanly; `corrupt` is the corrupt-marker predicate
+    (a Column) or None when the mode drops malformed rows outright."""
+    is_bad = corrupt if corrupt is not None else F.lit(False)
+    cents = F.expr(f"CAST(round({price_col} * 100) AS BIGINT)")
+    return df.agg(
+        F.lit(mode).alias("mode"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(is_bad, 1).otherwise(0)).cast("bigint").alias("n_corrupt"),
+        F.sum(F.when(~is_bad, cents).otherwise(0))
+        .cast("bigint")
+        .alias("clean_total_c"),
+    )
+
+
+@query(
+    "scan_json_corrupt",
+    oracle=f"""
+    SELECT 'PERMISSIVE' AS mode,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN o_orderkey % {_JSON_CORRUPT_MOD} = {_JSON_CORRUPT_RES}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+           CAST(sum(CASE WHEN o_orderkey % {_JSON_CORRUPT_MOD} <> {_JSON_CORRUPT_RES}
+                         THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS clean_total_c
+    FROM orders
+    UNION ALL
+    SELECT 'DROPMALFORMED' AS mode,
+           CAST(sum(CASE WHEN o_orderkey % {_JSON_CORRUPT_MOD} <> {_JSON_CORRUPT_RES}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_rows,
+           0 AS n_corrupt,
+           CAST(sum(CASE WHEN o_orderkey % {_JSON_CORRUPT_MOD} <> {_JSON_CORRUPT_RES}
+                         THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS clean_total_c
+    FROM orders
+    """,
+)
+def scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty JSON ingest (S6k): the same deterministically-corrupted
+    JSON-lines file read under PERMISSIVE (corrupt rows surface with all
+    data fields NULL and the raw line captured in the
+    columnNameOfCorruptRecord column) and DROPMALFORMED (corrupt rows
+    silently vanish). One summary row per mode: rows surfaced, corrupt
+    rows surfaced, exact cents total over cleanly-parsed rows. The
+    oracle recomputes all three from the parquet source via the
+    injection rule — a parser that mis-classifies even one record
+    breaks a count or the total."""
+    from pyspark.sql import types as T
+
+    out = dirty_json_layout(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    permissive = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(out)
+    )
+    perm = _ingest_mode_row(
+        permissive, "PERMISSIVE", "o_totalprice", F.col("_corrupt").isNotNull()
+    )
+    drop_schema = T.StructType(schema.fields[:3])
+    dropped = (
+        spark.read.schema(drop_schema).option("mode", "DROPMALFORMED").json(out)
+    )
+    drop = _ingest_mode_row(dropped, "DROPMALFORMED", "o_totalprice", None)
+    return perm.unionByName(drop)
+
+
+@query(
+    "scan_csv_malformed",
+    oracle=f"""
+    SELECT 'PERMISSIVE' AS mode,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN c_custkey % {_CSV_BAD_MOD} = {_CSV_BAD_RES}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+           CAST(sum(CASE WHEN c_custkey % {_CSV_BAD_MOD} <> {_CSV_BAD_RES}
+                         THEN CAST(round(c_acctbal * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS clean_total_c
+    FROM customer
+    UNION ALL
+    SELECT 'DROPMALFORMED' AS mode,
+           CAST(sum(CASE WHEN c_custkey % {_CSV_BAD_MOD} <> {_CSV_BAD_RES}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_rows,
+           0 AS n_corrupt,
+           CAST(sum(CASE WHEN c_custkey % {_CSV_BAD_MOD} <> {_CSV_BAD_RES}
+                         THEN CAST(round(c_acctbal * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS clean_total_c
+    FROM customer
+    """,
+)
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty CSV ingest (S6l): type-malformed records ('N/A' in a DOUBLE
+    field) under PERMISSIVE vs DROPMALFORMED — the CSV twin of
+    scan_json_corrupt, same oracle discipline. Type errors (not just
+    syntax) trip the per-record malformed path: PERMISSIVE nulls the bad
+    field and captures the raw line; DROPMALFORMED drops the record."""
+    from pyspark.sql import types as T
+
+    out = dirty_csv_layout(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_mktsegment", T.StringType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    permissive = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(out)
+    )
+    perm = _ingest_mode_row(
+        permissive, "PERMISSIVE", "c_acctbal", F.col("_corrupt").isNotNull()
+    )
+    drop_schema = T.StructType(schema.fields[:3])
+    dropped = (
+        spark.read.schema(drop_schema).option("mode", "DROPMALFORMED").csv(out)
+    )
+    drop = _ingest_mode_row(dropped, "DROPMALFORMED", "c_acctbal", None)
+    return perm.unionByName(drop)

@@ -10,7 +10,7 @@ With these, all 22 canonical TPC-H shapes have a `sql_tpch_q*like` (or
 
 Every query is ANSI-portable text that runs verbatim on DuckDB as its own
 oracle (the sqlsurface.py discipline). Money arithmetic uses the repo's
-EXACT FIXED-POINT rule (CLAUDE.md / E17): `round(sum(double), 2)` is a
+EXACT FIXED-POINT rule (see SURVEY §2 E17): `round(sum(double), 2)` is a
 cross-engine half-tie hazard (Spark rounds through BigDecimal HALF_UP,
 DuckDB rounds the float — this module's first draft hit two real
 417321.125-style flips at sf0.01), so revenue terms are quantized PER ROW

@@ -26,6 +26,7 @@ _MODULES = [
     "sparkstreamingstateful_spark.operators.aggregation",
     "sparkstreamingstateful_spark.operators.windows",
     "sparkstreamingstateful_spark.operators.sortset",
+    "sparkstreamingstateful_spark.operators.dfstat",
     "sparkstreamingstateful_spark.operators.nested",
     "sparkstreamingstateful_spark.operators.sqlsurface",
     "sparkstreamingstateful_spark.operators.tpch",
@@ -62,15 +63,25 @@ def query(name: str, oracle: str | None = None):
 # Evidence-priority ordering. The correctness driver checks exactly the
 # FIRST 50 registered keys each round (count cap, measured r1/r2), so
 # iteration order is the lever that decides which keys get hard oracle
-# signal. Round-10 rotation (per VERDICT r9 item 2 — run the staged r10
-# window): (a) the FIFTEEN keys new this round (the VERDICT-item eight
-# plus the mid-round additions — exactly the ~15-key budget VERDICT r9
-# set so the r5 cohort still clears), then (b) the rows-only key plus
-# all 34 keys whose latest green still dates to ROUND 5 — the oldest
-# evidence in the union. That fills the window to exactly 50; the
-# r6/r7-evidence cohort that was staged third now leads the r11 window
-# below the line. After this window lands, max H-evidence age is r6.
+# signal. Round-12 window: (0) the 8 keys new this round, (a) the 26
+# keys that had NEVER been driver-checked (staged since r10; the r11
+# builder session did zero turns, so the r10 window was re-checked
+# verbatim in r11), (b) 16 of the displaced oldest-evidence (r6/r7)
+# cohort to fill 50. Everything below the line is ordered for the NEXT
+# rotation: remaining old-evidence keys first, the twice-checked
+# r10+r11 window last.
 _KEY_PRIORITY = [
+    # (0) Keys NEW in round 12 (VERDICT r11 items 3-6): dirty-ingest
+    # parser modes, mergeable quantile sketch, the df.stat surface,
+    # subword tokenization.
+    "scan_json_corrupt",
+    "scan_csv_malformed",
+    "agg_quantile_sketch",
+    "stat_crosstab",
+    "stat_sample_by",
+    "stat_approx_quantile",
+    "stat_freq_items",
+    "text_tokenize_subword",
     # (a) Round-12 rotation (VERDICT r11 item 1 — the #1 item for two
     # consecutive verdicts): the 26 keys that have NEVER been inside a
     # driver window (added after the r10 freeze; every one sim-verified
@@ -104,8 +115,10 @@ _KEY_PRIORITY = [
     "dq_profile",
     "agg_linear_regression",
     "events_autocorr_lag1",
-    # (b) 24 oldest-evidence keys (displaced r6/r7 cohort, staged here
-    # since the r10 rotation) fill the window to exactly 50.
+    # (b) oldest-evidence keys (displaced r6/r7 cohort, staged here
+    # since the r10 rotation) fill the window to exactly 50 (the 8 new
+    # round-12 keys above push this cohort's tail just below the line —
+    # it leads the next rotation).
     "sql_group_by_all",
     "join_left",
     "join_right",
@@ -122,6 +135,7 @@ _KEY_PRIORITY = [
     "stream_topk_per_window",
     "stateful_sessionize_tws",
     "agg_approx",
+    # --- 50-key boundary. Order below the line = next-rotation order:
     "text_edit_distance",
     "seq_packing",
     "pipeline_end_to_end",
@@ -130,7 +144,6 @@ _KEY_PRIORITY = [
     "write_roundtrip",
     "project_compute",
     "filter_basic",
-    # --- 50-key boundary. Order below the line = next-rotation order:
     # first the remaining r6/r7-evidence cohort, then the r8/r9-window
     # greens, then the r10+r11 window (freshest evidence — checked
     # byte-identically in BOTH of the last two rounds) at the bottom.

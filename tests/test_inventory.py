@@ -103,6 +103,20 @@ def test_survey_totals():
     )
     assert int(r) == len(QUERIES) - len(ORACLES)
 
+    # README.md and CLAUDE.md quote the same counts in prose — the r11
+    # verdict caught both still saying 208/207 two rounds after the
+    # registry hit 226; pin them here so the drift class can't recur.
+    for doc in ("README.md", "CLAUDE.md"):
+        dtext = Path(__file__).resolve().parent.parent.joinpath(doc).read_text()
+        m = re.search(r"(\d+) registered query keys \((\d+) ", dtext)
+        assert m, f"{doc} key-count line missing or reformatted"
+        assert int(m.group(1)) == len(QUERIES), (
+            f"{doc} says {m.group(1)} keys, registry has {len(QUERIES)}"
+        )
+        assert int(m.group(2)) == len(ORACLES), (
+            f"{doc} says {m.group(2)} checked, registry has {len(ORACLES)}"
+        )
+
 
 def test_sql_view_cache_tracks_dir_after_pipe_syntax(spark, duck):
     """ADVICE r6 regression: sql_pipe_syntax / sql_parameterized used to

@@ -189,3 +189,60 @@ def test_xml_roundtrip_special_chars(spark, tmp_path):
     # measured: the cycle is fully lossless — empty strings come back as
     # '' (not NULL), entities unescape exactly, doubles are bit-identical
     assert got == sorted(rows)
+
+
+def test_dirty_ingest_mode_contrast(spark):
+    """FAILFAST is the third parser mode (scan_json_corrupt /
+    scan_csv_malformed H-check the other two): it must ABORT on the first
+    malformed record, and the PERMISSIVE read must capture the raw
+    offending line in the corrupt-record column."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.sql import types as T
+
+    from sparkstreamingstateful_spark.operators import scans
+
+    out = scans.dirty_json_layout(spark, "/root/testdata/sf0.001")
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    with pytest.raises((Py4JJavaError, Exception)) as exc:
+        spark.read.schema(schema).option("mode", "FAILFAST").json(out).count()
+    assert "Malformed" in str(exc.value) or "FAILFAST" in str(exc.value)
+
+    # PERMISSIVE captures the raw line for quarantine/replay pipelines.
+    full = T.StructType(
+        schema.fields + [T.StructField("_corrupt", T.StringType())]
+    )
+    bad = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(out)
+        .filter(F.col("_corrupt").isNotNull())
+        .select("_corrupt", "o_orderkey")
+        .limit(5)
+        .collect()
+    )
+    assert bad and all(r._corrupt.startswith('{"o_orderkey{"trunc') for r in bad)
+    assert all(r.o_orderkey is None for r in bad)
+
+    # CSV FAILFAST aborts on the type-malformed field too.
+    out_csv = scans.dirty_csv_layout(spark, "/root/testdata/sf0.001")
+    csv_schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_mktsegment", T.StringType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+        ]
+    )
+    # NB: .count() alone would pass — CSV count() is answered without
+    # parsing any field (row-count pushdown), so FAILFAST only trips on an
+    # action that materializes the typed column.
+    with pytest.raises((Py4JJavaError, Exception)):
+        spark.read.schema(csv_schema).option("mode", "FAILFAST").csv(
+            out_csv
+        ).agg(F.sum("c_acctbal")).collect()
