@@ -152,6 +152,18 @@ SHOWCASE = [
     ("agg_mode", "deterministic mode (r10): two stacked partial+final "
      "hash aggs — the shuffle after level 1 carries distinct "
      "(group, value) pairs, never raw rows"),
+    ("agg_quantile_sketch", "mergeable quantile rollup (r12): per-shard "
+     "fixed-size grid agg, a 1024-row constant-size window (explicitly "
+     "NOT data-sized), and the exact-rank check as ONE broadcast "
+     "nested-loop over a 6-row probe panel — the fact table is scanned, "
+     "never shuffled"),
+    ("text_tokenize_subword", "subword tokenization (r12): the "
+     "interpreted-HOF greedy walk runs on the DISTINCT-word dictionary "
+     "only; occurrences re-join by word (dictionary encoding), vocab is "
+     "one partial+final hash agg over in-row-exploded substrings"),
+    ("scan_json_corrupt", "dirty ingest (r12): two text-source scans "
+     "(PERMISSIVE / DROPMALFORMED) each collapsing to a 1-row aggregate "
+     "— per-record error handling is task-local, no driver involvement"),
 ]
 
 
