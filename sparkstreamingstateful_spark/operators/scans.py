@@ -869,3 +869,161 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drop = _ingest_mode_row(dropped, "DROPMALFORMED", "c_acctbal", None)
     return perm.unionByName(drop)
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution & partition-overwrite surface (S6m/S6n): the two write-
+# side contracts every long-lived production dataset exercises — readers
+# that span schema versions, and idempotent partition-level reloads.
+# ---------------------------------------------------------------------------
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _conf_guard(spark: SparkSession, key: str, value: str):
+    """Set a session conf for the duration of a write, restoring the prior
+    value (or unsetting) afterwards — a leaked overwrite mode would
+    silently change every later writer's semantics in this session."""
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+_EVOLVE_SPLIT_MOD = 3  # o_orderkey % 3: rows 0/1 -> v1 drop, row 2 -> v2 drop
+
+
+def evolved_parquet_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Two parquet drops of orders under one directory with EVOLVED
+    schemas: v1 (key, status, price) then v2 adding o_orderpriority —
+    the additive-column evolution every long-lived dataset accretes.
+    Split is deterministic on the key; content-fingerprint cached."""
+    tag = _dir_tag(sf_dir, "orders")
+    out = os.path.join(tempfile.gettempdir(), f"sss_evolved_orders_{tag}")
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        o = load_table(spark, sf_dir, "orders")
+        v1 = o.filter(F.col("o_orderkey") % _EVOLVE_SPLIT_MOD < 2).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        v2 = o.filter(F.col("o_orderkey") % _EVOLVE_SPLIT_MOD == 2).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+        )
+        v1.write.mode("overwrite").parquet(os.path.join(out, "v1"))
+        v2.write.mode("overwrite").parquet(os.path.join(out, "v2"))
+        open(os.path.join(out, "_DONE"), "w").write("ok")
+    return out
+
+
+@query(
+    "scan_parquet_merge_schema",
+    oracle=f"""
+    SELECT o_orderstatus,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN o_orderkey % {_EVOLVE_SPLIT_MOD} = 2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_with_priority,
+           CAST(sum(CASE WHEN o_orderkey % {_EVOLVE_SPLIT_MOD} = 2
+                           AND o_orderpriority = '1-URGENT'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS total_c
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def scan_parquet_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read (S6m): ``mergeSchema=true`` over two parquet
+    drops where the newer drop added a column — the reader must union the
+    schemas and surface NULL for the column's pre-evolution rows. The
+    oracle recomputes the merged view from the source via the split rule,
+    so the H-check pins (a) no rows lost across versions, (b) the evolved
+    column populated EXACTLY on post-evolution rows, (c) values intact
+    (exact-cents total).
+
+    Scale: schema merge reads ALL file footers when asked to (an O(files)
+    planning cost — that is why it is opt-in and why this read pins an
+    explicit two-version layout rather than defaulting mergeSchema on);
+    the data scan itself is ordinary columnar pruning either way."""
+    out = evolved_parquet_layout(spark, sf_dir)
+    merged = spark.read.option("mergeSchema", True).option(
+        "recursiveFileLookup", False
+    ).parquet(os.path.join(out, "v1"), os.path.join(out, "v2"))
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("o_orderpriority").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_with_priority"),
+        F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_urgent"),
+        F.sum(cents).cast("bigint").alias("total_c"),
+    )
+
+
+def dpo_sink_path(sf_dir: str) -> str:
+    """write_dynamic_partition_overwrite's sink dir — marker-cached for
+    the correctness gate, listed in streaming.queries.sink_cache_paths so
+    bench.py times the real two-phase write, not a cached re-read."""
+    tag = _dir_tag(sf_dir, "orders")
+    return os.path.join(tempfile.gettempdir(), f"sss_dpo_orders_{tag}")
+
+
+@query(
+    "write_dynamic_partition_overwrite",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN o_orderstatus = 'P'
+                         THEN CAST(round(o_totalprice * 100) AS BIGINT) * 2
+                         ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+                    END) AS BIGINT) AS total_c
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def write_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite (S6n): ``partitionOverwriteMode=dynamic``
+    — overwrite mode replaces ONLY the partitions present in the incoming
+    frame, the idempotent partition-level reload every nightly reprocess
+    depends on (STATIC mode would truncate the whole table first; one
+    late partition re-run would silently drop every other partition).
+    The key writes orders partitioned by status, then overwrites JUST the
+    'P' partition with doubled cents values; the read-back must show 'P'
+    rows carrying 2× cents while 'F'/'O' survive untouched at 1× — a
+    static-mode regression empties them and fails the row counts.
+
+    Scale: partition-level overwrite is the unit of idempotent reload at
+    100 TB (rewrite one day/status directory, never the table); the
+    doubled-partition trick makes torn/leaked state numerically visible
+    rather than count-only."""
+    out = dpo_sink_path(sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        base = o.select("o_orderkey", cents.alias("cents"), "o_orderstatus")
+        base.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+        patch = (
+            o.filter(F.col("o_orderstatus") == "P")
+            .select(
+                "o_orderkey",
+                (cents * 2).alias("cents"),
+                "o_orderstatus",
+            )
+        )
+        with _conf_guard(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
+            patch.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+        open(os.path.join(out, "_DONE"), "w").write("ok")
+    back = spark.read.parquet(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("total_c"),
+    )
