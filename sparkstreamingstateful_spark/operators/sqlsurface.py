@@ -13,6 +13,7 @@ from __future__ import annotations
 import weakref
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import register_views
 from ..registry import query
@@ -612,3 +613,77 @@ sql_pivot_clause = _sql_query(
     GROUP BY l_linestatus
     """,
 )
+
+
+@query(
+    "sql_ctas_insert",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ctas,
+           CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_inserted,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS total_c
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def sql_ctas_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL DDL/DML surface (Q37): CREATE TABLE ... USING PARQUET AS
+    SELECT (CTAS) followed by INSERT INTO ... SELECT (append) — the two
+    statements every SQL-first pipeline materializes intermediate tables
+    with. The table lands half of orders via CTAS (even keys, tagged
+    'ctas') and the other half via INSERT (odd keys, tagged 'ins'); the
+    read-back aggregate pins (a) both halves present exactly once —
+    a re-run INSERT would double n_inserted, a CTAS-over-existing would
+    error, (b) values intact (exact-cents totals). Idempotent per
+    session via tableExists (the join_bucketed_colocated device); a new
+    session rebuilds from scratch — the writes ARE the operator.
+
+    Scale: CTAS/INSERT are ordinary distributed writes (one narrow scan
+    each, no shuffle); the catalog entry is metadata-only."""
+    import os
+    import shutil
+    import tempfile
+
+    from .scans import _dir_tag
+
+    _views(spark, sf_dir)
+    tag = _dir_tag(sf_dir, "orders").replace(".", "_")
+    name = f"sss_ctas_orders_{tag}"
+    if not spark.catalog.tableExists(name):
+        loc = os.path.join(tempfile.gettempdir(), f"sss_ctas_{tag}")
+        shutil.rmtree(loc, ignore_errors=True)
+        spark.sql(
+            f"""
+            CREATE TABLE {name}
+            USING PARQUET
+            LOCATION '{loc}'
+            AS SELECT o_orderkey, o_orderstatus,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                      'ctas' AS src
+               FROM orders WHERE o_orderkey % 2 = 0
+            """
+        )
+        spark.sql(
+            f"""
+            INSERT INTO {name}
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   'ins' AS src
+            FROM orders WHERE o_orderkey % 2 = 1
+            """
+        )
+    t = spark.table(name)
+    return t.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("src") == "ctas", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ctas"),
+        F.sum(F.when(F.col("src") == "ins", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_inserted"),
+        F.sum("cents").cast("bigint").alias("total_c"),
+    )
