@@ -304,3 +304,66 @@ def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keep.doc_id").alias("keeper_id"),
         F.col("keep.source").alias("keeper_src"),
     )
+
+
+# ------------------------------------------------- temperature-scaled mixing
+_MIX_TAU_NOTE = "tau = 0.5 (sqrt)"  # the common multilingual up-sampling knob
+
+
+@query(
+    "corpus_mix_temperature",
+    oracle="""
+    WITH per_source AS (
+        SELECT source,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents
+        GROUP BY source
+    ),
+    scored AS (
+        SELECT source, n_tokens,
+               CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)
+                               / (SELECT sum(n_tokens) FROM per_source))
+                          * 1000000000) AS BIGINT) AS num9
+        FROM per_source
+    )
+    SELECT source, n_tokens,
+           num9 / (SELECT sum(num9) FROM scored) AS weight
+    FROM scored
+    """,
+)
+def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-MIXING weights (the stage between curation and training): the
+    temperature-scaled sampling distribution p_i ∝ share_i^τ with τ=0.5
+    — the standard multilingual/multi-domain recipe that up-samples
+    small sources without letting any source dominate (τ=1 is
+    proportional, τ=0 uniform). Per-source token counts are exact
+    integers; share_i is ONE exact-integer division; sqrt is IEEE
+    correctly-rounded on both engines (the E22 precedent) — and because
+    a SUM of per-source sqrt DOUBLES would be summation-order-dependent
+    (Spark's partials vs DuckDB's scan disagree in the last ulp), each
+    sqrt is floor-quantized to 1e-9 BIGINT units FIRST, so the
+    normalizer is an exact integer sum and the final weight is one
+    deterministic division. A probability-zero hazard remains only if a
+    sqrt lands within an ulp of a 1e-9 grid line (continuous values).
+
+    Scale: one hash agg on source (map-side combinable) + two broadcast
+    one-row totals; the weight table is dimension-sized output that
+    drives the subsequent sampler — never a data shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("n_tokens")
+    )
+    total = per_source.agg(F.sum("n_tokens").alias("tot"))
+    scored = per_source.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_tokens",
+        F.floor(
+            F.sqrt(F.col("n_tokens").cast("double") / F.col("tot")) * 1_000_000_000
+        )
+        .cast("bigint")
+        .alias("num9"),
+    )
+    denom = scored.agg(F.sum("num9").alias("den9"))
+    return scored.crossJoin(F.broadcast(denom)).select(
+        "source", "n_tokens", (F.col("num9") / F.col("den9")).alias("weight")
+    )

@@ -184,3 +184,72 @@ def test_connected_components_matches_union_find(spark, edges):
     nodes = {n for e in edges for n in e}
     want = {(n, find(n)) for n in nodes}
     assert got == want
+
+
+_WORDS = st.lists(
+    st.text(alphabet="abcde", min_size=1, max_size=10),
+    min_size=1,
+    max_size=25,
+)
+_VOCAB = st.sets(
+    st.text(alphabet="abcde", min_size=2, max_size=4), min_size=0, max_size=12
+)
+
+
+@given(words=_WORDS, vocab=_VOCAB)
+@_SETTINGS
+def test_subword_greedy_walk_matches_python(spark, words, vocab):
+    """text_tokenize_subword's in-row F.aggregate state machine must
+    equal a trivial Python greedy longest-match for ARBITRARY words and
+    vocabularies — boundary guards (pieces may not overrun the word),
+    the 4>3>2 longest-match order, and the single-char UNK fallback are
+    exactly the places an off-by-one would hide."""
+
+    def greedy(word: str) -> tuple[int, int]:
+        pos, np_, nu = 0, 0, 0
+        while pos < len(word):
+            for length in (4, 3, 2):
+                if word[pos : pos + length] in vocab and pos + length <= len(word):
+                    pos += length
+                    np_ += 1
+                    break
+            else:
+                pos += 1
+                np_ += 1
+                nu += 1
+        return np_, nu
+
+    df = spark.createDataFrame([(w,) for w in set(words)], "word string").withColumn(
+        "vb", F.array(*[F.lit(v) for v in sorted(vocab)])
+    )
+
+    def _step(acc, i):
+        wlen = F.length(F.col("word"))
+        m4 = (wlen - i >= 3) & F.array_contains(F.col("vb"), F.col("word").substr(i, F.lit(4)))
+        m3 = (wlen - i >= 2) & F.array_contains(F.col("vb"), F.col("word").substr(i, F.lit(3)))
+        m2 = (wlen - i >= 1) & F.array_contains(F.col("vb"), F.col("word").substr(i, F.lit(2)))
+        adv = F.when(m4, F.lit(4)).when(m3, F.lit(3)).when(m2, F.lit(2)).otherwise(F.lit(1))
+        unk = F.when(m4 | m3 | m2, F.lit(0)).otherwise(F.lit(1))
+        return F.when(i != acc["pos"], acc).otherwise(
+            F.struct(
+                (acc["pos"] + adv).alias("pos"),
+                (acc["np"] + 1).alias("np"),
+                (acc["nu"] + unk).alias("nu"),
+            )
+        )
+
+    if not vocab:
+        # F.array() with zero elements is array<void>; array_contains
+        # against it is a type error — the empty-vocab walk is all UNKs.
+        got = {w: (len(w), len(w)) for w in set(words)}
+    else:
+        fin = F.aggregate(
+            F.sequence(F.lit(1), F.length("word")),
+            F.struct(F.lit(1).alias("pos"), F.lit(0).alias("np"), F.lit(0).alias("nu")),
+            _step,
+        )
+        got = {
+            r["word"]: (r["np"], r["nu"])
+            for r in df.select("word", fin["np"].alias("np"), fin["nu"].alias("nu")).collect()
+        }
+    assert got == {w: greedy(w) for w in set(words)}
