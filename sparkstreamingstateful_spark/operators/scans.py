@@ -1027,3 +1027,86 @@ def write_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataF
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum("cents").cast("bigint").alias("total_c"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction (S6o): the data-lake maintenance job. Streaming
+# ingest and over-parallel writers leave thousands of KB-sized files per
+# partition; every later scan then pays a per-file open/footer/seek cost
+# that dwarfs the data read (at 100 TB the NameNode/listing cost alone can
+# dominate). The compactor rewrites a fragmented directory into
+# target-sized files WITHOUT a shuffle — coalesce() merges existing
+# partitions in place — and the H-check proves the rewrite is lossless.
+# ---------------------------------------------------------------------------
+
+_FRAG_FILES = 64          # deliberately fragmented input layout
+_COMPACT_TARGET_BYTES = 4 * 1024 * 1024
+
+
+def fragmented_lineitem_layout(spark: SparkSession, sf_dir: str) -> str:
+    """lineitem written once as an over-fragmented directory (64 files
+    regardless of size) — the 'after a month of micro-batches' state."""
+    tag = _dir_tag(sf_dir, "lineitem")
+    out = os.path.join(tempfile.gettempdir(), f"sss_frag_lineitem_{tag}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_returnflag", "l_extendedprice"
+        )
+        li.repartition(_FRAG_FILES).write.mode("overwrite").parquet(out)
+    return out
+
+
+def compact_sink_path(sf_dir: str) -> str:
+    """maintenance_compact_files' sink dir — marker-cached for the
+    correctness gate, listed in sink_cache_paths so bench times the real
+    compaction write."""
+    tag = _dir_tag(sf_dir, "lineitem")
+    return os.path.join(tempfile.gettempdir(), f"sss_compact_lineitem_{tag}")
+
+
+@query(
+    "maintenance_compact_files",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS total_c
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def maintenance_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file COMPACTION (S6o): read the 64-file fragmented layout,
+    size the output from the actual on-disk bytes (file-count planning
+    metadata — a driver-side listing, exactly what any compactor does at
+    plan time), and rewrite with ``coalesce(n)`` — partition MERGE, no
+    shuffle: each output task concatenates existing partitions, so the
+    rewrite moves every byte exactly once. The read-back aggregate must
+    match the source table (losslessness is the contract a compactor
+    must prove); the file-count/size claims are pinned in
+    tests/test_sources.py::test_compaction_reduces_files.
+
+    Scale: at 100 TB compaction runs per-partition-directory with the
+    same shape (list → size → coalesce-write); the alternative
+    ``repartition(n)`` would shuffle the whole dataset to rebalance —
+    only worth it under severe skew, which listing detects first."""
+    frag = fragmented_lineitem_layout(spark, sf_dir)
+    out = compact_sink_path(sf_dir)
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        total = sum(
+            os.path.getsize(os.path.join(frag, f))
+            for f in os.listdir(frag)
+            if f.endswith(".parquet")
+        )
+        n_out = max(1, -(-total // _COMPACT_TARGET_BYTES))  # ceil div
+        spark.read.parquet(frag).coalesce(int(n_out)).write.mode(
+            "overwrite"
+        ).parquet(out)
+        open(os.path.join(out, "_DONE"), "w").write("ok")
+    back = spark.read.parquet(out)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("total_c"),
+    )

@@ -1290,7 +1290,11 @@ def sink_cache_paths(sf_dir: str) -> list[str]:
     expensive stream runs; a BENCHMARK timing a marker-cached key would
     measure a no-op re-read instead of the sink (the exact weakness
     VERDICT r6 flagged), so bench.py deletes these before its loop."""
-    from ..operators.scans import dpo_sink_path, jsonl_sink_path
+    from ..operators.scans import (
+        compact_sink_path,
+        dpo_sink_path,
+        jsonl_sink_path,
+    )
 
     return [
         jsonl_sink_path(sf_dir),
@@ -1298,6 +1302,7 @@ def sink_cache_paths(sf_dir: str) -> list[str]:
         totable_sink_cache(sf_dir)[1],
         foreach_sink_path(sf_dir),
         dpo_sink_path(sf_dir),
+        compact_sink_path(sf_dir),
     ]
 
 

@@ -272,3 +272,33 @@ def test_partition_overwrite_mode_contrast(spark, tmp_path):
         patch.write.mode("overwrite").partitionBy("p").parquet(out)
     got = {(r.v, r.p) for r in spark.read.parquet(out).collect()}
     assert got == {(99, "a")}, got  # static truncated b and c
+
+
+def test_compaction_reduces_files(spark):
+    """maintenance_compact_files' layout claim: the fragmented input has
+    64 parquet files; the compacted output has at most ceil(bytes/4MiB)
+    (and at least 1), each carrying the full row set between them."""
+    import os
+
+    from sparkstreamingstateful_spark.operators import scans
+    from sparkstreamingstateful_spark.registry import collect
+
+    sf = "/root/testdata/sf0.01"
+    queries, _ = collect()
+    queries["maintenance_compact_files"](spark, sf).count()  # build both dirs
+
+    frag = scans.fragmented_lineitem_layout(spark, sf)
+    out = scans.compact_sink_path(sf)
+    n_frag = sum(f.endswith(".parquet") for f in os.listdir(frag))
+    n_out = sum(f.endswith(".parquet") for f in os.listdir(out))
+    total = sum(
+        os.path.getsize(os.path.join(frag, f))
+        for f in os.listdir(frag)
+        if f.endswith(".parquet")
+    )
+    expect_max = max(1, -(-total // scans._COMPACT_TARGET_BYTES))
+    assert n_frag == scans._FRAG_FILES
+    assert 1 <= n_out <= expect_max
+    assert n_out < n_frag  # the point of the exercise
+    n_src = spark.read.parquet(frag).count()
+    assert spark.read.parquet(out).count() == n_src
