@@ -444,3 +444,47 @@ def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", stop_stats("text").alias("s")
     ).select("doc_id", "s.n_stop", "s.n_tok")
 
+
+
+@query(
+    "udtf_arrow",
+    oracle="""
+    SELECT lang, trigram, count(*) AS n
+    FROM (SELECT lang,
+                 unnest(list_transform(range(1, len(l) - 1),
+                                       i -> l[i] || ' ' || l[i + 1]
+                                            || ' ' || l[i + 2])) AS trigram
+          FROM (SELECT lang, string_split(text, ' ') AS l FROM documents))
+    GROUP BY lang, trigram
+    """,
+)
+def udtf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARROW-optimized Python UDTF (U12, `useArrow=True`): the same
+    one-row-in/many-out surface as udtf_python but with rows crossing the
+    JVM↔Python boundary as Arrow batches instead of pickled rows — the
+    serialization path that makes a generator UDTF viable on a wide
+    corpus (pickled-row UDTFs pay per-row overhead; Arrow amortizes per
+    batch, the U3/U5 story applied to table functions). Emits (lang,
+    trigram) pairs — a second output column and a pass-through grouping
+    column so the H-check covers multi-column Arrow UDTF output, not
+    just the bigram shape re-serialized."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="lang: string, trigram: string", useArrow=True)
+    class Trigrams:
+        def eval(self, lang: str, text: str):
+            toks = text.split(" ")
+            for a, b, c in zip(toks, toks[1:], toks[2:]):
+                yield (lang, f"{a} {b} {c}")
+
+    spark.udtf.register("sss_trigrams_arrow", Trigrams)
+    d = load_table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("udtf_arrow_documents")
+    return spark.sql(
+        """
+        SELECT t.lang, t.trigram, count(*) AS n
+        FROM udtf_arrow_documents,
+             LATERAL sss_trigrams_arrow(lang, text) t
+        GROUP BY t.lang, t.trigram
+        """
+    )

@@ -63,7 +63,7 @@ def query(name: str, oracle: str | None = None):
 # Evidence-priority ordering. The correctness driver checks exactly the
 # FIRST 50 registered keys each round (count cap, measured r1/r2), so
 # iteration order is the lever that decides which keys get hard oracle
-# signal. Round-12 window: (0) the 13 keys new this round, (a) the 26
+# signal. Round-12 window: (0) the 14 keys new this round, (a) the 26
 # keys that had NEVER been driver-checked (staged since r10; the r11
 # builder session did zero turns, so the r10 window was re-checked
 # verbatim in r11), (b) 16 of the displaced oldest-evidence (r6/r7)
@@ -73,12 +73,13 @@ def query(name: str, oracle: str | None = None):
 _KEY_PRIORITY = [
     # (0) Keys NEW in round 12 (VERDICT r11 items 3-6, plus the
     # write-side production contracts and the data-mixing stage):
-    # dirty-ingest parser modes, small-file compaction, temperature
-    # mixing, SQL CTAS/INSERT,
+    # dirty-ingest parser modes, Arrow UDTF, small-file compaction,
+    # temperature mixing, SQL CTAS/INSERT,
     # parquet schema-evolution read, dynamic partition overwrite,
     # mergeable quantile sketch, the df.stat surface, subword
     # tokenization.
     "scan_json_corrupt",
+    "udtf_arrow",
     "maintenance_compact_files",
     "corpus_mix_temperature",
     "sql_ctas_insert",
@@ -125,7 +126,7 @@ _KEY_PRIORITY = [
     "agg_linear_regression",
     "events_autocorr_lag1",
     # (b) oldest-evidence keys (displaced r6/r7 cohort, staged here
-    # since the r10 rotation) fill the window to exactly 50 (the 13 new
+    # since the r10 rotation) fill the window to exactly 50 (the 14 new
     # round-12 keys above push this cohort's tail just below the line —
     # it leads the next rotation).
     "sql_group_by_all",
@@ -138,8 +139,8 @@ _KEY_PRIORITY = [
     "scan_orc",
     "scan_python_datasource",
     "udaf_applyInArrow",
-    "stream_stream_join_left",
     # --- 50-key boundary. Order below the line = next-rotation order:
+    "stream_stream_join_left",
     "stream_dedup_watermarked",
     "stream_window_chained",
     "stream_topk_per_window",
