@@ -149,6 +149,28 @@ PROBES = [
     ("dedup_passage", "documents"),
     ("text_repetition_ngram", "documents"),
     ("text_gopher_quality", "documents"),
+    # r13 (VERDICT r12 item 7 + the round's new keys): the SECOND
+    # expensive TWS key — MapState profile; its cost model is state-
+    # server round-trips per (key, batch), so t must track the ×K user
+    # count, not rows/user (same contract as stateful_sessionize_tws:
+    # one streamed iterator() read + one updateValue per event type
+    # present per key-batch — the stated per-key-batch call budget).
+    ("stateful_profile_tws", "events(stream)"),
+    # PageRank: within-replica pair graphs replicate disjointly (the
+    # suffixed-token construction), so edges ×K, nodes ×K, iterations
+    # FIXED at 15 — t must track ≈K (edge-list joins), never K².
+    ("graph_pagerank_lsh", "documents"),
+    # ANN recall: the 10-probe panel is fixed; corpus ×K grows both the
+    # exact linear scan and the IVF cells ×K. Output constant 10 rows;
+    # the CLAIM under probe is recall STABILITY — the probes live in
+    # replica 0 and rotations keep cross-replica cosines ≈N(0,1/dim),
+    # far below replica-0 neighbor sims, so top-10 sets stay intact.
+    ("embed_ann_recall", "embeddings"),
+    # foreachBatch MERGE: 3 micro-batches at every K (chunk-count
+    # contract), each batch's arg-max + copy-on-write rewrite scans ×K
+    # rows/users — t should grow sub-linearly (per-batch fixed cost
+    # amortizes) and the versioned-table row count tracks users ×K.
+    ("stream_merge_to_table", "events(stream)"),
 ]
 
 # keys whose first run at a given dir includes a ONE-TIME source-layout
@@ -376,6 +398,16 @@ def main() -> None:
                 queries[base](spark, d).count()
             elif base == "write_python_datasource":
                 _clear_sink_cache(d)
+            elif base == "stream_merge_to_table":
+                # the stream+merge IS the operator — never time a
+                # completion-marker cache hit (same rule as bench.py)
+                import shutil
+
+                from sparkstreamingstateful_spark.streaming.queries import (
+                    merge_table_path,
+                )
+
+                shutil.rmtree(merge_table_path(d), ignore_errors=True)
             t0 = time.perf_counter()
             df = queries[base](spark, d)
             n = df.count()

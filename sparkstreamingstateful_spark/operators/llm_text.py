@@ -1073,6 +1073,134 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- PageRank
+# Fixed-point PageRank constants: ranks are integers scaled by 10^12, the
+# damped update is r' = (S*15)//100 + (85 * Σ_in r//deg)//100 — ALL integer
+# ops (floor-div on positives agrees between Spark `div` and DuckDB `//`),
+# so 15 iterations are bit-exact across engines with zero float drift (the
+# E17 quantization discipline applied to an iterative algorithm).
+_PR_SCALE = 1_000_000_000_000
+_PR_ITERS = 15
+_PR_TELEPORT = (_PR_SCALE * 15) // 100
+
+
+@query(
+    "graph_pagerank_lsh",
+    oracle=f"""
+    WITH RECURSIVE
+    -- MATERIALIZED: a CTE referenced from a recursive term is otherwise
+    -- re-evaluated EVERY iteration — 15 replays of the shingle self-join
+    -- took 66 s at sf0.001; materialized, the whole oracle runs in 2 s.
+    edges AS MATERIALIZED ({_EDGES_SQL}),
+    sym AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM edges
+            UNION SELECT b_id, a_id FROM edges),
+    deg AS MATERIALIZED (SELECT src AS node, count(*) AS d FROM sym GROUP BY src),
+    pr(it, node, r) AS (
+        SELECT 0, node, CAST({_PR_SCALE} AS BIGINT) FROM deg
+        UNION ALL
+        SELECT p.it + 1, e.dst,
+               CAST({_PR_TELEPORT} + (85 * sum(p.r // d1.d)) // 100
+                    AS BIGINT)
+        FROM pr p
+        JOIN deg d1 ON d1.node = p.node
+        JOIN sym e ON e.src = p.node
+        WHERE p.it < {_PR_ITERS}
+        GROUP BY p.it, e.dst
+    )
+    SELECT node, r AS pr_fixed,
+           round(CAST(r AS DOUBLE) / CAST({_PR_SCALE} AS DOUBLE), 6) AS pr
+    FROM pr WHERE it = {_PR_ITERS}
+    """,
+)
+def graph_pagerank_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank over the near-dup similarity graph (T11) — the
+    iterative-graph surface beyond connected components: rank documents
+    by duplication centrality (hub documents that many near-dups orbit
+    score high; the standard signal for picking a cluster's canonical
+    representative or down-weighting template spam). Graph = the LSH
+    pair graph symmetrized (same edges as dedup_cluster_cc); fixed
+    15 damped iterations (d=0.85) in EXACT FIXED-POINT arithmetic —
+    ranks are 10^12-scaled integers, every update is integer
+    multiply/floor-div, so the oracle's recursive-CTE replay of the same
+    iterations hash-matches bit-for-bit (float PageRank would drift
+    across engines through summation order). Un-normalized teleport
+    (S*0.15 per node, not divided by N) — rank ORDER and ratios match
+    textbook PageRank up to the constant factor, and the fixed point
+    stays integer-exact.
+
+    Spark side: one join + sum-agg per iteration over the (tiny) edge
+    list, ``localCheckpoint`` truncating lineage each round (the T7
+    discipline — 15 chained shuffles would otherwise nest 15 plans
+    deep). At 100 TB the pair graph is the LSH output — near-dup pairs
+    only, orders of magnitude smaller than the corpus — so per-iteration
+    cost is a join on the duplicate subgraph, not a corpus scan."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
+    sym = (
+        pairs.union(
+            pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+        )
+        .select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        # materialize ONCE (same reason as dedup_cluster_cc: the edge
+        # list comes from the whole MinHash+LSH pipeline)
+        .localCheckpoint()
+    )
+    ranks = pagerank_fixed_point(spark, sym)
+    return ranks.select(
+        "node",
+        F.col("r").alias("pr_fixed"),
+        F.round(F.col("r").cast("double") / F.lit(float(_PR_SCALE)), 6).alias("pr"),
+    )
+
+
+def pagerank_fixed_point(
+    spark: SparkSession, sym: DataFrame, iters: int = _PR_ITERS
+) -> DataFrame:
+    """Integer fixed-point damped PageRank over a symmetric edge list
+    ``(src, dst)`` → ``(node, r)`` with r the 10^12-scaled rank after
+    ``iters`` rounds (see graph_pagerank_lsh). Separated so tests can
+    pin hand-computed fixed points on known graphs."""
+    deg = (
+        sym.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .select(F.col("src").alias("node"), "d")
+        .localCheckpoint()
+    )
+    ranks = deg.select("node").withColumn(
+        "r", F.lit(_PR_SCALE).cast("bigint")
+    ).localCheckpoint()
+    # Size the iteration shuffles to the EDGE LIST, not the session-wide
+    # default (32): each round's join+agg is eagerly materialized by
+    # localCheckpoint, and 15 rounds × 2 shuffles × 32 mostly-empty
+    # tasks is pure scheduler overhead on a near-dup graph orders of
+    # magnitude smaller than the corpus. At real scale this constant is
+    # sized to the pair-graph volume the LSH stage reports, exactly
+    # like any iterative-graph job.
+    from .scans import _conf_guard
+
+    with _conf_guard(spark, "spark.sql.shuffle.partitions", "2"):
+        for _ in range(iters):
+            contrib = ranks.join(deg, "node").select(
+                F.col("node").alias("src_node"), F.expr("r div d").alias("c")
+            )
+            inflow = (
+                sym.join(contrib, sym.src == F.col("src_node"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("infl"))
+            )
+            # symmetric graph ⇒ every node has an in-edge; join is total
+            ranks = (
+                inflow.select(
+                    F.col("dst").alias("node"),
+                    (
+                        F.lit(_PR_TELEPORT).cast("bigint")
+                        + F.expr("(85 * infl) div 100")
+                    ).cast("bigint").alias("r"),
+                )
+                .localCheckpoint()
+            )
+    return ranks
+
+
 # ------------------------------------------------------------ unigram LM score
 @query(
     "text_unigram_logprob",

@@ -397,21 +397,13 @@ _IVF_ORACLE = f"""
 """
 
 
-@query("embed_ann_ivf", oracle=_IVF_ORACLE)
-def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style approximate top-k: coarse-quantize the corpus into cells
-    (the per-label centroids serve as the trained codebook), assign each
-    probe to its nearest cell, then search only that cell.
-
-    This is the 100 TB ANN shape: centroid assignment is a broadcast
-    (codebook is tiny), cell search is an equi-join on cell_id — candidate
-    set shrinks by the cell fan-out vs the brute-force scan. The oracle
-    replays the whole IVF pipeline in SQL (centroid averages differ by
-    ~1 ulp between engines — cell argmax would only flip on a near-exact
-    tie, and output similarities are computed probe·corpus, engine-exact);
-    tests additionally pin cell-restricted exactness vs numpy.
-    """
-    e = load_table(spark, sf_dir, "embeddings")
+def _ivf_shortlist(e: DataFrame, k: int) -> DataFrame:
+    """The IVF approximate top-k plan over an (vec_id, label, embedding)
+    corpus: per-label centroids as the trained codebook, broadcast cell
+    assignment for the probe panel, cell-restricted search, per-probe
+    top-k. Returns (probe_id, neighbor_id, cos_sim, rank) with
+    ``rank <= k`` — shared by embed_ann_ivf (k=5) and the recall
+    contract embed_ann_recall (k=10 vs exact top-10)."""
     centroids = (
         e.select("label", F.posexplode(_dvec("embedding")).alias("pos", "x"))
         .groupBy("label", "pos")
@@ -451,8 +443,149 @@ def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
     return (
         sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("probe_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+@query("embed_ann_ivf", oracle=_IVF_ORACLE)
+def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize the corpus into cells
+    (the per-label centroids serve as the trained codebook), assign each
+    probe to its nearest cell, then search only that cell.
+
+    This is the 100 TB ANN shape: centroid assignment is a broadcast
+    (codebook is tiny), cell search is an equi-join on cell_id — candidate
+    set shrinks by the cell fan-out vs the brute-force scan. The oracle
+    replays the whole IVF pipeline in SQL (centroid averages differ by
+    ~1 ulp between engines — cell argmax would only flip on a near-exact
+    tie, and output similarities are computed probe·corpus, engine-exact);
+    tests additionally pin cell-restricted exactness vs numpy.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    sl = _ivf_shortlist(e, 5)
+    return sl.select(
+        "probe_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    )
+
+
+_ANN_RECALL_ORACLE = f"""
+    WITH dvecs AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    centroids AS (
+        SELECT label AS cell, list(avg_x ORDER BY pos) AS centroid
+        FROM (SELECT label, pos, avg(x) AS avg_x
+              FROM (SELECT label,
+                           unnest(range(1, len(v) + 1)) AS pos,
+                           unnest(v) AS x
+                    FROM dvecs)
+              GROUP BY label, pos)
+        GROUP BY label
+    ),
+    probes AS (SELECT vec_id AS probe_id, v AS p_v
+               FROM dvecs WHERE vec_id IN ({_PROBES_SQL})),
+    probe_cells AS (
+        SELECT probe_id, p_v, cell
+        FROM (SELECT p.probe_id, p.p_v, c.cell,
+                     row_number() OVER (
+                         PARTITION BY p.probe_id
+                         ORDER BY list_dot_product(p.p_v, c.centroid)
+                                  / (sqrt(list_dot_product(p.p_v, p.p_v))
+                                     * sqrt(list_dot_product(c.centroid, c.centroid)))
+                                  DESC, c.cell) AS rn
+              FROM probes p CROSS JOIN centroids c)
+        WHERE rn = 1
+    ),
+    ivf AS (
+        SELECT probe_id, neighbor_id
+        FROM (SELECT pc.probe_id, e.vec_id AS neighbor_id,
+                     row_number() OVER (
+                         PARTITION BY pc.probe_id
+                         ORDER BY list_dot_product(pc.p_v, e.v)
+                                  / (sqrt(list_dot_product(pc.p_v, pc.p_v))
+                                     * sqrt(list_dot_product(e.v, e.v)))
+                                  DESC, e.vec_id) AS rank
+              FROM probe_cells pc
+              JOIN dvecs e ON e.label = pc.cell AND e.vec_id <> pc.probe_id)
+        WHERE rank <= 10
+    ),
+    exact AS (
+        SELECT probe_id, neighbor_id
+        FROM (SELECT p.probe_id, e.vec_id AS neighbor_id,
+                     row_number() OVER (
+                         PARTITION BY p.probe_id
+                         ORDER BY list_dot_product(p.p_v, e.v)
+                                  / (sqrt(list_dot_product(p.p_v, p.p_v))
+                                     * sqrt(list_dot_product(e.v, e.v)))
+                                  DESC, e.vec_id) AS rank
+              FROM probes p CROSS JOIN dvecs e
+              WHERE e.vec_id <> p.probe_id)
+        WHERE rank <= 10
+    )
+    SELECT x.probe_id,
+           count(*) AS n_exact,
+           CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(count(i.neighbor_id) AS DOUBLE) / count(*) AS recall,
+           (CAST(count(i.neighbor_id) AS DOUBLE) / count(*))
+               >= CAST(0.9 AS DOUBLE) AS recall_ok
+    FROM exact x
+    LEFT JOIN ivf i ON i.probe_id = x.probe_id
+                   AND i.neighbor_id = x.neighbor_id
+    GROUP BY x.probe_id
+"""
+
+
+@query("embed_ann_recall", oracle=_ANN_RECALL_ORACLE)
+def embed_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality contract: recall@10 of the IVF shortlist against the
+    exact brute-force top-10 for the same probe panel — the metric every
+    real ANN deployment pins before trusting the index (the agg_approx /
+    A14 bound-the-sketch pattern applied to similarity search). Per
+    probe: ``n_hits`` = |IVF∩exact|, ``recall = n_hits/n_exact``, and a
+    ``recall >= 0.9`` flag. The oracle replays BOTH pipelines in SQL, so
+    the hash pins the recall arithmetic end-to-end (set intersection via
+    LEFT JOIN + count of matches), not just the shortlist membership
+    that embed_ann_ivf already covers.
+
+    Scale: exact side is probe-panel×corpus (broadcast panel, one linear
+    scan — the measurement harness, run on a sample at 100 TB); IVF side
+    is the production equi-join path. Recall join is per-probe tiny."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id").isin(*PROBE_IDS)).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p_emb")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    exact = (
+        e.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cosine(_dvec("p_emb"), _dvec("embedding")).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("probe_id", "neighbor_id")
+    )
+    ivf = _ivf_shortlist(e, 10).select(
+        "probe_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    hits = exact.join(ivf, ["probe_id", "neighbor_id"], "left").groupBy(
+        "probe_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("hit").cast("bigint").alias("n_hits"),
+    )
+    recall = F.col("n_hits").cast("double") / F.col("n_exact")
+    return hits.select(
+        "probe_id",
+        "n_exact",
+        "n_hits",
+        recall.alias("recall"),
+        (recall >= F.lit(0.9)).alias("recall_ok"),
     )
 
 

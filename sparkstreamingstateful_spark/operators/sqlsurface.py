@@ -656,26 +656,35 @@ def sql_ctas_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not spark.catalog.tableExists(name):
         loc = os.path.join(tempfile.gettempdir(), f"sss_ctas_{tag}")
         shutil.rmtree(loc, ignore_errors=True)
-        spark.sql(
-            f"""
-            CREATE TABLE {name}
-            USING PARQUET
-            LOCATION '{loc}'
-            AS SELECT o_orderkey, o_orderstatus,
-                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
-                      'ctas' AS src
-               FROM orders WHERE o_orderkey % 2 = 0
-            """
-        )
-        spark.sql(
-            f"""
-            INSERT INTO {name}
-            SELECT o_orderkey, o_orderstatus,
-                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
-                   'ins' AS src
-            FROM orders WHERE o_orderkey % 2 = 1
-            """
-        )
+        # The table is "built" only once BOTH statements succeed: if the
+        # INSERT dies after the CTAS landed, drop the half-populated
+        # table so the next call rebuilds instead of silently serving
+        # n_inserted=0 for the rest of the session (ADVICE r12).
+        try:
+            spark.sql(
+                f"""
+                CREATE TABLE {name}
+                USING PARQUET
+                LOCATION '{loc}'
+                AS SELECT o_orderkey, o_orderstatus,
+                          CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                          'ctas' AS src
+                   FROM orders WHERE o_orderkey % 2 = 0
+                """
+            )
+            spark.sql(
+                f"""
+                INSERT INTO {name}
+                SELECT o_orderkey, o_orderstatus,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                       'ins' AS src
+                FROM orders WHERE o_orderkey % 2 = 1
+                """
+            )
+        except Exception:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            shutil.rmtree(loc, ignore_errors=True)
+            raise
     t = spark.table(name)
     return t.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),

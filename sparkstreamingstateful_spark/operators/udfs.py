@@ -488,3 +488,69 @@ def udtf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY t.lang, t.trigram
         """
     )
+
+
+@query(
+    "udtf_table_arg",
+    oracle="""
+    SELECT user_id, rnk, event_id, value
+    FROM (SELECT user_id,
+                 CAST(row_number() OVER (PARTITION BY user_id
+                                         ORDER BY value DESC, event_id)
+                      AS BIGINT) AS rnk,
+                 event_id, value
+          FROM events)
+    WHERE rnk <= 3
+    """,
+)
+def udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF with a TABLE argument (U13, Spark 4):
+    ``udtf(TABLE(t) PARTITION BY k ORDER BY ...)`` hands the UDTF whole
+    input partitions as ordered row streams — one class instance per
+    key, ``eval`` per row, ``terminate`` at partition end. This is the
+    per-group Python table-function shape a real pipeline uses for
+    model scoring / per-entity sequence featurization where the logic
+    needs the group's rows in order (beyond what applyInPandas offers:
+    streaming row-at-a-time state, no whole-group materialization).
+
+    The key computes per-user top-3 events by value: because rows
+    arrive ordered (value DESC, event_id), the UDTF just keeps the
+    first 3 rows per partition — O(k) memory per key regardless of
+    group size, which is exactly the property the TABLE-arg contract
+    guarantees and the H-check pins (a mis-partitioned or mis-ordered
+    stream produces different rows, not just a different order).
+    Oracle = window-function replay (row_number over the same order).
+
+    Scale: PARTITION BY shuffles once on user_id; each Python worker
+    then streams its keys' rows through Arrow batches. Memory is
+    k rows per key; no group materialization, no driver involvement."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id bigint, rnk bigint, event_id bigint, value double")
+    class TopKPerUser:
+        def __init__(self):
+            self._kept: list = []
+
+        def eval(self, row):
+            # rows arrive in (value DESC, event_id) order within the
+            # user partition — the first 3 ARE the top-3
+            if len(self._kept) < 3:
+                self._kept.append((row["user_id"], row["event_id"], row["value"]))
+
+        def terminate(self):
+            for i, (uid, eid, val) in enumerate(self._kept, start=1):
+                yield uid, i, eid, val
+
+    spark.udtf.register("sss_topk_per_user", TopKPerUser)
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("udtf_table_arg_events")
+    return spark.sql(
+        """
+        SELECT user_id, rnk, event_id, value
+        FROM sss_topk_per_user(
+            TABLE(udtf_table_arg_events)
+            PARTITION BY user_id
+            ORDER BY (value DESC, event_id)
+        )
+        """
+    )

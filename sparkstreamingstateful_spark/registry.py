@@ -71,75 +71,16 @@ def query(name: str, oracle: str | None = None):
 # rotation: remaining old-evidence keys first, the twice-checked
 # r10+r11 window last.
 _KEY_PRIORITY = [
-    # (0) Keys NEW in round 12 (VERDICT r11 items 3-6, plus the
-    # write-side production contracts and the data-mixing stage):
-    # dirty-ingest parser modes, Arrow UDTF, small-file compaction,
-    # temperature mixing, SQL CTAS/INSERT,
-    # parquet schema-evolution read, dynamic partition overwrite,
-    # mergeable quantile sketch, the df.stat surface, subword
-    # tokenization.
-    "scan_json_corrupt",
-    "udtf_arrow",
-    "maintenance_compact_files",
-    "corpus_mix_temperature",
-    "sql_ctas_insert",
-    "scan_csv_malformed",
-    "scan_parquet_merge_schema",
-    "write_dynamic_partition_overwrite",
-    "agg_quantile_sketch",
-    "stat_crosstab",
-    "stat_sample_by",
-    "stat_approx_quantile",
-    "stat_freq_items",
-    "text_tokenize_subword",
-    # (a) Round-12 rotation (VERDICT r11 item 1 — the #1 item for two
-    # consecutive verdicts): the 26 keys that have NEVER been inside a
-    # driver window (added after the r10 freeze; every one sim-verified
-    # at sf0.001/0.01/0.1 — TPC-H completion suite, corpus-QC quartet,
-    # statistics pair, plus agg_mode / z-score / changepoint /
-    # asof-tolerance / pivot-clause / q4-q12-q14like). dq_profile and
-    # sql_tpch_q22like carry this round's ADVICE fixes.
-    "events_anomaly_zscore",
-    "events_changepoint_meanshift",
-    "sql_pivot_clause",
-    "join_asof_tolerance",
-    "agg_mode",
-    "sql_tpch_q4like",
-    "sql_tpch_q12like",
-    "sql_tpch_q14like",
-    "sql_tpch_q6like",
-    "sql_tpch_q8like",
-    "sql_tpch_q9like",
-    "sql_tpch_q10like",
-    "sql_tpch_q11like",
-    "sql_tpch_q13like",
-    "sql_tpch_q15like",
-    "sql_tpch_q17like",
-    "sql_tpch_q19like",
-    "sql_tpch_q20like",
-    "sql_tpch_q21like",
-    "sql_tpch_q22like",
-    "dedup_passage",
-    "text_repetition_ngram",
-    "text_gopher_quality",
-    "dq_profile",
-    "agg_linear_regression",
-    "events_autocorr_lag1",
-    # (b) oldest-evidence keys (displaced r6/r7 cohort, staged here
-    # since the r10 rotation) fill the window to exactly 50 (the 14 new
-    # round-12 keys above push this cohort's tail just below the line —
-    # it leads the next rotation).
-    "sql_group_by_all",
-    "join_left",
-    "join_right",
-    "join_full",
-    "stream_python_datasource",
-    "write_python_datasource",
-    "stream_sink_python_datasource",
-    "scan_orc",
-    "scan_python_datasource",
-    "udaf_applyInArrow",
-    # --- 50-key boundary. Order below the line = next-rotation order:
+    # (0) Keys NEW in round 13 (VERDICT r12 items 3-6): TABLE-argument
+    # UDTF, ANN recall contract, foreachBatch MERGE materialization,
+    # fixed-point PageRank over the LSH pair graph.
+    "udtf_table_arg",
+    "embed_ann_recall",
+    "stream_merge_to_table",
+    "graph_pagerank_lsh",
+    # (a) Round-13 rotation (VERDICT r12 item 1 — the evidence-staleness
+    # tail): the ENTIRE 40-key cohort whose newest driver evidence was
+    # r7, so after this round no key's evidence predates r8.
     "stream_stream_join_left",
     "stream_dedup_watermarked",
     "stream_window_chained",
@@ -154,9 +95,6 @@ _KEY_PRIORITY = [
     "write_roundtrip",
     "project_compute",
     "filter_basic",
-    # first the remaining r6/r7-evidence cohort, then the r8/r9-window
-    # greens, then the r10+r11 window (freshest evidence — checked
-    # byte-identically in BOTH of the last two rounds) at the bottom.
     "filter_conditional",
     "scalar_string",
     "scalar_date",
@@ -176,12 +114,24 @@ _KEY_PRIORITY = [
     "events_sessionize_batch",
     "events_funnel",
     "events_cohort_retention",
+    "stream_stream_join_full",
+    "stream_stream_join_right",
+    "json_variant",
+    "sql_pipe_syntax",
+    "agg_listagg",
+    "udtf_analyze",
+    "scalar_try_arithmetic",
+    # (b) the 6 oldest r8-evidence keys fill the window to exactly 50.
     "stateful_running_agg_tws_bootstrap",
     "scd2_point_in_time_join",
     "stream_union_sources",
     "scan_xml",
     "sql_tpch_q16like",
     "scalar_collation",
+    # --- 50-key boundary. Order below the line = next-rotation order:
+    # first the remaining 44 r8-evidence keys (they lead the r14
+    # window), then the r9 cohort, then the freshest (r11/r12) evidence
+    # at the bottom.
     "sql_tpch_q2like",
     "events_gap_fill",
     "text_unigram_logprob",
@@ -226,6 +176,56 @@ _KEY_PRIORITY = [
     "set_union_distinct",
     "set_intersect",
     "set_except",
+    "scan_json_corrupt",
+    "udtf_arrow",
+    "maintenance_compact_files",
+    "corpus_mix_temperature",
+    "sql_ctas_insert",
+    "scan_csv_malformed",
+    "scan_parquet_merge_schema",
+    "write_dynamic_partition_overwrite",
+    "agg_quantile_sketch",
+    "stat_crosstab",
+    "stat_sample_by",
+    "stat_approx_quantile",
+    "stat_freq_items",
+    "text_tokenize_subword",
+    "events_anomaly_zscore",
+    "events_changepoint_meanshift",
+    "sql_pivot_clause",
+    "join_asof_tolerance",
+    "agg_mode",
+    "sql_tpch_q4like",
+    "sql_tpch_q12like",
+    "sql_tpch_q14like",
+    "sql_tpch_q6like",
+    "sql_tpch_q8like",
+    "sql_tpch_q9like",
+    "sql_tpch_q10like",
+    "sql_tpch_q11like",
+    "sql_tpch_q13like",
+    "sql_tpch_q15like",
+    "sql_tpch_q17like",
+    "sql_tpch_q19like",
+    "sql_tpch_q20like",
+    "sql_tpch_q21like",
+    "sql_tpch_q22like",
+    "dedup_passage",
+    "text_repetition_ngram",
+    "text_gopher_quality",
+    "dq_profile",
+    "agg_linear_regression",
+    "events_autocorr_lag1",
+    "sql_group_by_all",
+    "join_left",
+    "join_right",
+    "join_full",
+    "stream_python_datasource",
+    "write_python_datasource",
+    "stream_sink_python_datasource",
+    "scan_orc",
+    "scan_python_datasource",
+    "udaf_applyInArrow",
     "array_hof_predicates",
     "scalar_mask",
     "stream_window_session_dynamic",
@@ -276,7 +276,6 @@ _KEY_PRIORITY = [
     "stream_cdc_upsert",
     "stateful_running_agg_tws",
     "dedup_cluster_cc",
-    # r10+r11 window (incl. sample_seeded, rows-only by construction)
     "events_interpolate_linear",
     "events_resample_ohlc",
     "join_bloom_runtime_filter",
@@ -327,13 +326,6 @@ _KEY_PRIORITY = [
     "text_stats",
     "text_language_id",
     "text_token_count",
-    "stream_stream_join_full",
-    "stream_stream_join_right",
-    "json_variant",
-    "sql_pipe_syntax",
-    "agg_listagg",
-    "udtf_analyze",
-    "scalar_try_arithmetic",
 ]
 
 

@@ -1303,6 +1303,7 @@ def sink_cache_paths(sf_dir: str) -> list[str]:
         foreach_sink_path(sf_dir),
         dpo_sink_path(sf_dir),
         compact_sink_path(sf_dir),
+        merge_table_path(sf_dir),
     ]
 
 
@@ -2030,4 +2031,171 @@ def stateful_running_agg_tws_bootstrap(
         F.round(
             F.coalesce("v0", F.lit(0.0)) + F.coalesce("v1", F.lit(0.0)), 2
         ).alias("sum_value"),
+    )
+
+
+def merge_table_path(sf_dir: str) -> str:
+    """Cache location for stream_merge_to_table's versioned table root."""
+    import os
+    import tempfile as _tf
+
+    from ..operators.scans import _dir_tag
+
+    return os.path.join(
+        _tf.gettempdir(), f"sss_mergetable_{_dir_tag(sf_dir, 'events')}"
+    )
+
+
+_MERGE_TABLE_SCHEMA = (
+    "user_id bigint, last_us bigint, last_eid bigint, "
+    "last_type string, last_value double, n_changes bigint"
+)
+
+
+def _merge_committed_epochs(root: str) -> list[int]:
+    import os
+
+    log = os.path.join(root, "_COMMITTED")
+    if not os.path.exists(log):
+        return []
+    with open(log) as f:
+        return [int(line) for line in f.read().split() if line]
+
+
+def merge_epoch(root: str, batch: DataFrame, epoch_id: int) -> None:
+    """One foreachBatch MERGE step for stream_merge_to_table (module-level
+    so the replay-idempotence test can drive it directly): arg-max the
+    batch per user, union with the previous committed version, re-arg-max,
+    write version ``v{epoch}``, THEN append the epoch to ``_COMMITTED``.
+    A replayed epoch (already in the log) is skipped wholesale."""
+    import os
+
+    committed = _merge_committed_epochs(root)
+    if epoch_id in committed:
+        return  # replayed epoch: already merged, skip wholesale
+    sess = batch.sparkSession
+    batch_latest = (
+        batch.select(
+            "user_id",
+            F.unix_micros(F.col("ts")).alias("last_us"),
+            F.col("event_id").alias("last_eid"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct("last_us", "last_eid", "last_type", "last_value")
+            ).alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n_changes"),
+        )
+        .select(
+            "user_id", "s.last_us", "s.last_eid", "s.last_type",
+            "s.last_value", "n_changes",
+        )
+    )
+    if committed:
+        prev = sess.read.schema(_MERGE_TABLE_SCHEMA).parquet(
+            os.path.join(root, f"v{max(committed):05d}")
+        )
+        merged = (
+            prev.unionByName(batch_latest)
+            .groupBy("user_id")
+            .agg(
+                F.max(
+                    F.struct("last_us", "last_eid", "last_type", "last_value")
+                ).alias("s"),
+                F.sum("n_changes").cast("bigint").alias("n_changes"),
+            )
+            .select(
+                "user_id", "s.last_us", "s.last_eid", "s.last_type",
+                "s.last_value", "n_changes",
+            )
+        )
+    else:
+        merged = batch_latest
+    vdir = os.path.join(root, f"v{epoch_id:05d}")
+    merged.write.mode("overwrite").parquet(vdir)
+    # version fully written — NOW commit the epoch
+    with open(os.path.join(root, "_COMMITTED"), "a") as f:
+        f.write(f"{epoch_id}\n")
+
+
+@query(
+    "stream_merge_to_table",
+    oracle="""
+    SELECT user_id, ts AS last_ts, event_type AS last_type,
+           value AS last_value,
+           CAST(n_changes AS BIGINT) AS n_changes
+    FROM (SELECT user_id, ts, event_type, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn,
+                 count(*) OVER (PARTITION BY user_id) AS n_changes
+          FROM events)
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def stream_merge_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch MERGE materialization (ST28) — the lakehouse
+    `MERGE INTO` pattern a stream maintains an upsert table with, built
+    sandbox-honestly on parquet (no Delta/Iceberg jars here): each
+    micro-batch is merged latest-wins into a COPY-ON-WRITE versioned
+    table (`v{epoch}/` dirs under one root), and an append-only
+    `_COMMITTED` epoch log makes the merge IDEMPOTENT under foreachBatch's
+    at-least-once replay contract — a replayed epoch is skipped wholesale
+    (checked first, logged only after its version dir is fully written),
+    so a crash between write and log re-runs the merge into the same
+    version dir, and a crash after the log is a no-op. That
+    write-then-log ordering + version isolation is exactly the
+    transaction-log discipline of the real table formats.
+
+    Merge semantics per batch (all distributed DataFrame ops, no driver
+    rows): arg-max the batch per user on the monotone (event-us,
+    event_id) pair, union with the previous version, re-arg-max, and SUM
+    the change counters. Latest record of type 'error' acts as a
+    tombstone — the row is dropped at read time (same contract as
+    stream_cdc_upsert / cdc_upsert_latest; identical oracle, different
+    machinery: this key pins the per-batch MERGE + epoch-log path, the
+    stateful key pins keyed state).
+
+    Scale: copy-on-write rewrites the table per batch — right for
+    dimension-sized upsert targets (the 100 TB fact-side path would
+    shard the target by key range so each batch rewrites only touched
+    shards, or use a merge-on-read format; the epoch-log idempotence
+    and the latest-wins algebra carry over unchanged)."""
+    import os
+    import shutil
+    import tempfile as _tf
+
+    from .runner import require_no_data_batches
+
+    require_no_data_batches(spark)
+    root = merge_table_path(sf_dir)
+    if not os.path.exists(os.path.join(root, "_DONE")):
+        if os.path.isdir(root):
+            shutil.rmtree(root)
+        os.makedirs(root)
+
+        ev = _stream(spark, sf_dir, sentinels=False)
+        q = (
+            ev.writeStream.foreachBatch(
+                lambda batch, epoch_id: merge_epoch(root, batch, epoch_id)
+            )
+            .option("checkpointLocation", _tf.mkdtemp(prefix="sss_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        with open(os.path.join(root, "_DONE"), "w") as f:
+            f.write("")
+    committed = _merge_committed_epochs(root)
+    final = spark.read.schema(_MERGE_TABLE_SCHEMA).parquet(
+        os.path.join(root, f"v{max(committed):05d}")
+    )
+    return final.filter(F.col("last_type") != "error").select(
+        "user_id",
+        _ntz(F.expr("timestamp_micros(last_us)")).alias("last_ts"),
+        "last_type",
+        "last_value",
+        "n_changes",
     )

@@ -103,6 +103,15 @@ def test_survey_totals():
     )
     assert int(r) == len(QUERIES) - len(ORACLES)
 
+    # §2 must enumerate the registry by exact name (VERDICT r12's
+    # greppability item: 24 keys were findable only in the §8 appendix
+    # tables) — every registered key appears as `key` inside §2 itself.
+    sec2 = text[text.index("## §2. Operator inventory"):text.index("## §3")]
+    not_greppable = [k for k in QUERIES if f"`{k}`" not in sec2]
+    assert not not_greppable, (
+        f"registered keys missing from SURVEY §2 by exact name: {not_greppable}"
+    )
+
     # README.md and CLAUDE.md quote the same counts in prose — the r11
     # verdict caught both still saying 208/207 two rounds after the
     # registry hit 226; pin them here so the drift class can't recur.

@@ -346,3 +346,78 @@ def test_native_regr_matches_closed_form(spark):
         for col in ("slope", "intercept", "r2"):
             rel = abs(n[col] - c[col]) / max(abs(c[col]), 1e-12)
             assert rel < 1e-9, (flag, col, n[col], c[col])
+
+
+def test_pagerank_fixed_point_known_graphs(spark):
+    """graph_pagerank_lsh's integer PageRank core pinned on hand-computed
+    graphs: (a) a triangle is 2-regular, so S is the exact fixed point
+    from iteration 0; (b) a 3-path's ranks must equal a pure-Python
+    replay of the same integer recurrence (floor-div and all)."""
+    from sparkstreamingstateful_spark.operators.llm_text import (
+        _PR_ITERS,
+        _PR_SCALE,
+        _PR_TELEPORT,
+        pagerank_fixed_point,
+    )
+
+    tri_edges = [(0, 1), (1, 2), (0, 2)]
+    sym = spark.createDataFrame(
+        tri_edges + [(b, a) for a, b in tri_edges], "src long, dst long"
+    )
+    got = {r.node: r.r for r in pagerank_fixed_point(spark, sym).collect()}
+    assert got == {0: _PR_SCALE, 1: _PR_SCALE, 2: _PR_SCALE}
+
+    # path 0-1-2: deg 1,2,1 — replay the recurrence exactly in Python
+    path_edges = [(0, 1), (1, 2)]
+    sym2 = spark.createDataFrame(
+        path_edges + [(b, a) for a, b in path_edges], "src long, dst long"
+    )
+    r = {0: _PR_SCALE, 1: _PR_SCALE, 2: _PR_SCALE}
+    deg = {0: 1, 1: 2, 2: 1}
+    for _ in range(_PR_ITERS):
+        c = {n: r[n] // deg[n] for n in r}
+        infl = {0: c[1], 1: c[0] + c[2], 2: c[1]}
+        r = {n: _PR_TELEPORT + (85 * infl[n]) // 100 for n in r}
+    got2 = {row.node: row.r for row in pagerank_fixed_point(spark, sym2).collect()}
+    assert got2 == r
+
+
+def test_ann_recall_consistency(spark):
+    """embed_ann_recall invariants: the probe panel is complete, n_exact
+    is the full top-10, hits are bounded by it, and the recall/flag
+    columns are pure arithmetic over (n_hits, n_exact)."""
+    from sparkstreamingstateful_spark.operators.llm_vector import PROBE_IDS
+
+    rows = QUERIES["embed_ann_recall"](spark, SF_UNIT).collect()
+    assert sorted(r.probe_id for r in rows) == sorted(PROBE_IDS)
+    for r in rows:
+        assert r.n_exact == 10
+        assert 0 <= r.n_hits <= r.n_exact
+        assert r.recall == r.n_hits / r.n_exact
+        assert r.recall_ok == (r.recall >= 0.9)
+
+
+def test_udtf_table_arg_matches_window_replay(spark):
+    """The TABLE-arg UDTF's per-partition top-3 must equal the window
+    -function replay computed by Spark itself — mis-partitioning or
+    mis-ordering of the row stream would change WHICH rows survive,
+    not just their order."""
+    from pyspark.sql import Window
+
+    got = sorted(
+        map(tuple, QUERIES["udtf_table_arg"](spark, SF_UNIT).collect())
+    )
+    ev = load_table(spark, SF_UNIT, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), "event_id"
+    )
+    want = sorted(
+        map(
+            tuple,
+            ev.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rnk") <= 3)
+            .select("user_id", "rnk", "event_id", "value")
+            .collect(),
+        )
+    )
+    assert got == want

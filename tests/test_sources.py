@@ -211,7 +211,7 @@ def test_dirty_ingest_mode_contrast(spark):
     )
     with pytest.raises((Py4JJavaError, Exception)) as exc:
         spark.read.schema(schema).option("mode", "FAILFAST").json(out).count()
-    assert "Malformed" in str(exc.value) or "FAILFAST" in str(exc.value)
+    assert "Malformed" in str(exc.value) and "FAILFAST" in str(exc.value)
 
     # PERMISSIVE captures the raw line for quarantine/replay pipelines.
     full = T.StructType(
@@ -242,10 +242,14 @@ def test_dirty_ingest_mode_contrast(spark):
     # NB: .count() alone would pass — CSV count() is answered without
     # parsing any field (row-count pushdown), so FAILFAST only trips on an
     # action that materializes the typed column.
-    with pytest.raises((Py4JJavaError, Exception)):
+    with pytest.raises(Exception) as exc_csv:
         spark.read.schema(csv_schema).option("mode", "FAILFAST").csv(
             out_csv
         ).agg(F.sum("c_acctbal")).collect()
+    # measured: MALFORMED_RECORD_IN_PARSING with "Parse Mode: FAILFAST" —
+    # assert the substrings so a bad path / unrelated error can't pass
+    # (ADVICE r12).
+    assert "Malformed" in str(exc_csv.value) and "FAILFAST" in str(exc_csv.value)
 
 
 def test_partition_overwrite_mode_contrast(spark, tmp_path):

@@ -1707,3 +1707,51 @@ def test_tws_state_schema_evolution_avro_accepts(spark, tmp_path):
     assert {u: r.n for u, r in by_user.items()} == {1: 4, 2: 4, 3: 2}
     # the added field default-fills as NULL in pre-evolution records
     assert all(r.prior_extra is False for r in by_user.values())
+
+
+def test_merge_epoch_replay_idempotent(spark, tmp_path):
+    """stream_merge_to_table's foreachBatch contract: a REPLAYED epoch
+    (already in _COMMITTED) must be a wholesale no-op — no new version
+    dir, no duplicate log line, no double-counted n_changes — and the
+    merged table is latest-wins with summed change counts."""
+    import datetime as dt
+
+    from sparkstreamingstateful_spark.streaming.queries import (
+        _MERGE_TABLE_SCHEMA,
+        _merge_committed_epochs,
+        merge_epoch,
+    )
+
+    root = str(tmp_path / "merge_root")
+    os.makedirs(root)
+    ts = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    b0 = spark.createDataFrame(
+        [(1, ts(0), 100, "view", 1.0), (1, ts(5), 101, "click", 2.0),
+         (2, ts(1), 102, "view", 3.0)],
+        "user_id long, ts timestamp, event_id long, event_type string, value double",
+    )
+    b1 = spark.createDataFrame(
+        [(1, ts(9), 103, "purchase", 4.0), (3, ts(2), 104, "error", 5.0)],
+        "user_id long, ts timestamp, event_id long, event_type string, value double",
+    )
+    merge_epoch(root, b0, 0)
+    merge_epoch(root, b1, 1)
+    assert _merge_committed_epochs(root) == [0, 1]
+    before = sorted(os.listdir(root))
+
+    # replay epoch 0 — must not touch anything
+    merge_epoch(root, b0, 0)
+    assert _merge_committed_epochs(root) == [0, 1]
+    assert sorted(os.listdir(root)) == before
+
+    final = {
+        r.user_id: (r.last_eid, r.last_type, r.n_changes)
+        for r in spark.read.schema(_MERGE_TABLE_SCHEMA)
+        .parquet(os.path.join(root, "v00001"))
+        .collect()
+    }
+    assert final == {
+        1: (103, "purchase", 3),  # 2 changes in epoch 0 + 1 in epoch 1
+        2: (102, "view", 1),
+        3: (104, "error", 1),  # tombstone kept in TABLE, dropped at read
+    }
