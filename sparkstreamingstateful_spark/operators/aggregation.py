@@ -741,3 +741,103 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_and_direct.select("q", "exact_q").join(flags, "q").select(
         "q", "exact_q", "direct_within_1pct", "merged_within_1pct"
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts_bitmap,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts_merged
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmaps (A15, Spark 3.5
+    `bitmap_bucket_number`/`bitmap_bit_position`/`bitmap_construct_agg`/
+    `bitmap_count`/`bitmap_or_agg`) — the roaring-bitmap-style rollup
+    warehouses use when `count(DISTINCT)` must be exact AND
+    re-aggregable: keys bucket into 32768-bit ranges, each (group,
+    bucket) builds a bitmap, and the distinct count is the SUM of
+    per-bucket popcounts — every stage map-side combinable, no EXPAND
+    blow-up, and the per-bucket bitmaps are a persistable intermediate
+    (re-roll to any coarser grouping by OR-ing, never rescanning — the
+    agg_hll_sketch story made exact). Both paths H-checked against
+    `count(DISTINCT)`: direct per-(flag, bucket) construct→popcount→sum,
+    and a two-level shard variant where per-(flag, bucket, shard)
+    bitmaps merge through `bitmap_or_agg` first — a broken OR-merge or
+    a bit-position collision would break equality.
+
+    Scale: shuffles on (group, bucket) — cardinality bounded by
+    key-range/32768 per group — then a tiny sum; the EXPAND-based
+    `count(DISTINCT)` twin shuffles every distinct (group, key) pair."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey", "l_orderkey")
+    direct = (
+        li.groupBy(
+            "l_returnflag",
+            F.expr("bitmap_bucket_number(l_partkey)").alias("bucket"),
+        )
+        .agg(
+            F.expr("bitmap_count(bitmap_construct_agg(bitmap_bit_position(l_partkey)))").alias("n_bits")
+        )
+        .groupBy("l_returnflag")
+        .agg(F.sum("n_bits").cast("bigint").alias("n_parts_bitmap"))
+    )
+    merged = (
+        li.groupBy(
+            "l_returnflag",
+            F.expr("bitmap_bucket_number(l_partkey)").alias("bucket"),
+            (F.col("l_orderkey") % 4).alias("shard"),
+        )
+        .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(l_partkey))").alias("bm"))
+        .groupBy("l_returnflag", "bucket")
+        .agg(F.expr("bitmap_count(bitmap_or_agg(bm))").alias("n_bits"))
+        .groupBy("l_returnflag")
+        .agg(F.sum("n_bits").cast("bigint").alias("n_parts_merged"))
+    )
+    return direct.join(merged, "l_returnflag").select(
+        "l_returnflag", "n_parts_bitmap", "n_parts_merged"
+    )
+
+
+@query(
+    "agg_grouping_id",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+           CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           count(*) AS n,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS qty_c
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING metadata surface (A4b): ``grouping()`` and
+    ``grouping_id()`` disambiguate a real NULL group key from a rollup
+    superaggregate row — without them a rollup over a nullable column is
+    unreadable. Bit order verified identical across engines (Spark's
+    zero-arg grouping_id() ≡ DuckDB's grouping_id(cols...), measured);
+    exact-cents sums make every level hash-stable.
+
+    Scale: same single EXPAND + two-phase hash agg as agg_rollup —
+    grouping metadata is free plan-wise."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus").agg(
+            F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+            F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("l_quantity") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("qty_c"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "g_flag", "g_status", "gid",
+            "n", "qty_c",
+        )
+    )

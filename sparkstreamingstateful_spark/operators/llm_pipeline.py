@@ -367,3 +367,57 @@ def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.crossJoin(F.broadcast(denom)).select(
         "source", "n_tokens", (F.col("num9") / F.col("den9")).alias("weight")
     )
+
+
+@query(
+    "text_url_filter",
+    oracle="""
+    WITH urled AS (
+        SELECT doc_id, lang, source,
+               'https://' || source || '-' || CAST(doc_id % 7 AS VARCHAR)
+                   || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+                   || '?lang=' || lang || '&v=2' AS url
+        FROM documents
+    )
+    SELECT doc_id, url,
+           source || '-' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+               AS host,
+           '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+           lang AS lang_param,
+           (doc_id % 7 = 0) AS is_blocked
+    FROM urled
+    """,
+)
+def text_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing + blocklist filtering (T12) — the CommonCrawl-style
+    curation step that routes documents by their source URL (host
+    blocklists, TLD allowlists, per-domain caps). The corpus carries no
+    URL column, so one is SYNTHESIZED deterministically from
+    (source, doc_id, lang) — the multimodal-BMP device: Spark then
+    parses it back with the real `parse_url` JVM function (HOST, PATH,
+    QUERY param extraction), while the oracle states the expected parse
+    RELATIONALLY from the same fields without ever string-splitting the
+    URL — so the hash is an independent parse_url conformance check.
+    Hosts with doc_id % 7 = 0 play the blocklist ('-0.example.com').
+
+    Scale: narrow row-local expressions (concat + parse_url in codegen)
+    riding the scan; a production blocklist joins broadcast against the
+    parsed host column."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit("-"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/docs/"), F.col("doc_id").cast("string"),
+        F.lit("?lang="), F.col("lang"), F.lit("&v=2"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.parse_url("url", F.lit("HOST")).endswith("-0.example.com").alias(
+            "is_blocked"
+        ),
+    )

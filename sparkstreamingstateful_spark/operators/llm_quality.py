@@ -291,3 +291,86 @@ def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_DQ_COLS)}, {stack_args}) AS "
         "(column_name, n_nulls, n_distinct, min_val, max_val)"
     ).orderBy("column_name")
+
+
+# md5 → 16-bit int (the corpus_sample_stratified device: first 4 hex chars
+# folded positionally — DuckDB lacks conv(); strpos over the hex alphabet
+# is its exact twin). Weight ∈ [-1000, 1000] derived from the hash.
+_W_MOD = 2001
+
+
+def _tok_weight_spark(col):
+    h16 = F.conv(F.substring(F.md5(col), 1, 4), 16, 10).cast("long")
+    return (h16 % _W_MOD) - 1000
+
+
+_W_SQL = """
+    ((strpos('0123456789abcdef', substr(md5({t}), 1, 1)) - 1) * 4096
+     + (strpos('0123456789abcdef', substr(md5({t}), 2, 1)) - 1) * 256
+     + (strpos('0123456789abcdef', substr(md5({t}), 3, 1)) - 1) * 16
+     + (strpos('0123456789abcdef', substr(md5({t}), 4, 1)) - 1)) % 2001 - 1000
+"""
+
+
+@query(
+    "text_classifier_score",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id, unnest(list_concat(toks,
+                   list_transform(range(1, len(toks)),
+                                  i -> toks[i] || '_' || toks[i + 1]))) AS f
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+              FROM documents)
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(sum({_W_SQL.format(t="f")}) AS BIGINT) AS sum_w,
+               count(*) AS n_feat
+        FROM feats
+        GROUP BY doc_id
+    )
+    SELECT doc_id, n_feat, sum_w,
+           CAST(sum_w AS DOUBLE) / n_feat AS score,
+           (CAST(sum_w AS DOUBLE) / n_feat) > CAST(0 AS DOUBLE) AS keep
+    FROM scored
+    """,
+)
+def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature LINEAR CLASSIFIER scoring (L19) — the
+    fastText/CCNet-style quality-filter shape: φ(doc) = bag of word
+    unigrams + bigrams hashed into a weight table, score = w·φ / |φ|,
+    keep = score > 0. The weight table here is a deterministic function
+    of the feature hash (md5 16-bit fold → [-1000, 1000]) standing in
+    for trained parameters — in production the same plan broadcasts a
+    trained vector; the hash-lookup/score/threshold machinery under
+    H-check is identical either way. Exact arithmetic: integer weight
+    sums, ONE double division, threshold on the shared result — no
+    rounding anywhere.
+
+    Scale: explode features → hash → per-doc sum is one shuffle keyed
+    by doc_id over the token stream (codegen'd md5, no Python); at
+    100 TB this is the canonical classifier-filter pass, embarrassingly
+    parallel, with the model broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    # bigrams via slice+zip_with: inherently empty-safe for 1-token docs
+    # (no sequence(1,0) descent, no out-of-bounds index to guard)
+    n1 = F.greatest(F.size("toks") - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice("toks", 1, n1),
+        F.slice("toks", 2, n1),
+        lambda a, b: F.concat(a, F.lit("_"), b),
+    )
+    feats = d.select("doc_id", toks.alias("toks")).select(
+        "doc_id", F.explode(F.concat(F.col("toks"), bigrams)).alias("f")
+    )
+    scored = feats.groupBy("doc_id").agg(
+        F.sum(_tok_weight_spark(F.col("f"))).cast("bigint").alias("sum_w"),
+        F.count(F.lit(1)).alias("n_feat"),
+    )
+    score = F.col("sum_w").cast("double") / F.col("n_feat")
+    return scored.select(
+        "doc_id", "n_feat", "sum_w",
+        score.alias("score"),
+        (score > F.lit(0.0)).alias("keep"),
+    )

@@ -397,13 +397,14 @@ _IVF_ORACLE = f"""
 """
 
 
-def _ivf_shortlist(e: DataFrame, k: int) -> DataFrame:
+def _ivf_shortlist(e: DataFrame, k: int, nprobe: int = 1) -> DataFrame:
     """The IVF approximate top-k plan over an (vec_id, label, embedding)
     corpus: per-label centroids as the trained codebook, broadcast cell
-    assignment for the probe panel, cell-restricted search, per-probe
-    top-k. Returns (probe_id, neighbor_id, cos_sim, rank) with
-    ``rank <= k`` — shared by embed_ann_ivf (k=5) and the recall
-    contract embed_ann_recall (k=10 vs exact top-10)."""
+    assignment for the probe panel, search restricted to the probe's
+    ``nprobe`` nearest cells, per-probe top-k. Returns (probe_id,
+    neighbor_id, cos_sim, rank) with ``rank <= k`` — shared by
+    embed_ann_ivf (k=5, nprobe=1) and the recall contract
+    embed_ann_recall (k=10 at nprobe 1 and 3 vs exact top-10)."""
     centroids = (
         e.select("label", F.posexplode(_dvec("embedding")).alias("pos", "x"))
         .groupBy("label", "pos")
@@ -428,10 +429,11 @@ def _ivf_shortlist(e: DataFrame, k: int) -> DataFrame:
             _cosine(_dvec("p_emb"), F.col("centroid")).alias("cell_sim"),
         )
         .withColumn("rn", F.row_number().over(w_cell))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= nprobe)
         .select("probe_id", "p_emb", "cell")
     )
-    # search only the probe's cell (corpus pre-bucketed by label = cell id)
+    # search only the probe's nprobe cells (corpus pre-bucketed by label =
+    # cell id; a vector belongs to exactly one cell, so no dedup needed)
     cand = probe_cells.join(e, probe_cells.cell == e.label).filter(
         F.col("vec_id") != F.col("probe_id")
     )
@@ -499,7 +501,19 @@ _ANN_RECALL_ORACLE = f"""
               FROM probes p CROSS JOIN centroids c)
         WHERE rn = 1
     ),
-    ivf AS (
+    probe_cells3 AS (
+        SELECT probe_id, p_v, cell
+        FROM (SELECT p.probe_id, p.p_v, c.cell,
+                     row_number() OVER (
+                         PARTITION BY p.probe_id
+                         ORDER BY list_dot_product(p.p_v, c.centroid)
+                                  / (sqrt(list_dot_product(p.p_v, p.p_v))
+                                     * sqrt(list_dot_product(c.centroid, c.centroid)))
+                                  DESC, c.cell) AS rn
+              FROM probes p CROSS JOIN centroids c)
+        WHERE rn <= 3
+    ),
+    ivf1 AS (
         SELECT probe_id, neighbor_id
         FROM (SELECT pc.probe_id, e.vec_id AS neighbor_id,
                      row_number() OVER (
@@ -509,6 +523,19 @@ _ANN_RECALL_ORACLE = f"""
                                      * sqrt(list_dot_product(e.v, e.v)))
                                   DESC, e.vec_id) AS rank
               FROM probe_cells pc
+              JOIN dvecs e ON e.label = pc.cell AND e.vec_id <> pc.probe_id)
+        WHERE rank <= 10
+    ),
+    ivf3 AS (
+        SELECT probe_id, neighbor_id
+        FROM (SELECT pc.probe_id, e.vec_id AS neighbor_id,
+                     row_number() OVER (
+                         PARTITION BY pc.probe_id
+                         ORDER BY list_dot_product(pc.p_v, e.v)
+                                  / (sqrt(list_dot_product(pc.p_v, pc.p_v))
+                                     * sqrt(list_dot_product(e.v, e.v)))
+                                  DESC, e.vec_id) AS rank
+              FROM probe_cells3 pc
               JOIN dvecs e ON e.label = pc.cell AND e.vec_id <> pc.probe_id)
         WHERE rank <= 10
     ),
@@ -527,13 +554,16 @@ _ANN_RECALL_ORACLE = f"""
     )
     SELECT x.probe_id,
            count(*) AS n_exact,
-           CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
-           CAST(count(i.neighbor_id) AS DOUBLE) / count(*) AS recall,
-           (CAST(count(i.neighbor_id) AS DOUBLE) / count(*))
-               >= CAST(0.9 AS DOUBLE) AS recall_ok
+           CAST(count(i1.neighbor_id) AS BIGINT) AS hits_nprobe1,
+           CAST(count(i3.neighbor_id) AS BIGINT) AS hits_nprobe3,
+           CAST(count(i1.neighbor_id) AS DOUBLE) / count(*) AS recall_nprobe1,
+           CAST(count(i3.neighbor_id) AS DOUBLE) / count(*) AS recall_nprobe3,
+           (count(i3.neighbor_id) >= count(i1.neighbor_id)) AS monotone_ok
     FROM exact x
-    LEFT JOIN ivf i ON i.probe_id = x.probe_id
-                   AND i.neighbor_id = x.neighbor_id
+    LEFT JOIN ivf1 i1 ON i1.probe_id = x.probe_id
+                     AND i1.neighbor_id = x.neighbor_id
+    LEFT JOIN ivf3 i3 ON i3.probe_id = x.probe_id
+                     AND i3.neighbor_id = x.neighbor_id
     GROUP BY x.probe_id
 """
 
@@ -541,18 +571,23 @@ _ANN_RECALL_ORACLE = f"""
 @query("embed_ann_recall", oracle=_ANN_RECALL_ORACLE)
 def embed_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality contract: recall@10 of the IVF shortlist against the
-    exact brute-force top-10 for the same probe panel — the metric every
-    real ANN deployment pins before trusting the index (the agg_approx /
-    A14 bound-the-sketch pattern applied to similarity search). Per
-    probe: ``n_hits`` = |IVF∩exact|, ``recall = n_hits/n_exact``, and a
-    ``recall >= 0.9`` flag. The oracle replays BOTH pipelines in SQL, so
-    the hash pins the recall arithmetic end-to-end (set intersection via
-    LEFT JOIN + count of matches), not just the shortlist membership
-    that embed_ann_ivf already covers.
+    exact brute-force top-10 for the same probe panel, measured at
+    nprobe=1 AND nprobe=3 — the metric + the tuning lever every real ANN
+    deployment pins before trusting an index. Per probe: hit counts and
+    recalls for both nprobe settings, plus ``monotone_ok`` — a PROVABLE
+    invariant (a true-top-10 member present in the candidate set always
+    makes the IVF top-10, since at most 9 candidates can outrank it, so
+    hits = |candidates ∩ exact-top-10| and growing the cell set can only
+    add hits). The measured recall itself is honestly low here at
+    nprobe=1 (~0.1–0.4: the codebook is the 10 label centroids, and true
+    neighbors cross cells — exactly WHY production IVF runs nprobe > 1
+    and trains the codebook on geometry); the H-check pins the measured
+    values and the monotonicity, not an aspirational threshold. The
+    oracle replays all three pipelines (exact, ivf@1, ivf@3) in SQL.
 
     Scale: exact side is probe-panel×corpus (broadcast panel, one linear
     scan — the measurement harness, run on a sample at 100 TB); IVF side
-    is the production equi-join path. Recall join is per-probe tiny."""
+    is the production equi-join path ×nprobe. Recall join per-probe tiny."""
     e = load_table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id").isin(*PROBE_IDS)).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p_emb")
@@ -570,22 +605,34 @@ def embed_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("probe_id", "neighbor_id")
     )
-    ivf = _ivf_shortlist(e, 10).select(
-        "probe_id", "neighbor_id", F.lit(1).alias("hit")
+    ivf1 = _ivf_shortlist(e, 10, nprobe=1).select(
+        "probe_id", "neighbor_id", F.lit(1).alias("hit1")
     )
-    hits = exact.join(ivf, ["probe_id", "neighbor_id"], "left").groupBy(
-        "probe_id"
-    ).agg(
-        F.count(F.lit(1)).alias("n_exact"),
-        F.count("hit").cast("bigint").alias("n_hits"),
+    ivf3 = _ivf_shortlist(e, 10, nprobe=3).select(
+        "probe_id", "neighbor_id", F.lit(1).alias("hit3")
     )
-    recall = F.col("n_hits").cast("double") / F.col("n_exact")
+    hits = (
+        exact.join(ivf1, ["probe_id", "neighbor_id"], "left")
+        .join(ivf3, ["probe_id", "neighbor_id"], "left")
+        .groupBy("probe_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("hit1").cast("bigint").alias("hits_nprobe1"),
+            F.count("hit3").cast("bigint").alias("hits_nprobe3"),
+        )
+    )
     return hits.select(
         "probe_id",
         "n_exact",
-        "n_hits",
-        recall.alias("recall"),
-        (recall >= F.lit(0.9)).alias("recall_ok"),
+        "hits_nprobe1",
+        "hits_nprobe3",
+        (F.col("hits_nprobe1").cast("double") / F.col("n_exact")).alias(
+            "recall_nprobe1"
+        ),
+        (F.col("hits_nprobe3").cast("double") / F.col("n_exact")).alias(
+            "recall_nprobe3"
+        ),
+        (F.col("hits_nprobe3") >= F.col("hits_nprobe1")).alias("monotone_ok"),
     )
 
 

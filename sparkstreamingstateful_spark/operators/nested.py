@@ -317,3 +317,56 @@ def map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("zipped_total"),
         F.array_join(F.map_keys(m2), ",").alias("keys_csv"),
     )
+
+
+@query(
+    "json_construct",
+    oracle="""
+    WITH built AS (
+        SELECT o_orderkey,
+               -- CAST: DuckDB to_json returns the JSON type, which
+               -- fetchdf() mangles — the driver needs VARCHAR
+               CAST(to_json(struct_pack(
+                   k := o_orderkey,
+                   status := o_orderstatus,
+                   cents := CAST(round(o_totalprice * 100) AS BIGINT)
+               )) AS VARCHAR) AS j
+        FROM orders WHERE o_orderkey % 5 = 0
+    )
+    SELECT o_orderkey, j,
+           CAST(json_extract_string(j, '$.k') AS BIGINT) AS k_back,
+           json_extract_string(j, '$.status') AS status_back,
+           CAST(json_extract_string(j, '$.cents') AS BIGINT) AS cents_back
+    FROM built
+    """,
+)
+def json_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON CONSTRUCTION + round-trip (N10) — the write side N5/N7 don't
+    cover: `to_json(struct(...))` serializes typed columns into the JSON
+    payload an event bus or API sink expects, then the same row extracts
+    the fields back out (`get_json_object`), pinning both directions.
+    The serialized string itself is H-checked BYTE-FOR-BYTE against
+    DuckDB's `to_json(struct_pack(...))` — measured identical formatting
+    (no spaces, same escaping) for int/string/array payloads; doubles
+    and timestamps are deliberately excluded (their text renderings
+    differ cross-engine — exact-cents BIGINT carries the money field).
+
+    Scale: narrow row-local codegen expressions riding the scan."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 == 0)
+    built = o.select(
+        "o_orderkey",
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_orderstatus").alias("status"),
+                F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            )
+        ).alias("j"),
+    )
+    return built.select(
+        "o_orderkey",
+        "j",
+        F.get_json_object("j", "$.k").cast("bigint").alias("k_back"),
+        F.get_json_object("j", "$.status").alias("status_back"),
+        F.get_json_object("j", "$.cents").cast("bigint").alias("cents_back"),
+    )

@@ -420,3 +420,142 @@ def scalar_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_name", F.lit("X"), F.lit("x"), F.lit("n"), F.lit("-")
         ).alias("masked_full"),
     )
+
+
+@query(
+    "frame_transpose",
+    oracle="""
+    WITH agg AS (
+        SELECT l_returnflag AS f,
+               CAST(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                         AS BIGINT) AS DOUBLE) AS sum_qty_c,
+               CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                         AS BIGINT) AS DOUBLE) AS sum_price_c,
+               CAST(count(*) AS DOUBLE) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT 'sum_qty_c' AS key,
+           max(CASE WHEN f = 'A' THEN sum_qty_c END) AS "A",
+           max(CASE WHEN f = 'N' THEN sum_qty_c END) AS "N",
+           max(CASE WHEN f = 'R' THEN sum_qty_c END) AS "R"
+    FROM agg
+    UNION ALL
+    SELECT 'sum_price_c', max(CASE WHEN f = 'A' THEN sum_price_c END),
+           max(CASE WHEN f = 'N' THEN sum_price_c END),
+           max(CASE WHEN f = 'R' THEN sum_price_c END)
+    FROM agg
+    UNION ALL
+    SELECT 'n_rows', max(CASE WHEN f = 'A' THEN n_rows END),
+           max(CASE WHEN f = 'N' THEN n_rows END),
+           max(CASE WHEN f = 'R' THEN n_rows END)
+    FROM agg
+    """,
+)
+def frame_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.transpose()`` (P16, new in Spark 4.0): rows become
+    columns — the metrics-as-rows pivot every reporting layer wants
+    after a wide aggregate. The first column's VALUES become the new
+    column names (sorted: A, N, R — the determinism the H-check rides),
+    the remaining column NAMES become the ``key`` column, and all
+    transposed values must share a least-common type, so the metrics
+    are cast to DOUBLE before the flip (exact-cents integers < 2^53 —
+    lossless). Oracle replays the transpose as three UNION ALL
+    conditional-max rows.
+
+    Scale: transpose collects the frame to build the new schema — by
+    contract a POST-aggregate operation on dimension-sized results (3
+    groups here), never on a fact table; the aggregate below it is the
+    usual one-shuffle hash agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.sum(F.round(F.col("l_quantity") * 100).cast("bigint"))
+        .cast("bigint").cast("double").alias("sum_qty_c"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint").cast("double").alias("sum_price_c"),
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+    )
+    return agg.transpose()
+
+
+@query(
+    "scalar_interval",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS d,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+               AS plus_3m,
+           -- integer day-add, NOT "+ INTERVAL 90 DAY": DuckDB interval
+           -- equality normalizes 1 month = 30 days, so INTERVAL 3 MONTH
+           -- and INTERVAL 90 DAY compare EQUAL and constant-dedup folds
+           -- the two literals into whichever appears first (measured
+           -- 1.0.0: both columns came back +3 months)
+           CAST(o_orderdate AS DATE) + 90 AS plus_90d,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE)
+               AS q_start,
+           CAST(quarter(o_orderdate) AS BIGINT) AS q,
+           CAST(datediff('day', CAST(o_orderdate AS DATE),
+                         CAST('1998-12-31' AS DATE)) AS BIGINT) AS days_to_eoy
+    FROM orders
+    WHERE o_orderkey % 7 = 0
+    """,
+)
+def scalar_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/INTERVAL arithmetic surface (P17): month addition (BOTH
+    engines clamp end-of-month — 2021-01-31 + 1 month = 2021-02-28,
+    measured), day addition, last_day, quarter truncation/extraction,
+    and day difference to a fixed horizon. All calendar ops on DATE
+    (the timestamp[ms] o_orderdate cast down) so no tz/precision can
+    skew; plus_3m lands as DATE in Spark (date + interval month) and
+    DuckDB (clamped date add) alike.
+
+    Scale: narrow row-local expressions riding the scan in codegen; the
+    key-mod filter is pushed to parquet."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        d.alias("d"),
+        F.add_months(d, 3).alias("plus_3m"),
+        F.date_add(d, 90).alias("plus_90d"),
+        F.last_day(d).alias("month_end"),
+        F.trunc(d, "quarter").alias("q_start"),
+        F.quarter(d).cast("bigint").alias("q"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d)
+        .cast("bigint")
+        .alias("days_to_eoy"),
+    )
+
+
+@query(
+    "scalar_string_multi",
+    oracle="""
+    SELECT c_custkey,
+           split_part(c_name, '#', 2) AS cust_num,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+           reverse(c_mktsegment) AS seg_rev,
+           repeat('-', CAST(c_custkey % 4 AS INT)) AS dashes,
+           left(c_name, 8) AS name8
+    FROM customer
+    """,
+)
+def scalar_string_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface beyond P4 (P18): `split_part` (field
+    extraction by delimiter — the CSV-ish parsing everyone reaches for
+    before regex), `translate` (character mapping), `lpad` (fixed-width
+    key rendering), `reverse`, `repeat`, `left` — each verified
+    byte-identical against DuckDB's same-named function.
+
+    Scale: narrow row-local codegen expressions riding the scan."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("cust_num"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_tr"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.repeat(F.lit("-"), (F.col("c_custkey") % 4).cast("int")).alias("dashes"),
+        F.substring("c_name", 1, 8).alias("name8"),
+    )

@@ -696,3 +696,53 @@ def sql_ctas_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_inserted"),
         F.sum("cents").cast("bigint").alias("total_c"),
     )
+
+
+# Q38: LATERAL COLUMN ALIASES — referencing an earlier SELECT-list alias
+# in a later item (Spark 3.4+ implicit resolution; DuckDB native). The
+# chained net→gross→tax_amt derivation every financial projection writes;
+# raw IEEE products in fixed textual order, so values are cross-engine
+# exact with zero rounding. Identical text both engines.
+sql_lateral_alias = _sql_query(
+    "sql_lateral_alias",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net,
+           net * (1 + l_tax) AS gross,
+           gross - net AS tax_amt
+    FROM lineitem
+    WHERE l_quantity >= 45
+    """,
+)
+
+
+# Q39: JOIN STRATEGY HINTS — /*+ BROADCAST */ and /*+ SHUFFLE_HASH */
+# forcing the physical join the optimizer's size estimates wouldn't
+# necessarily pick; the knob every production tuning session reaches for
+# first. Values must be hint-invariant (the oracle is the same query,
+# hint-free, on DuckDB); the hints actually TAKING EFFECT is pinned in
+# tests/test_plans.py::test_join_hints_change_strategy.
+sql_join_hints = _sql_query(
+    "sql_join_hints",
+    """
+    SELECT /*+ BROADCAST(nation), SHUFFLE_HASH(orders) */
+           n_name, o_orderstatus,
+           count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_c
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY n_name, o_orderstatus
+    """,
+    oracle="""
+    SELECT n_name, o_orderstatus,
+           count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_c
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY n_name, o_orderstatus
+    """,
+)

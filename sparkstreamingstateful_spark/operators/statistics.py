@@ -192,3 +192,88 @@ def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         (nd * sxy - sx * sy) / F.sqrt(den)
     )
     return s.select("event_type", "n_pairs", r.alias("autocorr"))
+
+
+@query(
+    "events_ewma_smooth",
+    oracle="""
+    WITH RECURSIVE
+    hourly AS MATERIALIZED (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events
+        GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    idx AS MATERIALIZED (
+        SELECT event_type, h, x,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS i
+        FROM hourly
+    ),
+    rec(event_type, i, h, x, s) AS (
+        SELECT event_type, i, h, x, x FROM idx WHERE i = 1
+        UNION ALL
+        SELECT n.event_type, n.i, n.h, n.x,
+               CAST((n.x + r.s) // 2 AS BIGINT)
+        FROM rec r
+        JOIN idx n ON n.event_type = r.event_type AND n.i = r.i + 1
+    )
+    SELECT event_type, h AS win_start, x AS sum_v_c, s AS ewma_c,
+           round(CAST(s AS DOUBLE) / 100, 2) AS ewma
+    FROM rec
+    """,
+)
+def events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA exponential smoothing (E23) of each event type's hourly
+    volume series — the classic forecasting/trend baseline whose
+    recurrence s_t = α·x_t + (1−α)·s_{t−1} does NOT decompose into a
+    window frame (every output depends on the entire prefix), so it's
+    the canonical "iterative per-series op" a window-function engine
+    can't spell directly. α = 1/2 in EXACT integer fixed point: series
+    in 1e-2 BIGINT units (the events_anomaly_zscore quantization),
+    update s = (x + s) >> 1 — a single shift, floor-exact on the
+    non-negative domain (events.value ≥ 0, measured), so Spark's
+    shiftright and DuckDB's ``// 2`` agree bit-for-bit and the oracle's
+    recursive-CTE replay hash-matches with zero float drift.
+
+    Spark side: hourly hash agg, then each type's series is folded
+    IN-ROW — `collect_list` into an ordered array (bounded: hours ×
+    1 per series, the gap-fill spine argument) and one `F.aggregate`
+    accumulating the smoothed array — then exploded back to rows. One
+    shuffle (the agg), one narrow fold; at 100 TB series stay bounded
+    by the time range while types partition the work."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("h"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("x"))
+    series = hourly.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("h", "x"))).alias("sx")
+    )
+    smoothed = F.aggregate(
+        "sx",
+        F.array().cast("array<struct<h:timestamp_ntz,x:bigint,s:bigint>>"),
+        lambda acc, e: F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    e["h"].alias("h"),
+                    e["x"].alias("x"),
+                    F.when(F.size(acc) == 0, e["x"])
+                    .otherwise(
+                        F.shiftright(e["x"] + F.element_at(acc, -1)["s"], 1)
+                    )
+                    .alias("s"),
+                )
+            ),
+        ),
+    )
+    return (
+        series.select("event_type", F.explode(smoothed).alias("e"))
+        .select(
+            "event_type",
+            F.col("e.h").alias("win_start"),
+            F.col("e.x").alias("sum_v_c"),
+            F.col("e.s").alias("ewma_c"),
+            F.round(F.col("e.s").cast("double") / 100, 2).alias("ewma"),
+        )
+    )

@@ -173,3 +173,42 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cum_dist"),
     )
+
+
+@query(
+    "window_distinct_rolling",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(DISTINCT event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_types_10
+    FROM events
+    """,
+)
+def window_distinct_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregate over a window frame (W7): distinct event types
+    in each user's trailing 10 events — the rolling-diversity signal
+    behind engagement scoring and bot detection. Spark does NOT support
+    `count(DISTINCT) OVER` (DuckDB does — the oracle uses it natively);
+    the engine spelling is `size(collect_set(...) OVER frame)` — the
+    documented workaround this key pins, bit-equal to the real DISTINCT
+    count because collect_set materializes the frame's distinct set.
+
+    Scale: one shuffle on user_id, one ordered pass; the frame's
+    distinct set is bounded by min(frame, |event types|), so per-row
+    state is O(types) — safe where a naive frame-materialization is
+    not."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w)).cast("bigint").alias(
+            "n_types_10"
+        ),
+    )

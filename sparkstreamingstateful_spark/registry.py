@@ -71,13 +71,28 @@ def query(name: str, oracle: str | None = None):
 # rotation: remaining old-evidence keys first, the twice-checked
 # r10+r11 window last.
 _KEY_PRIORITY = [
-    # (0) Keys NEW in round 13 (VERDICT r12 items 3-6): TABLE-argument
-    # UDTF, ANN recall contract, foreachBatch MERGE materialization,
-    # fixed-point PageRank over the LSH pair graph.
+    # (0) Keys NEW in round 13 — VERDICT r12 items 3-6 (TABLE-argument
+    # UDTF, ANN recall contract at nprobe 1 and 3, foreachBatch MERGE
+    # materialization, fixed-point PageRank over the LSH pair graph)
+    # plus the round's surface additions (DataFrame.transpose, calendar
+    # INTERVAL arithmetic, exact bitmap distinct, lateral column
+    # aliases, hashed-feature classifier scoring).
     "udtf_table_arg",
     "embed_ann_recall",
     "stream_merge_to_table",
     "graph_pagerank_lsh",
+    "frame_transpose",
+    "scalar_interval",
+    "agg_bitmap_distinct",
+    "sql_lateral_alias",
+    "text_classifier_score",
+    "events_ewma_smooth",
+    "window_distinct_rolling",
+    "text_url_filter",
+    "sql_join_hints",
+    "agg_grouping_id",
+    "json_construct",
+    "scalar_string_multi",
     # (a) Round-13 rotation (VERDICT r12 item 1 — the evidence-staleness
     # tail): the ENTIRE 40-key cohort whose newest driver evidence was
     # r7, so after this round no key's evidence predates r8.
@@ -121,17 +136,17 @@ _KEY_PRIORITY = [
     "agg_listagg",
     "udtf_analyze",
     "scalar_try_arithmetic",
-    # (b) the 6 oldest r8-evidence keys fill the window to exactly 50.
+    # --- 50-key boundary falls 6 keys above this line (16 new + 34 of
+    # the 40-key r7 cohort fill the window; the cohort's last 6 keys
+    # land just below and lead the r14 rotation together with the r8
+    # cohort, then the r9 cohort, then the freshest evidence at the
+    # bottom).
     "stateful_running_agg_tws_bootstrap",
     "scd2_point_in_time_join",
     "stream_union_sources",
     "scan_xml",
     "sql_tpch_q16like",
     "scalar_collation",
-    # --- 50-key boundary. Order below the line = next-rotation order:
-    # first the remaining 44 r8-evidence keys (they lead the r14
-    # window), then the r9 cohort, then the freshest (r11/r12) evidence
-    # at the bottom.
     "sql_tpch_q2like",
     "events_gap_fill",
     "text_unigram_logprob",

@@ -281,3 +281,14 @@ def test_bloom_runtime_filter_plan(spark):
             spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
     assert "bloom_filter_agg" in plan, "runtime bloom filter not injected"
     assert "might_contain" in plan
+
+
+def test_join_hints_change_strategy(spark):
+    """Q39: the BROADCAST and SHUFFLE_HASH hints must actually steer the
+    physical plan — nation joins as BroadcastHashJoin, the orders join
+    runs as ShuffledHashJoin (which Spark's default prefers-sort-merge
+    policy would not pick unhinted)."""
+    plan = plan_of(spark, "sql_join_hints")
+    assert "BroadcastHashJoin" in plan
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -384,17 +384,19 @@ def test_pagerank_fixed_point_known_graphs(spark):
 
 def test_ann_recall_consistency(spark):
     """embed_ann_recall invariants: the probe panel is complete, n_exact
-    is the full top-10, hits are bounded by it, and the recall/flag
-    columns are pure arithmetic over (n_hits, n_exact)."""
+    is the full top-10, hits are bounded by it, recall columns are pure
+    arithmetic over the hit counts, and the nprobe monotonicity theorem
+    (candidate-set growth can only add hits) holds on every probe."""
     from sparkstreamingstateful_spark.operators.llm_vector import PROBE_IDS
 
     rows = QUERIES["embed_ann_recall"](spark, SF_UNIT).collect()
     assert sorted(r.probe_id for r in rows) == sorted(PROBE_IDS)
     for r in rows:
         assert r.n_exact == 10
-        assert 0 <= r.n_hits <= r.n_exact
-        assert r.recall == r.n_hits / r.n_exact
-        assert r.recall_ok == (r.recall >= 0.9)
+        assert 0 <= r.hits_nprobe1 <= r.hits_nprobe3 <= r.n_exact
+        assert r.recall_nprobe1 == r.hits_nprobe1 / r.n_exact
+        assert r.recall_nprobe3 == r.hits_nprobe3 / r.n_exact
+        assert r.monotone_ok
 
 
 def test_udtf_table_arg_matches_window_replay(spark):
