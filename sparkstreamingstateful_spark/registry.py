@@ -63,13 +63,12 @@ def query(name: str, oracle: str | None = None):
 # Evidence-priority ordering. The correctness driver checks exactly the
 # FIRST 50 registered keys each round (count cap, measured r1/r2), so
 # iteration order is the lever that decides which keys get hard oracle
-# signal. Round-12 window: (0) the 14 keys new this round, (a) the 26
-# keys that had NEVER been driver-checked (staged since r10; the r11
-# builder session did zero turns, so the r10 window was re-checked
-# verbatim in r11), (b) 16 of the displaced oldest-evidence (r6/r7)
-# cohort to fill 50. Everything below the line is ordered for the NEXT
-# rotation: remaining old-evidence keys first, the twice-checked
-# r10+r11 window last.
+# signal. Round-13 window: (0) the 16 keys new this round, (a) 34 of
+# the 40-key cohort whose newest driver evidence was r7 — the
+# staleness tail VERDICT r12 item 1 targeted. Everything below the
+# line is ordered for the NEXT rotation: the cohort's remaining 6 r7
+# keys, then the r8 cohort, then r9, then the freshest (r11/r12)
+# evidence last.
 _KEY_PRIORITY = [
     # (0) Keys NEW in round 13 — VERDICT r12 items 3-6 (TABLE-argument
     # UDTF, ANN recall contract at nprobe 1 and 3, foreachBatch MERGE
