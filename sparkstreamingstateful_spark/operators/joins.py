@@ -667,3 +667,57 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(in_tol, gap).cast("double").alias("gap_us"),
         )
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH dim AS (
+        SELECT nullif(n_nationkey % 5, 3) AS dim_key,
+               count(*) AS n_nations
+        FROM nation
+        GROUP BY nullif(n_nationkey % 5, 3)
+    ),
+    fact AS (
+        SELECT c_custkey, nullif(c_nationkey % 5, 3) AS fact_key
+        FROM customer
+    )
+    SELECT f.c_custkey,
+           CAST(f.fact_key AS DOUBLE) AS fact_key,
+           CAST(d.n_nations AS BIGINT) AS n_nations
+    FROM fact f
+    JOIN dim d ON f.fact_key IS NOT DISTINCT FROM d.dim_key
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-SAFE equi join (J14, ``<=>`` / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of vanishing — the semantic every
+    "join on a nullable business key" pipeline needs and plain ``=``
+    silently breaks (a NULL-keyed fact row never joins, even to a
+    NULL-keyed dim row). Keys are nullified deterministically
+    (``nullif(key % 5, 3)``) so both sides carry a real NULL group; the
+    H-check pins that NULL-keyed customers DO land on the NULL dim row
+    with the right dim payload. ``<=>`` keeps the join an EQUI join
+    plan-wise (hashable null-safe keys — no nested-loop fallback); the
+    nullable int output rides the r6 fetchdf contract (CAST DOUBLE).
+
+    Scale: an ordinary broadcast/shuffle hash join — null-safe equality
+    hashes NULL as a regular bucket; skewed NULL groups salt like any
+    hot key."""
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    dim = n.groupBy(
+        F.nullif(F.col("n_nationkey") % 5, F.lit(3)).alias("dim_key")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_nations"))
+    fact = c.select(
+        "c_custkey",
+        F.nullif(F.col("c_nationkey") % 5, F.lit(3)).alias("fact_key"),
+    )
+    joined = fact.join(
+        F.broadcast(dim), fact["fact_key"].eqNullSafe(dim["dim_key"])
+    )
+    return joined.select(
+        "c_custkey",
+        F.col("fact_key").cast("double").alias("fact_key"),
+        F.col("n_nations"),
+    )

@@ -370,3 +370,54 @@ def json_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("j", "$.status").alias("status_back"),
         F.get_json_object("j", "$.cents").cast("bigint").alias("cents_back"),
     )
+
+
+@query(
+    "array_edit_ops",
+    oracle="""
+    SELECT c_custkey,
+           array_to_string([c_custkey % 5, 99, c_custkey % 7], ',')
+               AS inserted,
+           array_to_string([c_custkey % 5, c_custkey % 7, 42], ',')
+               AS appended,
+           array_to_string([7, c_custkey % 5, c_custkey % 7], ',')
+               AS prepended,
+           array_to_string([c_custkey % 5, c_custkey % 7], ',')
+               AS compacted,
+           -- coalesce: DuckDB array_to_string([]) is NULL, Spark
+           -- array_join([]) is '' (hit when custkey%5 = custkey%7 = 3)
+           coalesce(array_to_string(
+               list_filter([c_custkey % 5, c_custkey % 7, 3],
+                           x -> x <> 3), ','), '') AS removed
+    FROM customer
+    """,
+)
+def array_edit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array EDITING surface (N11, Spark 3.4/3.5): `array_insert`
+    (position insert), `array_append`/`array_prepend`, `array_compact`
+    (NULL removal), `array_remove` (remove-all-equal) — the in-row
+    mutation family N1's read-side ops don't touch. The oracle states
+    the EXPECTED arrays relationally (list literals / list_filter) from
+    the same base values, so each Spark function's semantics — insert
+    position, remove-all (not remove-first), compact dropping only
+    NULLs — is pinned independently. Arrays stringified for the hash
+    (element order is part of the contract; the driver's canonicalizer
+    shouldn't have to guess list compare rules).
+
+    Scale: narrow row-local expressions riding the scan."""
+    c = load_table(spark, sf_dir, "customer")
+    a = F.col("c_custkey") % 5
+    b = F.col("c_custkey") % 7
+    base = F.array(a, b)
+
+    def s(arr):
+        return F.array_join(F.transform(arr, lambda x: x.cast("string")), ",")
+
+    return c.select(
+        "c_custkey",
+        s(F.array_insert(base, 2, F.lit(99))).alias("inserted"),
+        s(F.array_append(base, F.lit(42))).alias("appended"),
+        s(F.array_prepend(base, F.lit(7))).alias("prepended"),
+        s(F.array_compact(F.array(a, F.lit(None), b))).alias("compacted"),
+        s(F.array_remove(F.array(a, b, F.lit(3)), 3)).alias("removed"),
+    )

@@ -559,3 +559,37 @@ def scalar_string_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.repeat(F.lit("-"), (F.col("c_custkey") % 4).cast("int")).alias("dashes"),
         F.substring("c_name", 1, 8).alias("name8"),
     )
+
+
+@query(
+    "scalar_str_to_map",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment AS seg_back,
+           CAST(c_nationkey AS BIGINT) AS nat_back,
+           CAST(2 AS BIGINT) AS n_keys
+    FROM customer
+    """,
+)
+def scalar_str_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`str_to_map` (P19) — parsing `k:v,k:v` config/tag strings into a
+    map and reading it back, the lightweight cousin of JSON extraction
+    every log pipeline hits. The input string is BUILT from the row's
+    own columns, and the oracle states the expected lookups relationally
+    from those same columns (the text_url_filter device) — so the hash
+    pins the parse round-trip without the oracle ever splitting the
+    string.
+
+    Scale: narrow row-local codegen expressions riding the scan."""
+    c = load_table(spark, sf_dir, "customer")
+    tag_str = F.concat(
+        F.lit("seg:"), F.col("c_mktsegment"),
+        F.lit(",nat:"), F.col("c_nationkey").cast("string"),
+    )
+    m = F.str_to_map(tag_str, F.lit(","), F.lit(":"))
+    return c.select(
+        "c_custkey",
+        m.getItem("seg").alias("seg_back"),
+        m.getItem("nat").cast("bigint").alias("nat_back"),
+        F.size(F.map_keys(m)).cast("bigint").alias("n_keys"),
+    )

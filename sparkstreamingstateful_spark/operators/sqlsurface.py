@@ -746,3 +746,42 @@ sql_join_hints = _sql_query(
     GROUP BY n_name, o_orderstatus
     """,
 )
+
+
+# Q40: SELECT * EXCEPT — the wide-table ergonomics everyone wants at 100
+# columns (project everything but the blobs). Spark 4 parser surface; the
+# oracle enumerates the kept columns explicitly (DuckDB's spelling is
+# EXCLUDE — the semantic, not the keyword, is under check).
+sql_select_except = _sql_query(
+    "sql_select_except",
+    """
+    SELECT * EXCEPT (o_orderdate) FROM orders WHERE o_orderkey % 11 = 0
+    """,
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderpriority
+    FROM orders WHERE o_orderkey % 11 = 0
+    """,
+)
+
+# Q41: SQL UNPIVOT clause (the parser twin of P9's DataFrame melt and
+# Q24's PIVOT): wide metrics → (metric, value) rows, INCLUDE NULLS made
+# explicit so the null-row contract is pinned (Spark's default EXCLUDEs).
+# Oracle replays as a UNION ALL.
+sql_unpivot_clause = _sql_query(
+    "sql_unpivot_clause",
+    """
+    SELECT c_custkey, metric, CAST(v AS DOUBLE) AS v
+    FROM (SELECT c_custkey, c_acctbal,
+                 CAST(c_nationkey AS DOUBLE) AS nat_key
+          FROM customer)
+    UNPIVOT INCLUDE NULLS (v FOR metric IN (c_acctbal, nat_key))
+    """,
+    oracle="""
+    SELECT c_custkey, 'c_acctbal' AS metric, CAST(c_acctbal AS DOUBLE) AS v
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, 'nat_key', CAST(c_nationkey AS DOUBLE)
+    FROM customer
+    """,
+)

@@ -63,11 +63,11 @@ def query(name: str, oracle: str | None = None):
 # Evidence-priority ordering. The correctness driver checks exactly the
 # FIRST 50 registered keys each round (count cap, measured r1/r2), so
 # iteration order is the lever that decides which keys get hard oracle
-# signal. Round-13 window: (0) the 16 keys new this round, (a) 34 of
+# signal. Round-13 window: (0) the 21 keys new this round, (a) 29 of
 # the 40-key cohort whose newest driver evidence was r7 — the
 # staleness tail VERDICT r12 item 1 targeted. Everything below the
-# line is ordered for the NEXT rotation: the cohort's remaining 6 r7
-# keys, then the r8 cohort, then r9, then the freshest (r11/r12)
+# line is ordered for the NEXT rotation: the cohort's remaining 11
+# r7 keys, then the r8 cohort, then r9, then the freshest (r11/r12)
 # evidence last.
 _KEY_PRIORITY = [
     # (0) Keys NEW in round 13 — VERDICT r12 items 3-6 (TABLE-argument
@@ -92,9 +92,14 @@ _KEY_PRIORITY = [
     "agg_grouping_id",
     "json_construct",
     "scalar_string_multi",
+    "join_null_safe",
+    "sql_select_except",
+    "sql_unpivot_clause",
+    "array_edit_ops",
+    "scalar_str_to_map",
     # (a) Round-13 rotation (VERDICT r12 item 1 — the evidence-staleness
-    # tail): the ENTIRE 40-key cohort whose newest driver evidence was
-    # r7, so after this round no key's evidence predates r8.
+    # tail): the cohort whose newest driver evidence was r7; the first
+    # 29 fit the window, the last 11 land just below the line.
     "stream_stream_join_left",
     "stream_dedup_watermarked",
     "stream_window_chained",
@@ -135,8 +140,8 @@ _KEY_PRIORITY = [
     "agg_listagg",
     "udtf_analyze",
     "scalar_try_arithmetic",
-    # --- 50-key boundary falls 6 keys above this line (16 new + 34 of
-    # the 40-key r7 cohort fill the window; the cohort's last 6 keys
+    # --- 50-key boundary falls 11 keys above this line (21 new + 29 of
+    # the 40-key r7 cohort fill the window; the cohort's last 11 keys
     # land just below and lead the r14 rotation together with the r8
     # cohort, then the r9 cohort, then the freshest evidence at the
     # bottom).
