@@ -164,6 +164,26 @@ SHOWCASE = [
     ("scan_json_corrupt", "dirty ingest (r12): two text-source scans "
      "(PERMISSIVE / DROPMALFORMED) each collapsing to a 1-row aggregate "
      "— per-record error handling is task-local, no driver involvement"),
+    ("agg_bitmap_distinct", "bitmap-exact distinct (r13): two-level "
+     "bitmap aggregation — the shuffle after level 1 carries one bitmap "
+     "per (group, 32768-key bucket), never distinct rows; no EXPAND "
+     "anywhere (contrast agg_distinct's plan), and the shard variant "
+     "merges through bitmap_or_agg"),
+    ("text_classifier_score", "hashed-feature classifier (r13): "
+     "explode + codegen'd md5 weight per feature feeding ONE "
+     "partial+final hash agg keyed by doc_id — the canonical broadcast- "
+     "model scoring pass, no Python, one shuffle"),
+    ("join_null_safe", "null-safe equi join (r13): eqNullSafe keys stay "
+     "HASHABLE — a plain BroadcastHashJoin with the null bucket a "
+     "regular hash bucket, no nested-loop fallback"),
+    ("sql_join_hints", "join strategy hints (r13): BROADCAST(nation) + "
+     "SHUFFLE_HASH(orders) both visible in the executed plan "
+     "(BroadcastHashJoin + ShuffledHashJoin, zero SortMergeJoin) — the "
+     "hint overrides Catalyst's prefer-sort-merge default"),
+    ("window_distinct_rolling", "distinct-over-frame (r13): one shuffle "
+     "on user_id, one ordered window pass; collect_set bounds per-row "
+     "state by |event types|, the workaround plan for Spark's missing "
+     "count(DISTINCT) OVER"),
 ]
 
 
