@@ -161,14 +161,15 @@ def extract_features(df: DataFrame, *, fake_decode: bool = True) -> DataFrame:
 
 
 # ----------------------------------------------------------------- BMP
-# The one REAL decode path in this container: uncompressed 24-bit BMP is
+# A REAL decode path (with PNG below): uncompressed 24-bit BMP is
 # a pure-struct public format (Windows BITMAPINFOHEADER layout), so it
 # needs no codec library. synthesize_bmp builds genuine BMP files from a
 # closed-form pixel function (so a SQL oracle can replay the expected
 # stats without parsing bytes); decode_bmp parses ONLY the bytes —
 # header fields, row padding, bottom-up row order, BGR channel order —
 # exactly what any conformant reader must do. The NotImplementedError
-# gates above still cover every compressed format.
+# gates above still cover JPEG/video; PNG is decoded for real below
+# (zlib is stdlib).
 
 BMP_HEADER_BYTES = 54  # 14-byte file header + 40-byte BITMAPINFOHEADER
 
@@ -288,3 +289,215 @@ def decode_bmp_stats(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, BMP_STATS_SCHEMA)
+
+
+# ----------------------------------------------------------------- PNG
+# The second REAL decode path: PNG's container is public struct + CRC32
+# and its compression is zlib/DEFLATE — which the Python stdlib ships —
+# so a conformant truecolor-PNG reader needs no external codec library.
+# synthesize_png builds genuine PNGs from the same closed-form-pixel
+# discipline as BMP (so a SQL oracle replays expected stats without
+# parsing bytes), deliberately cycling ALL FIVE scanline filter types
+# (None/Sub/Up/Average/Paeth, one per row) so the decoder's unfiltering
+# is genuinely exercised; decode_png parses bytes alone — signature,
+# chunk framing with CRC validation, IDAT concatenation, inflate, and
+# per-row unfiltering. JPEG and the video codecs stay behind the honest
+# NotImplementedError gates above.
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def png_dims(doc_id: int) -> tuple[int, int]:
+    """widths 2..6; heights 5..7 (h >= 5 so every filter type 0..4
+    appears in every image — filter type = row index mod 5)."""
+    return 2 + doc_id % 5, 5 + doc_id % 3
+
+
+def png_pixel(doc_id: int, x: int, y: int) -> tuple[int, int, int]:
+    """Closed-form (R, G, B) — integer arithmetic only, replayed
+    verbatim by the oracle SQL. (PNG is RGB top-down; BMP's twin is BGR
+    bottom-up — the two keys pin opposite channel/row conventions.)"""
+    return (
+        (doc_id + 7 * x + 3 * y) % 256,
+        (2 * doc_id + x + 5 * y) % 256,
+        (5 * doc_id + 2 * x + y) % 256,
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_chunk(typ: bytes, payload: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(payload))
+        + typ
+        + payload
+        + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+    )
+
+
+def synthesize_png(doc_id: int) -> bytes:
+    """One valid 8-bit truecolor (color type 2) PNG; scanline filter
+    type cycles y % 5 so all five filters are present."""
+    import struct
+    import zlib
+
+    w, h = png_dims(doc_id)
+    bpp = 3
+    prev = bytes(w * bpp)
+    scan = bytearray()
+    for y in range(h):
+        row = bytearray()
+        for x in range(w):
+            row += bytes(png_pixel(doc_id, x, y))
+        ft = y % 5
+        filt = bytearray()
+        for i in range(len(row)):
+            left = row[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            upleft = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = left
+            elif ft == 2:
+                pred = up
+            elif ft == 3:
+                pred = (left + up) // 2
+            else:
+                pred = _paeth(left, up, upleft)
+            filt.append((row[i] - pred) & 0xFF)
+        scan += bytes([ft]) + bytes(filt)
+        prev = bytes(row)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes):
+    """Parse one truecolor PNG from bytes alone: signature, chunk
+    framing (every CRC validated), IDAT concatenation, zlib inflate,
+    per-row unfiltering for all five filter types. Returns (width,
+    height, mean_r, mean_g, mean_b, tl_r, tl_g, tl_b). Interlaced,
+    paletted, alpha, and non-8-bit variants are rejected loudly."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    w = h = None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        typ = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(typ + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r}: CRC mismatch")
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise NotImplementedError(
+                    "only 8-bit truecolor non-interlaced PNG is supported"
+                )
+        elif typ == b"IDAT":
+            idat += payload
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    raw = zlib.decompress(bytes(idat))
+    bpp = 3
+    stride = w * bpp
+    px = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        recon = np.zeros(stride, dtype=np.int32)
+        for i in range(stride):
+            left = recon[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            upleft = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = left
+            elif ft == 2:
+                pred = up
+            elif ft == 3:
+                pred = (left + up) // 2
+            elif ft == 4:
+                pred = _paeth(int(left), int(up), int(upleft))
+            else:
+                raise ValueError(f"bad filter type {ft}")
+            recon[i] = (line[i] + pred) & 0xFF
+        px[y] = recon.astype(np.uint8)
+        prev = recon
+    img = px.reshape(h, w, 3)
+    means = img.reshape(-1, 3).astype(np.float64).mean(axis=0)
+    tl = img[0, 0]
+    return (
+        w, h,
+        float(means[0]), float(means[1]), float(means[2]),
+        int(tl[0]), int(tl[1]), int(tl[2]),
+    )
+
+
+PNG_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("tl_r", T.LongType()),
+        T.StructField("tl_g", T.LongType()),
+        T.StructField("tl_b", T.LongType()),
+    ]
+)
+
+
+def decode_png_stats(df: DataFrame) -> DataFrame:
+    """(doc_id, media: binary) → per-image stats via Arrow-batched
+    mapInPandas — the PNG twin of decode_bmp_stats."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [decode_png(bytes(b)) for b in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [o[0] for o in out],
+                    "height": [o[1] for o in out],
+                    "n_pixels": [o[0] * o[1] for o in out],
+                    "mean_r": [o[2] for o in out],
+                    "mean_g": [o[3] for o in out],
+                    "mean_b": [o[4] for o in out],
+                    "tl_r": [o[5] for o in out],
+                    "tl_g": [o[6] for o in out],
+                    "tl_b": [o[7] for o in out],
+                }
+            )
+
+    return df.mapInPandas(run, PNG_STATS_SCHEMA)

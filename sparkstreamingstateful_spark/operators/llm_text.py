@@ -916,6 +916,72 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_bmp_stats(media)
 
 
+@query(
+    "multimodal_decode_png",
+    oracle="""
+    WITH d AS (SELECT doc_id, 2 + doc_id % 5 AS w, 5 + doc_id % 3 AS h
+               FROM documents),
+    px AS (
+        SELECT d.doc_id, d.w, d.h, x.i AS x, y.i AS y,
+               (d.doc_id + 7 * x.i + 3 * y.i) % 256 AS r,
+               (2 * d.doc_id + x.i + 5 * y.i) % 256 AS g,
+               (5 * d.doc_id + 2 * x.i + y.i) % 256 AS b
+        FROM d, range(6) x(i), range(8) y(i)
+        WHERE x.i < d.w AND y.i < d.h
+    )
+    SELECT doc_id,
+           CAST(max(w) AS INT) AS width,
+           CAST(max(h) AS INT) AS height,
+           CAST(max(w) * max(h) AS BIGINT) AS n_pixels,
+           avg(r) AS mean_r, avg(g) AS mean_g, avg(b) AS mean_b,
+           CAST(max(CASE WHEN x = 0 AND y = 0 THEN r END) AS BIGINT) AS tl_r,
+           CAST(max(CASE WHEN x = 0 AND y = 0 THEN g END) AS BIGINT) AS tl_g,
+           CAST(max(CASE WHEN x = 0 AND y = 0 THEN b END) AS BIGINT) AS tl_b
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPRESSED image decode path (L8c) — real PNG, no codec
+    library: PNG's container is public struct + CRC32 and its
+    compression is zlib/DEFLATE, which the stdlib ships, so the decoder
+    is a conformant truecolor-PNG reader built from the spec. Per-doc
+    PNGs are synthesized as genuine binary blobs (scanline filter type
+    CYCLES through all five — None/Sub/Up/Average/Paeth — one per row,
+    heights 5..7 guarantee every filter appears in every image) in one
+    mapInPandas stage; a second stage decodes FROM BYTES ALONE —
+    signature, chunk CRC validation, IDAT inflate, per-row unfiltering —
+    into width/height/channel means/top-left pixel. The closed-form
+    pixel function lets the oracle replay expected stats relationally
+    without seeing the bytes, so the H-check is an independent
+    conformance test of the whole decompress+unfilter pipeline (one
+    wrong Paeth predictor skews every mean). PNG is RGB top-down where
+    the BMP twin is BGR bottom-up — the two keys pin opposite
+    channel/row conventions. JPEG stays honestly gated
+    (functions/multimodal.py — DCT entropy coding has no stdlib
+    substrate).
+
+    Scale: two narrow Arrow stages, zero shuffles, constant memory —
+    decode cost is per-row Python+numpy, the honest shape for codec
+    work (production swaps the same mapInPandas slot for a native
+    decoder)."""
+    import pandas as pd
+
+    from ..functions.multimodal import decode_png_stats, synthesize_png
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [synthesize_png(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = d.mapInPandas(synth, "doc_id long, media binary")
+    return decode_png_stats(media)
+
+
 _EDGES_SQL = """
         SELECT a.doc_id AS a_id, b.doc_id AS b_id
         FROM (SELECT lang, doc_id,

@@ -63,10 +63,10 @@ def query(name: str, oracle: str | None = None):
 # Evidence-priority ordering. The correctness driver checks exactly the
 # FIRST 50 registered keys each round (count cap, measured r1/r2), so
 # iteration order is the lever that decides which keys get hard oracle
-# signal. Round-13 window: (0) the 21 keys new this round, (a) 29 of
+# signal. Round-13 window: (0) the 22 keys new this round, (a) 28 of
 # the 40-key cohort whose newest driver evidence was r7 — the
 # staleness tail VERDICT r12 item 1 targeted. Everything below the
-# line is ordered for the NEXT rotation: the cohort's remaining 11
+# line is ordered for the NEXT rotation: the cohort's remaining 12
 # r7 keys, then the r8 cohort, then r9, then the freshest (r11/r12)
 # evidence last.
 _KEY_PRIORITY = [
@@ -97,9 +97,10 @@ _KEY_PRIORITY = [
     "sql_unpivot_clause",
     "array_edit_ops",
     "scalar_str_to_map",
+    "multimodal_decode_png",
     # (a) Round-13 rotation (VERDICT r12 item 1 — the evidence-staleness
     # tail): the cohort whose newest driver evidence was r7; the first
-    # 29 fit the window, the last 11 land just below the line.
+    # 28 fit the window, the last 12 land just below the line.
     "stream_stream_join_left",
     "stream_dedup_watermarked",
     "stream_window_chained",
@@ -140,8 +141,8 @@ _KEY_PRIORITY = [
     "agg_listagg",
     "udtf_analyze",
     "scalar_try_arithmetic",
-    # --- 50-key boundary falls 11 keys above this line (21 new + 29 of
-    # the 40-key r7 cohort fill the window; the cohort's last 11 keys
+    # --- 50-key boundary falls 12 keys above this line (22 new + 28 of
+    # the 40-key r7 cohort fill the window; the cohort's last 12 keys
     # land just below and lead the r14 rotation together with the r8
     # cohort, then the r9 cohort, then the freshest evidence at the
     # bottom).

@@ -67,3 +67,63 @@ def test_decode_bmp_top_down_and_rejections():
     bad_bpp = src[:28] + struct.pack("<H", 8) + src[30:]
     with pytest.raises(NotImplementedError):
         mm.decode_bmp(bad_bpp)
+
+
+def test_png_roundtrip_exact_all_filters():
+    """decode(synthesize(id)) must reproduce the closed-form pixels
+    exactly for ids covering every (width, height) combination — and
+    since filter type = row % 5 with h >= 5, every PNG filter
+    (None/Sub/Up/Average/Paeth) is exercised in every image."""
+    from sparkstreamingstateful_spark.functions.multimodal import (
+        decode_png,
+        png_dims,
+        png_pixel,
+        synthesize_png,
+    )
+
+    for doc_id in range(15):  # 15 covers all (w,h) = (5 widths × 3 heights)
+        w, h, mr, mg, mb, tr, tg, tb = decode_png(synthesize_png(doc_id))
+        ew, eh = png_dims(doc_id)
+        assert (w, h) == (ew, eh)
+        pix = [png_pixel(doc_id, x, y) for y in range(eh) for x in range(ew)]
+        n = len(pix)
+        for got, c in ((mr, 0), (mg, 1), (mb, 2)):
+            assert got == sum(p[c] for p in pix) / n
+        assert (tr, tg, tb) == png_pixel(doc_id, 0, 0)
+
+
+def test_png_crc_validation():
+    """A flipped byte anywhere in a chunk must fail the CRC check loudly
+    — silent corruption tolerance is how image pipelines rot."""
+    import pytest
+
+    from sparkstreamingstateful_spark.functions.multimodal import (
+        decode_png,
+        synthesize_png,
+    )
+
+    blob = bytearray(synthesize_png(7))
+    blob[40] ^= 0x01  # inside the IDAT payload
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(blob))
+
+
+def test_png_rejects_unsupported_variants():
+    import struct
+    import zlib
+
+    import pytest
+
+    from sparkstreamingstateful_spark.functions.multimodal import (
+        PNG_SIG,
+        _png_chunk,
+        decode_png,
+    )
+
+    # grayscale (color type 0) must be rejected, not mis-decoded
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    blob = PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(
+        b"IDAT", zlib.compress(bytes(6))
+    ) + _png_chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError):
+        decode_png(blob)
