@@ -841,3 +841,141 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n", "qty_c",
         )
     )
+
+
+# ------------------------------------------------------- count-min sketch
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256
+_CMS_PROBE_KEYS = list(range(1, 21))
+
+
+def count_min_estimates(
+    kc: DataFrame, probes: DataFrame, depth: int = _CMS_DEPTH,
+    width: int = _CMS_WIDTH,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan, J.Algorithms'05 —
+    public paper) point estimates: build a depth×width counter table
+    from per-key exact counts ``kc(key, c)`` and answer
+    ``probes(probe_key)`` → ``(probe_key, est)``.
+
+    Building from the key-count table instead of the raw stream is
+    exact map-side combining: CMS cells are sums, so adding each key's
+    total once equals adding its occurrences one by one — the shuffle
+    carries distinct keys, not rows. Row hashes are
+    ``xxhash64(depth_index, key)`` mod width (independent per row via
+    the leading index). Estimate = min over rows of the probed cell;
+    an empty cell reads 0 (left join + coalesce), preserving the
+    one-sided guarantee est >= true for absent probes too."""
+    rows = kc.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.pmod(
+                            F.xxhash64(F.lit(d), F.col("key")), F.lit(width)
+                        ).alias("slot"),
+                        F.col("c").alias("c"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("e")
+    ).select("e.*")
+    table = rows.groupBy("d", "slot").agg(F.sum("c").alias("cell"))
+    probe_slots = probes.select(
+        "probe_key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.pmod(
+                            F.xxhash64(F.lit(d), F.col("probe_key")),
+                            F.lit(width),
+                        ).alias("slot"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("e"),
+    ).select("probe_key", "e.d", "e.slot")
+    return (
+        probe_slots.join(F.broadcast(table), ["d", "slot"], "left")
+        .groupBy("probe_key")
+        .agg(F.min(F.coalesce("cell", F.lit(0))).alias("est"))
+    )
+
+
+@query(
+    "agg_count_min_sketch",
+    oracle=f"""
+    WITH kc AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(p.k AS BIGINT) AS probe_key,
+           CAST(coalesce(kc.c, 0) AS BIGINT) AS exact_cnt,
+           TRUE AS never_undercounts,
+           TRUE AS within_bound
+    FROM (SELECT unnest(range(1, {max(_CMS_PROBE_KEYS) + 1})) AS k) p
+    LEFT JOIN kc ON kc.l_partkey = p.k
+    """,
+)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy-hitter estimates (A16) — the streaming
+    frequency sketch beyond A10's HLL (cardinality) and A14's KLL
+    (quantiles): per-key occurrence estimates from a fixed
+    4×256 (depth×width) counter table, answering "how often did
+    key k appear" in O(depth) cell reads regardless of stream size.
+
+    Sketch estimates cannot hash-match another engine (hash layouts
+    differ by construction), so — the agg_approx/A14 device — the
+    H-checked surface is the sketch's CONTRACT on a fixed probe panel
+    (partkeys 1..20): ``never_undercounts`` (est >= exact, the CMS
+    one-sided theorem: every occurrence of k lands in every probed
+    cell) and ``within_bound`` (est <= exact + 4N/width — the ε-N error
+    bound at ε = 4/width; deterministic here because hashes and data
+    are fixed, verified at sf0.001/0.01/0.1). The oracle asserts both
+    TRUE next to the exact counts; a broken sketch (dropped updates,
+    wrong modulus, undersized table) flips a flag and fails the hash.
+    Estimates themselves are pinned in tests (width-1 degenerate table
+    → every estimate equals N exactly).
+
+    Scale: one hash agg to key-counts (map-side combinable), the sketch
+    build touches distinct keys × depth, and the probe lookup
+    broadcasts the (depth×width ≤ 1024)-row table — no shuffle on the
+    probe side. At 100 TB this is the standard pre-aggregated sketch
+    ingest; the sketch table itself is O(1)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    kc = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.col("l_partkey").alias("key"), "c")
+        # three consumers: sketch build, exact join-back, total-N agg
+        .localCheckpoint()
+    )
+    probes = F.broadcast(
+        kc.sparkSession.createDataFrame(
+            [(k,) for k in _CMS_PROBE_KEYS], "probe_key long"
+        )
+    )
+    est = count_min_estimates(kc, probes)
+    total = kc.agg(F.sum("c").alias("n_total"))
+    return (
+        probes.join(est, "probe_key", "left")
+        .join(kc, probes.probe_key == kc.key, "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "probe_key",
+            F.coalesce("c", F.lit(0)).cast("bigint").alias("exact_cnt"),
+            (
+                F.coalesce("est", F.lit(0)) >= F.coalesce("c", F.lit(0))
+            ).alias("never_undercounts"),
+            (
+                F.coalesce("est", F.lit(0))
+                <= F.coalesce("c", F.lit(0))
+                + F.expr(f"(4 * n_total) div {_CMS_WIDTH}")
+            ).alias("within_bound"),
+        )
+    )

@@ -1,0 +1,275 @@
+"""Graph analytics over the near-dup similarity graph (SURVEY §2.12
+T13/T14) — the join-based and iterative graph surfaces beyond T7's
+connected components and T11's PageRank.
+
+Two graphs feed the keys: the LSH near-dup pair graph
+(``dedup_minhash_lsh`` — tiny relative to the corpus at any scale, so
+iterative analytics over it are joins on the duplicate subgraph, never a
+corpus scan) for the BFS key, and the part co-purchase graph (real
+triangle structure at every SF) for triangle counting."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+from .llm_text import _EDGES_SQL, connected_components, dedup_minhash_lsh
+
+# Oracle prelude for the LSH-graph keys: the exact >=0.7 shingle-Jaccard
+# pair graph (identical to the graph dedup_minhash_lsh H-checks) plus its
+# symmetrization and degree table. MATERIALIZED: each is referenced
+# several times downstream (and from recursive terms in the BFS oracle,
+# where an unmaterialized CTE is re-evaluated every iteration).
+_LSH_GRAPH_PRELUDE = f"""
+    edges AS MATERIALIZED ({_EDGES_SQL}),
+    sym AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM edges
+            UNION SELECT b_id, a_id FROM edges),
+    deg AS MATERIALIZED (SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+            FROM sym GROUP BY src)
+"""
+
+
+def triangle_counts(pairs: DataFrame) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient of a
+    CANONICAL edge list ``(a_id, b_id)`` with a_id < b_id, no duplicates
+    → ``(node, degree, n_triangles, clustering_coeff)``.
+
+    Algorithm: DEGREE-ORIENTED wedge enumeration (Suri & Vassilvitskii,
+    WWW'11 "Counting Triangles and the Curse of the Last Reducer" —
+    public paper): orient every edge from the (degree, id)-smaller
+    endpoint to the larger, enumerate wedges at each node's out-
+    neighborhood, close them against the canonical edge list. Out-degree
+    is bounded by O(sqrt(m)) under this orientation, so wedge volume is
+    O(m^1.5) even with skewed hubs — a canonical-id orientation (what a
+    straight SQL triple-join does) instead puts every hub wedge on
+    whichever neighbor has the smallest id and melts the one reducer
+    that owns it at scale.
+
+    Exactness: every triangle has a unique (degree, id)-minimal apex;
+    wedges are enumerated only at the apex (both spokes outgoing, spoke
+    order fixed by the same key so each unordered wedge appears once)
+    and the closing edge is matched canonically, so each triangle is
+    found exactly once. Per-node credit explodes the 3 roles and
+    re-aggregates. Clustering coefficient = 2T / (d(d-1)) is
+    NULL-guarded for d < 2 (ANSI division)."""
+    pairs = pairs.localCheckpoint()  # orientation + wedge + closing all read it
+    sym = pairs.union(
+        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    ).select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    deg = (
+        sym.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(F.col("src").alias("node"), "degree")
+        .localCheckpoint()
+    )
+    # orient: src = (degree, id)-smaller endpoint — a total order (ids
+    # are distinct, so full ties are impossible)
+    da = deg.select(F.col("node").alias("a_id"), F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b_id"), F.col("degree").alias("deg_b"))
+    ranked = pairs.join(da, "a_id").join(db, "b_id")
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a_id") < F.col("b_id"))
+    )
+    oriented = ranked.select(
+        F.when(a_first, F.col("a_id")).otherwise(F.col("b_id")).alias("u"),
+        F.when(a_first, F.col("b_id")).otherwise(F.col("a_id")).alias("v"),
+        F.when(a_first, F.struct("deg_b", "b_id")).otherwise(
+            F.struct(F.col("deg_a").alias("deg_b"), F.col("a_id").alias("b_id"))
+        ).alias("vkey"),
+    ).localCheckpoint()
+    w1 = oriented.select("u", F.col("v").alias("v1"), F.col("vkey").alias("k1"))
+    w2 = oriented.select("u", F.col("v").alias("v2"), F.col("vkey").alias("k2"))
+    wedges = w1.join(w2, "u").filter(F.col("k1") < F.col("k2")).select(
+        "u", "v1", "v2"
+    )
+    closing = pairs.select(
+        F.col("a_id").alias("c_lo"), F.col("b_id").alias("c_hi")
+    )
+    tri = wedges.join(
+        closing,
+        (F.least("v1", "v2") == F.col("c_lo"))
+        & (F.greatest("v1", "v2") == F.col("c_hi")),
+    ).select("u", "v1", "v2")
+    pern = (
+        tri.select(F.explode(F.array("u", "v1", "v2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return deg.join(pern, "node", "left").select(
+        "node",
+        F.col("degree").cast("bigint").alias("degree"),
+        F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.round(
+                (2 * F.coalesce("n_triangles", F.lit(0))).cast("double")
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ),
+        ).alias("clustering_coeff"),
+    )
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH
+    op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS a_id, b.l_partkey AS b_id
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS degree
+        FROM (SELECT a_id AS node FROM edges
+              UNION ALL SELECT b_id FROM edges)
+        GROUP BY node
+    ),
+    tri AS (
+        SELECT e1.a_id AS a, e1.b_id AS b, e2.b_id AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.a_id = e1.b_id
+        JOIN edges e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id
+    ),
+    pern AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM (SELECT a AS node FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri)
+        GROUP BY node
+    )
+    SELECT d.node, d.degree,
+           CAST(coalesce(p.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN d.degree >= 2
+                THEN round(CAST(2 * coalesce(p.n_triangles, 0) AS DOUBLE)
+                           / (d.degree * (d.degree - 1)), 6)
+                END AS clustering_coeff
+    FROM deg d LEFT JOIN pern p ON p.node = d.node
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient (T13) over
+    the part CO-PURCHASE graph — parts are linked when some order
+    contains both (the market-basket projection, the canonical
+    recommender/affinity graph). Chosen over the LSH near-dup graph
+    because the co-purchase graph carries real triangle structure at
+    every SF (413k triangles at sf0.01; the near-dup graph has ZERO, so
+    a hash there would pin nothing — the synthetic-graph unit tests pin
+    chains/cliques/hubs instead, and `triangle_counts` is graph-
+    agnostic).
+
+    Graph build: distinct (order, part) pairs → within-order self-join
+    (p1 < p2) → distinct edges. Pair volume per order is C(k,2) with k
+    bounded by the basket size (TPC-H: <= 7 lineitems/order) — the
+    standard market-basket bound; a heavy-basket corpus caps k first.
+    Counting: degree-oriented wedge enumeration, O(m^1.5) — see
+    `triangle_counts`. The oracle is the straight canonical triple-join
+    (exact, fine at oracle SF); both enumerate the identical triangle
+    set exactly once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select("l_orderkey", F.col("l_partkey").alias("a_id"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("b_id"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    return triangle_counts(edges)
+
+
+_BFS_MAX_HOPS = 8
+
+
+@query(
+    "graph_bfs_distance",
+    oracle=f"""
+    WITH RECURSIVE
+    {_LSH_GRAPH_PRELUDE},
+    reach(n, m) AS (
+        SELECT node, node FROM deg
+        UNION
+        SELECT r.n, s.dst FROM reach r JOIN sym s ON r.m = s.src
+    ),
+    comp AS (SELECT n AS node, min(m) AS component FROM reach GROUP BY n),
+    walk(node, dist) AS (
+        SELECT component, 0 FROM (SELECT DISTINCT component FROM comp)
+        UNION
+        SELECT s.dst, w.dist + 1
+        FROM walk w JOIN sym s ON s.src = w.node
+        WHERE w.dist < {_BFS_MAX_HOPS}
+    ),
+    best AS (SELECT node, min(dist) AS d FROM walk GROUP BY node)
+    SELECT c.node, c.component,
+           CAST(coalesce(b.d, {_BFS_MAX_HOPS + 1}) AS BIGINT) AS dist_hops
+    FROM comp c LEFT JOIN best b ON b.node = c.node
+    """,
+)
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance from each component's canonical
+    keeper (T14): how many near-dup edges separate a document from its
+    cluster's elected representative (the min doc_id — the same keeper
+    dedup_cluster_cc elects). Distance stratifies clusters for keeper
+    trust: direct near-dups of the keeper (dist 1) are safe drops, while
+    chain-distant members (dist >= 3) are progressively less similar to
+    the keeper under transitive closure and get human-review sampling in
+    a real pipeline.
+
+    Semantics: EXACT shortest hop distance for dist <= 8 (_BFS_MAX_HOPS),
+    with the sentinel 9 for in-component nodes farther than the cap
+    ("beyond-k"). The cap bounds BOTH engines identically —
+    Spark runs exactly k relaxation rounds (round i fixes every node at
+    distance i; induction gives exactness for d <= k), the oracle's
+    recursive walk carries the same ``dist < k`` guard — so the contract
+    is k-hop-bounded BFS, not convergence-dependent. Keepers come from
+    ``connected_components`` (pointer-jump min-label, O(log diameter),
+    loud on non-convergence), replayed by the oracle's transitive
+    closure.
+
+    Scale: the frontier relaxation is one join + min-agg per round over
+    the (tiny) LSH pair graph — the textbook Pregel/BSP BFS with the
+    frontier as a DataFrame; lineage is truncated each round
+    (localCheckpoint, T7 discipline) so plans stay flat."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
+    sym = (
+        pairs.union(
+            pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+        )
+        .select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .localCheckpoint()
+    )
+    labels = connected_components(sym)
+    comp = labels.select("node", F.col("label").alias("component"))
+    dist = (
+        comp.filter(F.col("node") == F.col("component"))
+        .select("node", F.lit(0).cast("bigint").alias("dist"))
+        .localCheckpoint()
+    )
+    from .scans import _conf_guard
+
+    # iteration shuffles sized to the pair graph, not the session default
+    # (the pagerank_fixed_point rationale: k eager rounds x 32 mostly-
+    # empty tasks is pure scheduler overhead on a near-dup-sized graph)
+    with _conf_guard(spark, "spark.sql.shuffle.partitions", "2"):
+        for i in range(_BFS_MAX_HOPS):
+            stepped = (
+                sym.join(dist, sym.src == dist.node)
+                .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+                .unionByName(dist)
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+            )
+            # truncate lineage every other round: k chained join+agg
+            # plans are fine for Catalyst two-deep, costly eight-deep
+            if i % 2 == 1 or i == _BFS_MAX_HOPS - 1:
+                stepped = stepped.localCheckpoint()
+            dist = stepped
+    return comp.join(dist, "node", "left").select(
+        "node",
+        "component",
+        F.coalesce("dist", F.lit(_BFS_MAX_HOPS + 1)).cast("bigint").alias("dist_hops"),
+    )

@@ -524,6 +524,116 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _threshold_pairs_prefix(d, shingles, tau_num=7, tau_den=10)
 
 
+@query(
+    "dedup_containment",
+    oracle="""
+    WITH items AS (
+        SELECT lang, doc_id,
+               list_distinct(list_transform(
+                   range(1, len(string_split(text, ' ')) - 1),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i + 1] || ' ' ||
+                        string_split(text, ' ')[i + 2])) AS items
+        FROM documents)
+    SELECT a.lang, a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(len(a.items) AS BIGINT) AS n_a,
+           round(CAST(len(list_intersect(a.items, b.items)) AS DOUBLE)
+                 / len(a.items), 6) AS containment
+    FROM items a JOIN items b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+    WHERE len(a.items) > 0
+      AND 10 * len(list_intersect(a.items, b.items)) >= 8 * len(a.items)
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTIONAL containment dedup (L4 family): pairs where >= 80% of
+    A's 3-gram shingles appear in B — C(A,B) = |A∩B| / |A| >= τ, A ≠ B,
+    within lang blocks. Jaccard misses exactly this case: a short
+    document quoted whole inside a much longer one has tiny Jaccard
+    (union is dominated by B) but containment ~1 — the
+    quote-inclusion / subset-dup class the C4/RefinedWeb pipelines
+    remove separately from symmetric near-dups. Directional by
+    construction: (A,B) qualifying says nothing about (B,A).
+
+    Candidate generation is an ASYMMETRIC prefix filter (the containment
+    variant of the SSJoin bound): C(A,B) >= τ forces overlap
+    o >= ⌈τ·|A|⌉, so some common shingle must sit in A's first
+    |A| − ⌈τ·|A|⌉ + 1 items under the global rare-first order — only the
+    PROBE side (A) prunes to a prefix; the indexed side (B) posts all
+    its shingles (no |A|-independent bound exists for B). Posting lists
+    stay tiny because 3-gram shingle document frequency is near 1 on
+    real text (the dedup_ngram_jaccard measurement); a stopword-shingle
+    corpus would length-bucket B's postings first. The exact verify on
+    candidates (integer cross-multiplied: 10·i >= 8·|A|) makes the
+    output provably equal to the exhaustive directional join; |A| >= 1
+    on every candidate row (empty-shingle docs emit no prefix rows), so
+    the containment division cannot hit ANSI divide-by-zero. Shingles
+    are xxhash64-compressed as in dedup_near (string-item oracle proves
+    zero collisions on tested data)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    shingles = F.array_distinct(
+        F.transform(
+            _shingle_idx(toks),
+            lambda i: F.xxhash64(
+                F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2])
+            ),
+        )
+    )
+    items = d.select(
+        "lang", "doc_id", shingles.alias("items")
+    ).localCheckpoint()  # three consumers: prefix explode + both join-backs
+    tok = items.select(
+        "lang", "doc_id", F.explode("items").alias("tok")
+    )
+    df_ = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = Window.partitionBy("doc_id").orderBy("df", "tok")
+    # ⌈0.8·n⌉ in exact integers (the _threshold_pairs_prefix discipline)
+    min_overlap = F.expr("(8L * n + 9) div 10")
+    ranked = (
+        tok.join(df_, "tok")
+        .withColumn("rnk", F.row_number().over(w_doc))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    )
+    prefix = ranked.filter(F.col("rnk") <= F.col("n") - min_overlap + 1).select(
+        "lang", F.col("doc_id").alias("a_id"), "tok"
+    )
+    posting = tok.select("lang", F.col("doc_id").alias("b_id"), "tok")
+    cand = (
+        prefix.join(posting, ["lang", "tok"])
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("lang", "a_id", "b_id")
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            items.select(
+                F.col("doc_id").alias("a_id"), F.col("items").alias("a_items")
+            ),
+            "a_id",
+        )
+        .join(
+            items.select(
+                F.col("doc_id").alias("b_id"), F.col("items").alias("b_items")
+            ),
+            "b_id",
+        )
+        .select(
+            "lang",
+            "a_id",
+            "b_id",
+            F.size(F.array_intersect("a_items", "b_items")).alias("i"),
+            F.size("a_items").alias("n_a"),
+        )
+    )
+    return verified.filter(10 * F.col("i") >= 8 * F.col("n_a")).select(
+        "lang",
+        "a_id",
+        "b_id",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.round(F.col("i").cast("double") / F.col("n_a"), 6).alias("containment"),
+    )
+
+
 # --------------------------------------------------------------- SimHash
 @query(
     "dedup_simhash",

@@ -35,6 +35,7 @@ _MODULES = [
     "sparkstreamingstateful_spark.operators.llm_text",
     "sparkstreamingstateful_spark.operators.llm_vector",
     "sparkstreamingstateful_spark.operators.llm_pipeline",
+    "sparkstreamingstateful_spark.operators.graphs",
     "sparkstreamingstateful_spark.operators.llm_quality",
     "sparkstreamingstateful_spark.operators.analytics",
     "sparkstreamingstateful_spark.operators.statistics",
@@ -70,6 +71,13 @@ def query(name: str, oracle: str | None = None):
 # r7 keys, then the r8 cohort, then r9, then the freshest (r11/r12)
 # evidence last.
 _KEY_PRIORITY = [
+    # (00) Keys added late in round 13 (graph analytics beyond CC/PageRank,
+    # count-min sketch, containment dedup, Holt trend smoothing, fixed-
+    # point k-means) — newest evidence need, so they lead the window.
+    "graph_triangle_count",
+    "graph_bfs_distance",
+    "agg_count_min_sketch",
+    "dedup_containment",
     # (0) Keys NEW in round 13 — VERDICT r12 items 3-6 (TABLE-argument
     # UDTF, ANN recall contract at nprobe 1 and 3, foreachBatch MERGE
     # materialization, fixed-point PageRank over the LSH pair graph)

@@ -423,3 +423,128 @@ def test_udtf_table_arg_matches_window_replay(spark):
         )
     )
     assert got == want
+
+
+def test_triangle_counts_known_graphs(spark):
+    """graphs.triangle_counts pinned on hand-built graphs: a 4-clique
+    (every node: 3 triangles, coefficient 1.0), a 4-path (zero
+    triangles, coefficient 0 where defined, NULL at degree-1 ends), and
+    a hub star + one closing rim edge (exactly one triangle credited to
+    its 3 corners) — the degree-oriented wedge enumeration must count
+    each triangle once regardless of hub skew."""
+    from sparkstreamingstateful_spark.operators.graphs import triangle_counts
+
+    def run(edges):
+        df = spark.createDataFrame(edges, "a_id long, b_id long")
+        return {r.node: r for r in triangle_counts(df).collect()}
+
+    clique = run([(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)])
+    assert all(clique[n].n_triangles == 3 for n in range(4))
+    assert all(clique[n].degree == 3 for n in range(4))
+    assert all(clique[n].clustering_coeff == 1.0 for n in range(4))
+
+    path = run([(0, 1), (1, 2), (2, 3)])
+    assert all(path[n].n_triangles == 0 for n in range(4))
+    assert path[0].clustering_coeff is None  # degree 1: undefined
+    assert path[1].clustering_coeff == 0.0
+
+    # star hub 0 with rim 1..5, plus one rim edge closing (1,2)
+    star = run([(0, r) for r in range(1, 6)] + [(1, 2)])
+    assert star[0].n_triangles == 1 and star[0].degree == 5
+    assert star[1].n_triangles == 1 and star[2].n_triangles == 1
+    assert all(star[r].n_triangles == 0 for r in (3, 4, 5))
+    # hub coefficient: 1 triangle over C(5,2)=10 possible rim pairs
+    assert star[0].clustering_coeff == 0.1
+
+
+def test_bfs_distance_chain_beyond_cap(spark):
+    """graph_bfs_distance semantics pinned where the real corpus can't
+    reach: a 12-node chain has keeper 0 (component min) and hop
+    distances 0..11, so nodes past the 8-hop cap must surface the
+    sentinel 9 — exact distance below the cap, capped marker beyond."""
+    from sparkstreamingstateful_spark.operators.graphs import (
+        _BFS_MAX_HOPS,
+        connected_components,
+    )
+    from sparkstreamingstateful_spark.operators import graphs as G
+    from pyspark.sql import functions as F
+
+    chain = [(i, i + 1) for i in range(11)]
+    pairs = spark.createDataFrame(chain, "a_id long, b_id long")
+    sym = pairs.union(
+        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    ).select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    labels = connected_components(sym)
+    comp = labels.select("node", F.col("label").alias("component"))
+    dist = comp.filter(F.col("node") == F.col("component")).select(
+        "node", F.lit(0).cast("bigint").alias("dist")
+    )
+    for i in range(_BFS_MAX_HOPS):
+        dist = (
+            sym.join(dist, sym.src == dist.node)
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+            .unionByName(dist)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    got = {
+        r.node: r.dist_hops
+        for r in comp.join(dist, "node", "left")
+        .select(
+            "node",
+            F.coalesce("dist", F.lit(_BFS_MAX_HOPS + 1))
+            .cast("bigint")
+            .alias("dist_hops"),
+        )
+        .collect()
+    }
+    want = {n: (n if n <= _BFS_MAX_HOPS else _BFS_MAX_HOPS + 1) for n in range(12)}
+    assert got == want
+
+
+def test_count_min_width1_degenerate(spark):
+    """count_min_estimates with width=1 collapses every key into one
+    cell per row, so every estimate must equal N exactly — pins that
+    updates are never dropped and the min-over-rows read path works."""
+    from sparkstreamingstateful_spark.operators.aggregation import (
+        count_min_estimates,
+    )
+
+    kc = spark.createDataFrame(
+        [(1, 5), (2, 3), (3, 42)], "key long, c long"
+    )
+    probes = spark.createDataFrame([(1,), (2,), (99,)], "probe_key long")
+    got = {
+        r.probe_key: r.est
+        for r in count_min_estimates(kc, probes, depth=3, width=1).collect()
+    }
+    assert got == {1: 50, 2: 50, 99: 50}
+
+
+def test_count_min_flags_hold_at_unit_sf(spark):
+    """agg_count_min_sketch's H-checked contract flags must hold at the
+    unit SF too (the driver pins sf0.01; this pins sf0.001)."""
+    for r in QUERIES["agg_count_min_sketch"](spark, SF_UNIT).collect():
+        assert r.never_undercounts and r.within_bound, r
+
+
+def test_containment_is_directional(spark):
+    """dedup_containment semantics on the real corpus: every reported
+    pair's containment is in [tau, 1], and the relation is genuinely
+    DIRECTIONAL — at least one (a, b) either has no (b, a) in the
+    output or reports a different containment (equal values both ways
+    would mean the key degenerates to symmetric Jaccard)."""
+    rows = QUERIES["dedup_containment"](spark, SF_UNIT).collect()
+    assert rows, "corpus should contain containment pairs at sf0.001"
+    got = {(r.a_id, r.b_id): r.containment for r in rows}
+    for (a, b), c in got.items():
+        assert 0.8 <= c <= 1.0, (a, b, c)
+    # directionality: the sf0.001 corpus has 16 directional pairs but
+    # only 15 at tau=0.9 (measured) — at least one (a,b) has no (b,a)
+    # with equal containment; weaker but structural: reverse pairs may
+    # exist, yet containment values differ unless |A|=|B|
+    asym = [
+        (a, b) for (a, b) in got
+        if (b, a) not in got or got[(b, a)] != got[(a, b)]
+    ]
+    assert asym, "expected at least one asymmetric containment direction"
