@@ -1022,3 +1022,176 @@ def semdedup_capped_plan(e: DataFrame) -> DataFrame:
         F.col("subcell").cast("bigint").alias("subcell"),
         F.col("hit").isNull().alias("is_kept"),
     )
+
+
+# ------------------------------------------------------- fixed-point k-means
+_KM_K = 8
+_KM_ITERS = 3
+_KM_DIM = 64
+_KM_SCALE = 1_000_000
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division — DuckDB ``//`` / Spark
+    ``div`` semantics (Python ``//`` FLOORS, wrong for negative sums)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _km_oracle() -> str:
+    """Unrolled-CTE DuckDB replay of `kmeans_fixed_plan`: the iteration
+    count is a small fixed constant, so each Lloyd round is a plain CTE
+    pair (assign via QUALIFY arg-min; centroid update via zipped unnest
+    → trunc-div mean → ordered list reassembly) — no recursion needed,
+    and MATERIALIZED stops DuckDB re-deriving earlier rounds."""
+    qv = (
+        "list_transform(embedding,"
+        f" x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_SCALE}) AS BIGINT))"
+    )
+    sql = f"""
+    WITH q AS MATERIALIZED (SELECT vec_id, {qv} AS qv FROM embeddings),
+    cent0 AS MATERIALIZED (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+               qv AS cv
+        FROM q WHERE vec_id < {_KM_K}
+    )"""
+    prev = "cent0"
+    for it in range(1, _KM_ITERS + 1):
+        sql += f""",
+    assign{it} AS MATERIALIZED (
+        SELECT vec_id, qv, cid, dist FROM (
+            SELECT q.vec_id, q.qv, c.cid,
+                   list_sum(list_transform(range(1, {_KM_DIM + 1}),
+                       i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])))
+                       AS dist
+            FROM q CROSS JOIN {prev} c)
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, cid) = 1
+    )"""
+        if it < _KM_ITERS:
+            sql += f""",
+    sums{it} AS (
+        SELECT cid, dims.i, sum(qv[dims.i]) AS s, count(*) AS n
+        FROM assign{it},
+             (SELECT unnest(range(1, {_KM_DIM + 1})) AS i) dims
+        GROUP BY cid, dims.i
+    ),
+    cent{it} AS MATERIALIZED (
+        SELECT c0.cid, coalesce(cn.cv, c0.cv) AS cv
+        FROM {prev} c0
+        LEFT JOIN (SELECT cid, list(CAST(s // n AS BIGINT) ORDER BY i) AS cv
+                   FROM sums{it} GROUP BY cid) cn
+          ON cn.cid = c0.cid
+    )"""
+            prev = f"cent{it}"
+    sql += f"""
+    SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster,
+           CAST(a.dist AS BIGINT) AS dist_fixed,
+           CAST(sz.n AS BIGINT) AS cluster_size
+    FROM assign{_KM_ITERS} a
+    JOIN (SELECT cid, count(*) AS n FROM assign{_KM_ITERS} GROUP BY cid) sz
+      ON sz.cid = a.cid
+    """
+    return sql
+
+
+def kmeans_fixed_plan(e: DataFrame, k: int = _KM_K, iters: int = _KM_ITERS):
+    """Lloyd's k-means over the embedding table in EXACT FIXED-POINT
+    arithmetic → ``(vec_id, cluster, dist_fixed, cluster_size)``.
+
+    Float k-means cannot hash-match across engines (centroid means are
+    order-dependent float sums), so every quantity is integer:
+    components floor-quantized to 1e-6 units, distances are integer
+    sums of squares (max 64·(8e6)² ≈ 4e15 — safely BIGINT), centroid
+    updates are truncating integer divisions of exact component sums.
+    Ties in the arg-min break to the smaller cluster id; an empty
+    cluster keeps its previous centroid. Every engine replaying these
+    rules lands on the identical clustering — the PageRank discipline
+    (T11) applied to an ML training loop.
+
+    Distributed shape per round (the standard scalable k-means, e.g.
+    MLlib's): centroids live on the DRIVER (k×dim ints — tiny by
+    definition), assignment is an embarrassingly-parallel map with the
+    centroid matrix broadcast as literals, and the update is one
+    posexplode + (cluster, dim) hash agg whose output is k×dim rows —
+    collected to the driver regardless of corpus size. No iteration
+    ever shuffles the corpus; lineage stays flat because each round
+    reads the one materialized quantized input."""
+    q = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * _KM_SCALE).cast("bigint"),
+        ).alias("qv"),
+    ).localCheckpoint()  # read k·iters times: quantize exactly once
+
+    init = q.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    cents = {cid: list(r.qv) for cid, r in enumerate(init)}
+
+    def assign():
+        dists = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            "qv",
+                            F.array(*[F.lit(v) for v in cv]).cast(
+                                "array<bigint>"
+                            ),
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, d: acc + d,
+                    ).alias("dist"),
+                    F.lit(cid).cast("bigint").alias("cid"),
+                )
+                for cid, cv in sorted(cents.items())
+            ]
+        )
+        best = F.array_min(dists)
+        return q.select(
+            "vec_id", "qv",
+            best["cid"].alias("cluster"),
+            best["dist"].alias("dist_fixed"),
+        )
+
+    for it in range(iters):
+        assigned = assign()
+        if it == iters - 1:
+            break
+        upd = (
+            assigned.select("cluster", F.posexplode("qv").alias("i", "v"))
+            .groupBy("cluster", "i")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = {}
+        for r in upd:
+            new.setdefault(r.cluster, [0] * _KM_DIM)[r.i] = _tdiv(r.s, r.n)
+        cents = {cid: new.get(cid, cv) for cid, cv in cents.items()}
+
+    sizes = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return assigned.join(F.broadcast(sizes), "cluster").select(
+        "vec_id",
+        "cluster",
+        "dist_fixed",
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+    )
+
+
+@query("cluster_kmeans_fixed", oracle=_km_oracle())
+def cluster_kmeans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means document clustering over the embedding column (L20) —
+    the corpus-organization primitive behind topic balancing, cluster-
+    stratified sampling and SemDeDup-style curation: k=8 clusters,
+    3 Lloyd rounds, deterministic first-k init, all arithmetic in exact
+    integer fixed point so the unrolled-CTE oracle replay hash-matches
+    the full clustering (assignment, distance AND cluster sizes) bit
+    for bit. See `kmeans_fixed_plan` for the numeric rules and the
+    driver/executor split; 3 fixed rounds keep the oracle a flat CTE
+    chain — convergence tails belong to the iterative-refinement twin
+    this key's fixed budget deliberately excludes."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return kmeans_fixed_plan(e)

@@ -277,3 +277,117 @@ def events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("e.s").cast("double") / 100, 2).alias("ewma"),
         )
     )
+
+
+def _tdiv2(c):
+    """Truncate-toward-zero division by 2 on a BIGINT column — matches
+    DuckDB ``// 2`` and Spark SQL ``div 2`` on NEGATIVE operands too
+    (shiftright alone FLOORS: -7 >> 1 = -4, but -7 // 2 = -3 in DuckDB,
+    measured r13). Holt's trend state goes negative on any declining
+    series, so the EWMA key's bare shiftright would drift there."""
+    return F.when(c >= 0, F.shiftright(c, 1)).otherwise(-F.shiftright(-c, 1))
+
+
+@query(
+    "events_holt_linear",
+    oracle="""
+    WITH RECURSIVE
+    hourly AS MATERIALIZED (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events
+        GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    idx AS MATERIALIZED (
+        SELECT event_type, h, x,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS i
+        FROM hourly
+    ),
+    rec(event_type, i, h, x, l, b) AS (
+        SELECT event_type, i, h, x, x, CAST(0 AS BIGINT) FROM idx WHERE i = 1
+        UNION ALL
+        SELECT n.event_type, n.i, n.h, n.x,
+               CAST((n.x + r.l + r.b) // 2 AS BIGINT),
+               CAST((((n.x + r.l + r.b) // 2) - r.l + r.b) // 2 AS BIGINT)
+        FROM rec r
+        JOIN idx n ON n.event_type = r.event_type AND n.i = r.i + 1
+    )
+    SELECT event_type, h AS win_start, x AS sum_v_c,
+           l AS level_c, b AS trend_c,
+           CAST(l + b AS BIGINT) AS forecast_c,
+           round(CAST(l + b AS DOUBLE) / 100, 2) AS forecast
+    FROM rec
+    """,
+)
+def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt LINEAR-TREND smoothing (E24) of each event type's hourly
+    volume — the two-state extension of E23's EWMA: level
+    l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1}) and trend
+    b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}, forecast = l_t + b_t (the
+    one-step-ahead prediction a capacity planner actually reads;
+    level-only EWMA lags every trending series by construction).
+    α = β = 1/2 in EXACT integer fixed point (1e-2 BIGINT units): both
+    updates are single divide-by-2 steps, but the trend state is SIGNED
+    — declining series drive b negative — so the division must
+    TRUNCATE toward zero on both engines (DuckDB ``//`` and Spark SQL
+    ``div`` truncate; Python ``//`` and bare shiftright FLOOR — the
+    sign-split `_tdiv2` spells truncation in column algebra). Init
+    l_1 = x_1, b_1 = 0.
+
+    Spark side: the EWMA shape — one hash agg to hourly sums, each
+    type's series folded IN-ROW (`collect_list` → ordered `F.aggregate`
+    carrying the (l, b) pair in the accumulated struct array → explode)
+    — one shuffle total, series bounded by the time range, types
+    partition the work. The oracle replays the identical recurrence as
+    a recursive CTE; every state transition is integer-exact, so the
+    hash pins all three emitted state streams bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("h"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("x"))
+    series = hourly.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("h", "x"))).alias("sx")
+    )
+
+    def _step(acc, e):
+        last = F.element_at(acc, -1)
+        new_l = F.when(F.size(acc) == 0, e["x"]).otherwise(
+            _tdiv2(e["x"] + last["l"] + last["b"])
+        )
+        new_b = F.when(F.size(acc) == 0, F.lit(0).cast("bigint")).otherwise(
+            _tdiv2(new_l - last["l"] + last["b"])
+        )
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    e["h"].alias("h"),
+                    e["x"].alias("x"),
+                    new_l.alias("l"),
+                    new_b.alias("b"),
+                )
+            ),
+        )
+
+    smoothed = F.aggregate(
+        "sx",
+        F.array().cast(
+            "array<struct<h:timestamp_ntz,x:bigint,l:bigint,b:bigint>>"
+        ),
+        _step,
+    )
+    return (
+        series.select("event_type", F.explode(smoothed).alias("e"))
+        .select(
+            "event_type",
+            F.col("e.h").alias("win_start"),
+            F.col("e.x").alias("sum_v_c"),
+            F.col("e.l").alias("level_c"),
+            F.col("e.b").alias("trend_c"),
+            (F.col("e.l") + F.col("e.b")).cast("bigint").alias("forecast_c"),
+            F.round(
+                (F.col("e.l") + F.col("e.b")).cast("double") / 100, 2
+            ).alias("forecast"),
+        )
+    )

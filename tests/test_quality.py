@@ -548,3 +548,68 @@ def test_containment_is_directional(spark):
         if (b, a) not in got or got[(b, a)] != got[(a, b)]
     ]
     assert asym, "expected at least one asymmetric containment direction"
+
+
+def test_kmeans_fixed_known_clusters(spark):
+    """kmeans_fixed_plan pinned on a constructed 2-cluster layout: two
+    tight groups around opposite corners; with first-k init (vec 0 in
+    group A, vec 1 in group B) every point must land with its group and
+    sizes must report 3/3. Also pins _tdiv truncation on negatives."""
+    from sparkstreamingstateful_spark.operators.llm_vector import (
+        _KM_DIM,
+        _tdiv,
+        kmeans_fixed_plan,
+    )
+
+    assert _tdiv(-7, 2) == -3 and _tdiv(7, 2) == 3 and _tdiv(-8, 2) == -4
+
+    lo = [0.0] * _KM_DIM
+    hi = [1.0] * _KM_DIM
+    rows = [
+        (0, [v + 0.01 for v in lo]),
+        (1, [v - 0.01 for v in hi]),
+        (2, [v + 0.02 for v in lo]),
+        (3, [v - 0.02 for v in hi]),
+        (4, [v + 0.03 for v in lo]),
+        (5, [v - 0.03 for v in hi]),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r.vec_id: r
+        for r in kmeans_fixed_plan(e, k=2, iters=2).collect()
+    }
+    assert {got[v].cluster for v in (0, 2, 4)} == {0}
+    assert {got[v].cluster for v in (1, 3, 5)} == {1}
+    assert all(got[v].cluster_size == 3 for v in got)
+    # within-group distances are small, cross-group would be ~64e12
+    assert all(got[v].dist_fixed < 10**10 for v in got)
+
+
+def test_holt_linear_replay(spark):
+    """events_holt_linear's recurrence replayed in pure Python (with
+    truncating division) over one event type's hourly series — pins the
+    in-row fold against an independent scalar implementation,
+    negative-trend (declining) stretches included."""
+    from sparkstreamingstateful_spark.operators.llm_vector import _tdiv
+
+    rows = sorted(
+        (
+            r
+            for r in QUERIES["events_holt_linear"](spark, SF_UNIT).collect()
+            if r.event_type == "click"
+        ),
+        key=lambda r: r.win_start,
+    )
+    assert rows
+    l = b = None
+    for i, r in enumerate(rows):
+        if i == 0:
+            l, b = r.sum_v_c, 0
+        else:
+            nl = _tdiv(r.sum_v_c + l + b, 2)
+            b = _tdiv(nl - l + b, 2)
+            l = nl
+        assert (r.level_c, r.trend_c, r.forecast_c) == (l, b, l + b), (
+            i, r, l, b,
+        )
+    assert any(r.trend_c < 0 for r in rows), "declining stretches expected"
