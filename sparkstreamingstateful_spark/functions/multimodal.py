@@ -501,3 +501,129 @@ def decode_png_stats(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, PNG_STATS_SCHEMA)
+
+
+# ----------------------------------------------------------------- WAV
+# The AUDIO leg of the real-decode family: RIFF/WAVE PCM is the raw
+# audio container (public struct layout, no compression), so a
+# conformant reader needs nothing beyond stdlib struct + numpy. The
+# synthesizer emits genuine WAV files from closed-form integer samples
+# (so the SQL oracle replays expected stats without parsing bytes),
+# alternating mono/stereo to pin channel de-interleaving, and inserts a
+# junk LIST chunk in every third file so the decoder must genuinely
+# WALK the chunk list rather than assume the canonical 44-byte layout.
+
+
+def wav_params(doc_id: int) -> tuple[int, int, int]:
+    """Deterministic (n_frames, n_channels, sample_rate): frames 40..52,
+    channels alternate 1/2 (stereo pins de-interleaving), four distinct
+    sample rates (pins fmt-chunk parsing)."""
+    return 40 + doc_id % 13, 1 + doc_id % 2, 8000 + (doc_id % 4) * 4000
+
+
+def wav_sample(doc_id: int, ch: int, i: int) -> int:
+    """Closed-form signed PCM16 sample for channel ``ch``, frame ``i`` —
+    integer arithmetic only, replayed verbatim by the oracle SQL."""
+    return (doc_id * 31 + ch * 7 + i * 17) % 2048 - 1024
+
+
+def synthesize_wav(doc_id: int) -> bytes:
+    """One valid RIFF/WAVE file: canonical fmt chunk (PCM, 16-bit LE),
+    interleaved frames, and — for doc_id % 3 == 0 — a junk LIST chunk
+    between fmt and data that a layout-assuming reader trips over."""
+    import struct
+
+    n, ch, rate = wav_params(doc_id)
+    frames = b"".join(
+        struct.pack("<h", wav_sample(doc_id, c, i))
+        for i in range(n)
+        for c in range(ch)
+    )
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if doc_id % 3 == 0:
+        junk = b"INFOjunk"  # even-sized payload: no pad byte needed
+        chunks += b"LIST" + struct.pack("<I", len(junk)) + junk
+    chunks += b"data" + struct.pack("<I", len(frames)) + frames
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav(data: bytes):
+    """Parse one WAV from bytes alone by WALKING the chunk list (fmt may
+    be followed by arbitrary chunks before data): returns (n_channels,
+    sample_rate, n_frames, first_ch0, mean_ch0, peak, rms_ch0). Stats
+    are exact cross-engine: channel-0 sums are integer-exact in float64
+    at these sizes, the division is a single IEEE op, and sqrt is
+    correctly rounded — no rounding hop needed. Rejects non-PCM and
+    non-16-bit variants loudly."""
+    import struct
+
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE magic")
+    pos, end = 12, 8 + struct.unpack_from("<I", data, 4)[0]
+    ch = rate = None
+    frames = None
+    while pos + 8 <= end:
+        typ = data[pos : pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if typ == b"fmt ":
+            fmt_tag, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", body)
+            if fmt_tag != 1 or bits != 16:
+                raise NotImplementedError("only 16-bit PCM WAV is supported")
+        elif typ == b"data":
+            frames = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)  # odd chunks carry a pad byte
+    if ch is None or frames is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    sig = frames.reshape(-1, ch)
+    ch0 = sig[:, 0].astype(np.int64)
+    n = len(sig)
+    return (
+        int(ch),
+        int(rate),
+        n,
+        int(ch0[0]),
+        float(int(ch0.sum()) / n),
+        int(np.abs(sig.astype(np.int64)).max()),
+        float(np.sqrt(float(int((ch0 * ch0).sum())) / n)),
+    )
+
+
+WAV_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("first_ch0", T.LongType()),
+        T.StructField("mean_ch0", T.DoubleType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("rms_ch0", T.DoubleType()),
+    ]
+)
+
+
+def decode_wav_stats(df: DataFrame) -> DataFrame:
+    """(doc_id, media: binary) → per-file audio stats via Arrow-batched
+    mapInPandas, consuming ONLY the bytes (the BMP/PNG discipline)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [decode_wav(bytes(b)) for b in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_channels": [o[0] for o in out],
+                    "sample_rate": [o[1] for o in out],
+                    "n_frames": [o[2] for o in out],
+                    "first_ch0": [o[3] for o in out],
+                    "mean_ch0": [o[4] for o in out],
+                    "peak": [o[5] for o in out],
+                    "rms_ch0": [o[6] for o in out],
+                }
+            )
+
+    return df.mapInPandas(run, WAV_STATS_SCHEMA)

@@ -721,3 +721,122 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fact_key").cast("double").alias("fact_key"),
         F.col("n_nations"),
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH p AS (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts, event_id FROM events
+          WHERE event_type = 'click'),
+    ranked AS (
+        SELECT p.event_id AS purchase_id, c.event_id AS cid,
+               row_number() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)),
+                            c.ts, c.event_id) AS rn
+        FROM p JOIN c ON p.user_id = c.user_id
+    )
+    SELECT p.event_id AS purchase_id,
+           -- DOUBLE: nullable id column (unmatched purchases) — the
+           -- join_asof fetchdf rule
+           CAST(r.cid AS DOUBLE) AS click_id
+    FROM p LEFT JOIN (SELECT purchase_id, cid FROM ranked WHERE rn = 1) r
+      ON r.purchase_id = p.event_id
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, NEAREST direction (J15): each purchase matched to the
+    user's click with the smallest |ts gap| in EITHER direction — the
+    sensor-fusion / attribution variant (backward-only as-of mis-scores
+    a click milliseconds after the purchase event's clock skew). Tie
+    contract, pinned identically on both engines: smaller absolute gap
+    first, then earlier click ts (so an equidistant backward click
+    beats the forward one), then smaller click id.
+
+    Spark side stays the scalable union + single-ordered-pass shape of
+    join_asof — NO per-user candidate blow-up (the oracle's all-pairs
+    rank is fine at oracle SF; at 100 TB it's quadratic in per-user
+    activity): one union, one shuffle on user_id, TWO window passes over
+    the same sorted runs (a forward scan carrying the latest click at or
+    before each purchase, a backward scan carrying the earliest click
+    strictly after), then an in-row arbiter applies the tie contract to
+    the two candidates. Equal-ts clicks resolve inside the pass via the
+    window order's click-id tiebreak, matching the contract exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts",
+        F.col("event_id").alias("click_id"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(1).alias("kind"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    unioned = clicks.unionByName(purchases).withColumn(
+        # events ts is TIMESTAMP_NTZ; unix_micros wants TIMESTAMP — the
+        # UTC-session cast is gap-free and the arbiter only reads DIFFS,
+        # which any fixed offset cancels out of
+        "us",
+        F.unix_micros(F.col("ts").cast("timestamp")),
+    )
+    # backward pass: among clicks with ts <= purchase ts the contract
+    # wants max ts, then MIN click id — order click ids DESCENDING so
+    # last() lands on the smallest id within the tied-ts run; clicks
+    # sort before purchases at equal ts (kind 0 < 1) so a simultaneous
+    # click is visible (gap 0 always wins via the earlier-ts rule).
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", F.col("click_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # forward pass: among clicks strictly after, min ts then min id.
+    # Walk DESCENDING ts with purchases first at ties (kind ascending in
+    # the desc walk = purchase kind 1 first? no — order kind so clicks
+    # at the SAME ts are NOT visible: they belong to the backward side).
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts").desc(), F.col("kind").desc(), F.col("click_id")
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stepped = (
+        unioned.withColumn(
+            "b_id", F.last("click_id", ignorenulls=True).over(w_back)
+        )
+        .withColumn(
+            "b_us",
+            F.last(
+                F.when(F.col("kind") == 0, F.col("us")), ignorenulls=True
+            ).over(w_back),
+        )
+        .withColumn(
+            "f_id", F.last("click_id", ignorenulls=True).over(w_fwd)
+        )
+        .withColumn(
+            "f_us",
+            F.last(
+                F.when(F.col("kind") == 0, F.col("us")), ignorenulls=True
+            ).over(w_fwd),
+        )
+    )
+    back_gap = F.col("us") - F.col("b_us")
+    fwd_gap = F.col("f_us") - F.col("us")
+    pick_back = F.col("b_id").isNotNull() & (
+        F.col("f_id").isNull() | (back_gap <= fwd_gap)
+    )
+    return (
+        stepped.filter(F.col("kind") == 1)
+        .select(
+            "purchase_id",
+            F.when(pick_back, F.col("b_id"))
+            .otherwise(F.col("f_id"))
+            .cast("double")
+            .alias("click_id"),
+        )
+    )

@@ -1092,6 +1092,71 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_png_stats(media)
 
 
+@query(
+    "multimodal_decode_wav",
+    oracle="""
+    WITH d AS (SELECT doc_id, 40 + doc_id % 13 AS n, 1 + doc_id % 2 AS ch,
+                      8000 + (doc_id % 4) * 4000 AS rate
+               FROM documents),
+    s AS (
+        SELECT d.doc_id, d.n, d.ch, d.rate, i.i AS i, c.c AS c,
+               ((d.doc_id * 31 + c.c * 7 + i.i * 17) % 2048) - 1024 AS v
+        FROM d, range(53) i(i), range(2) c(c)
+        WHERE i.i < d.n AND c.c < d.ch
+    )
+    SELECT doc_id,
+           CAST(max(ch) AS INT) AS n_channels,
+           CAST(max(rate) AS INT) AS sample_rate,
+           CAST(max(n) AS BIGINT) AS n_frames,
+           CAST(max(CASE WHEN i = 0 AND c = 0 THEN v END) AS BIGINT)
+               AS first_ch0,
+           avg(CASE WHEN c = 0 THEN CAST(v AS DOUBLE) END) AS mean_ch0,
+           CAST(max(abs(v)) AS BIGINT) AS peak,
+           sqrt(sum(CASE WHEN c = 0 THEN CAST(v AS DOUBLE)
+                                         * CAST(v AS DOUBLE) END)
+                / max(n)) AS rms_ch0
+    FROM s GROUP BY doc_id
+    """,
+)
+def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUDIO decode path (L8d) — real RIFF/WAVE PCM16, the raw audio
+    container every speech pipeline ingests before feature extraction:
+    per-doc WAVs synthesized as genuine binary files in one mapInPandas
+    stage (mono/stereo alternating to pin channel DE-INTERLEAVING, four
+    sample rates to pin fmt parsing, and a junk LIST chunk in every
+    third file so the reader must WALK the chunk list instead of
+    assuming the canonical 44-byte layout), then a second stage parses
+    them FROM BYTES ALONE into channel-count / rate / frame-count /
+    first-sample / channel-0 mean / peak / channel-0 RMS. Closed-form
+    integer samples let the oracle replay expected stats relationally
+    without seeing a byte — an independent conformance check of the
+    parser (wrong de-interleave skews mean_ch0; a layout-assuming
+    reader mis-seeks data on LIST files). Stats are exact cross-engine
+    with NO rounding hop: channel sums are integer-exact in float64 at
+    these sizes, the division is one IEEE op, sqrt is correctly
+    rounded. Compressed audio (MP3/AAC/FLAC) stays behind the honest
+    NotImplementedError gate with the video codecs.
+
+    Scale: two narrow Arrow stages, zero shuffles — the BMP/PNG
+    posture on the audio modality."""
+    import pandas as pd
+
+    from ..functions.multimodal import decode_wav_stats, synthesize_wav
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [synthesize_wav(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = d.mapInPandas(synth, "doc_id long, media binary")
+    return decode_wav_stats(media)
+
+
 _EDGES_SQL = """
         SELECT a.doc_id AS a_id, b.doc_id AS b_id
         FROM (SELECT lang, doc_id,

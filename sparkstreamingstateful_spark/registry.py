@@ -80,6 +80,8 @@ _KEY_PRIORITY = [
     "dedup_containment",
     "events_holt_linear",
     "cluster_kmeans_fixed",
+    "multimodal_decode_wav",
+    "join_asof_nearest",
     # (0) Keys NEW in round 13 — VERDICT r12 items 3-6 (TABLE-argument
     # UDTF, ANN recall contract at nprobe 1 and 3, foreachBatch MERGE
     # materialization, fixed-point PageRank over the LSH pair graph)

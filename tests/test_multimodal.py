@@ -127,3 +127,49 @@ def test_png_rejects_unsupported_variants():
     ) + _png_chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError):
         decode_png(blob)
+
+
+def test_wav_roundtrip_exact_and_chunk_walk():
+    """decode_wav recovers exact params/stats from synthesize_wav bytes
+    for a doc sample covering mono+stereo, all four rates and the junk
+    LIST-chunk layout (doc_id % 3 == 0) — a reader assuming the
+    canonical 44-byte layout mis-seeks the data chunk on those."""
+    from sparkstreamingstateful_spark.functions.multimodal import (
+        decode_wav,
+        synthesize_wav,
+        wav_params,
+        wav_sample,
+    )
+
+    for doc_id in range(12):
+        n, ch, rate = wav_params(doc_id)
+        got = decode_wav(synthesize_wav(doc_id))
+        ch0 = [wav_sample(doc_id, 0, i) for i in range(n)]
+        allv = [wav_sample(doc_id, c, i) for i in range(n) for c in range(ch)]
+        assert got[:4] == (ch, rate, n, ch0[0]), (doc_id, got)
+        assert got[4] == sum(ch0) / n
+        assert got[5] == max(abs(v) for v in allv)
+        assert got[6] == (sum(v * v for v in ch0) / n) ** 0.5
+
+
+def test_wav_rejections():
+    """Non-PCM and non-16-bit variants must fail loudly, not mis-decode;
+    bad magic is a ValueError."""
+    import struct
+
+    import pytest
+
+    from sparkstreamingstateful_spark.functions.multimodal import (
+        decode_wav,
+        synthesize_wav,
+    )
+
+    good = synthesize_wav(1)
+    with pytest.raises(ValueError):
+        decode_wav(b"JUNK" + good[4:])
+    # flip the fmt tag to 3 (IEEE float) — fmt chunk starts at offset 20
+    mut = bytearray(good)
+    fmt_off = good.index(b"fmt ") + 8
+    struct.pack_into("<H", mut, fmt_off, 3)
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(mut))
