@@ -1038,64 +1038,84 @@ def _tdiv(a: int, b: int) -> int:
     return q if (a >= 0) == (b >= 0) else -q
 
 
-def _km_oracle() -> str:
-    """Unrolled-CTE DuckDB replay of `kmeans_fixed_plan`: the iteration
-    count is a small fixed constant, so each Lloyd round is a plain CTE
-    pair (assign via QUALIFY arg-min; centroid update via zipped unnest
-    → trunc-div mean → ordered list reassembly) — no recursion needed,
-    and MATERIALIZED stops DuckDB re-deriving earlier rounds."""
-    qv = (
-        "list_transform(embedding,"
-        f" x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_SCALE}) AS BIGINT))"
-    )
+def _km_rounds_ctes(
+    vec_expr: str, dim: int, k: int, iters: int, tag: str = ""
+) -> tuple[str, str]:
+    """CTE-chain text replaying `kmeans_fixed_plan` over ``vec_expr``
+    (a DuckDB expression yielding the quantized BIGINT subvector):
+    each Lloyd round is a plain CTE pair (assign via QUALIFY arg-min;
+    centroid update via zipped unnest → trunc-div mean → ordered list
+    reassembly) — the iteration count is a small fixed constant, so no
+    recursion is needed, and MATERIALIZED stops DuckDB re-deriving
+    earlier rounds. Returns (cte_text, final_assign_name); CTE names
+    carry ``tag`` so several chains (the PQ subspaces) compose in one
+    WITH clause."""
     sql = f"""
-    WITH q AS MATERIALIZED (SELECT vec_id, {qv} AS qv FROM embeddings),
-    cent0 AS MATERIALIZED (
+    q{tag} AS MATERIALIZED (SELECT vec_id, {vec_expr} AS qv
+                            FROM embeddings),
+    cent{tag}_0 AS MATERIALIZED (
         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
                qv AS cv
-        FROM q WHERE vec_id < {_KM_K}
+        FROM q{tag} WHERE vec_id < {k}
     )"""
-    prev = "cent0"
-    for it in range(1, _KM_ITERS + 1):
+    prev = f"cent{tag}_0"
+    for it in range(1, iters + 1):
         sql += f""",
-    assign{it} AS MATERIALIZED (
+    assign{tag}_{it} AS MATERIALIZED (
         SELECT vec_id, qv, cid, dist FROM (
             SELECT q.vec_id, q.qv, c.cid,
-                   list_sum(list_transform(range(1, {_KM_DIM + 1}),
+                   list_sum(list_transform(range(1, {dim + 1}),
                        i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])))
                        AS dist
-            FROM q CROSS JOIN {prev} c)
+            FROM q{tag} q CROSS JOIN {prev} c)
         QUALIFY row_number() OVER (PARTITION BY vec_id
                                    ORDER BY dist, cid) = 1
     )"""
-        if it < _KM_ITERS:
+        if it < iters:
             sql += f""",
-    sums{it} AS (
+    sums{tag}_{it} AS (
         SELECT cid, dims.i, sum(qv[dims.i]) AS s, count(*) AS n
-        FROM assign{it},
-             (SELECT unnest(range(1, {_KM_DIM + 1})) AS i) dims
+        FROM assign{tag}_{it},
+             (SELECT unnest(range(1, {dim + 1})) AS i) dims
         GROUP BY cid, dims.i
     ),
-    cent{it} AS MATERIALIZED (
+    cent{tag}_{it} AS MATERIALIZED (
         SELECT c0.cid, coalesce(cn.cv, c0.cv) AS cv
         FROM {prev} c0
         LEFT JOIN (SELECT cid, list(CAST(s // n AS BIGINT) ORDER BY i) AS cv
-                   FROM sums{it} GROUP BY cid) cn
+                   FROM sums{tag}_{it} GROUP BY cid) cn
           ON cn.cid = c0.cid
     )"""
-            prev = f"cent{it}"
-    sql += f"""
+            prev = f"cent{tag}_{it}"
+    return sql, f"assign{tag}_{iters}"
+
+
+def _km_quant_expr(slice_expr: str = "embedding") -> str:
+    return (
+        f"list_transform({slice_expr},"
+        f" x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_SCALE}) AS BIGINT))"
+    )
+
+
+def _km_oracle() -> str:
+    """Full-vector k-means oracle — see `_km_rounds_ctes`."""
+    ctes, final = _km_rounds_ctes(
+        _km_quant_expr(), _KM_DIM, _KM_K, _KM_ITERS
+    )
+    return f"""
+    WITH {ctes}
     SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster,
            CAST(a.dist AS BIGINT) AS dist_fixed,
            CAST(sz.n AS BIGINT) AS cluster_size
-    FROM assign{_KM_ITERS} a
-    JOIN (SELECT cid, count(*) AS n FROM assign{_KM_ITERS} GROUP BY cid) sz
+    FROM {final} a
+    JOIN (SELECT cid, count(*) AS n FROM {final} GROUP BY cid) sz
       ON sz.cid = a.cid
     """
-    return sql
 
 
-def kmeans_fixed_plan(e: DataFrame, k: int = _KM_K, iters: int = _KM_ITERS):
+def kmeans_fixed_plan(
+    e: DataFrame, k: int = _KM_K, iters: int = _KM_ITERS, dim: int = _KM_DIM
+):
     """Lloyd's k-means over the embedding table in EXACT FIXED-POINT
     arithmetic → ``(vec_id, cluster, dist_fixed, cluster_size)``.
 
@@ -1167,7 +1187,7 @@ def kmeans_fixed_plan(e: DataFrame, k: int = _KM_K, iters: int = _KM_ITERS):
         )
         new = {}
         for r in upd:
-            new.setdefault(r.cluster, [0] * _KM_DIM)[r.i] = _tdiv(r.s, r.n)
+            new.setdefault(r.cluster, [0] * dim)[r.i] = _tdiv(r.s, r.n)
         cents = {cid: new.get(cid, cv) for cid, cv in cents.items()}
 
     sizes = assigned.groupBy("cluster").agg(
@@ -1195,3 +1215,87 @@ def cluster_kmeans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     this key's fixed budget deliberately excludes."""
     e = load_table(spark, sf_dir, "embeddings")
     return kmeans_fixed_plan(e)
+
+
+# --------------------------------------------------- product quantization
+_PQ_M = 4          # subspaces
+_PQ_SUBDIM = _KM_DIM // _PQ_M
+_PQ_K = 8          # codebook entries per subspace
+_PQ_ITERS = 2
+
+
+def _pq_oracle() -> str:
+    """Four independent `_km_rounds_ctes` chains — one per subspace
+    slice — joined on vec_id; the Jégou/Douze/Schmid PQ training replay
+    (TPAMI'11, public paper) under the fixed-point discipline."""
+    ctes, finals = [], []
+    for s in range(_PQ_M):
+        lo, hi = s * _PQ_SUBDIM + 1, (s + 1) * _PQ_SUBDIM
+        c, f = _km_rounds_ctes(
+            _km_quant_expr(f"embedding[{lo}:{hi}]"),
+            _PQ_SUBDIM, _PQ_K, _PQ_ITERS, tag=f"_s{s}",
+        )
+        ctes.append(c)
+        finals.append(f)
+    joins = "\n    ".join(
+        f"JOIN {f} a{s} ON a{s}.vec_id = a0.vec_id"
+        for s, f in enumerate(finals)
+        if s > 0
+    )
+    codes = ",\n           ".join(
+        f"CAST(a{s}.cid AS BIGINT) AS code_{s}" for s in range(_PQ_M)
+    )
+    err = " + ".join(f"a{s}.dist" for s in range(_PQ_M))
+    return f"""
+    WITH {",".join(ctes)}
+    SELECT a0.vec_id, {codes},
+           CAST({err} AS BIGINT) AS err_fixed
+    FROM {finals[0]} a0
+    {joins}
+    """
+
+
+@query("embed_pq_codes", oracle=_pq_oracle())
+def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT QUANTIZATION codes (L21) — the memory-bound ANN
+    workhorse (Jégou, Douze & Schmid, TPAMI'11): split each 64-dim
+    embedding into 4 subspaces of 16 dims, train an independent k=8
+    codebook per subspace (2 Lloyd rounds each, `kmeans_fixed_plan` —
+    the L20 core re-used verbatim on slices), and emit each vector's
+    4-byte code word plus its exact reconstruction error (sum of the
+    four subspace distances). 4 codes × 3 bits compress 256 bytes of
+    float32 to under 2 bytes — the compression/recall dial real vector
+    stores ship; the reconstruction error column is the training-
+    quality diagnostic.
+
+    Everything inherits the fixed-point discipline, so the oracle —
+    four unrolled `_km_rounds_ctes` chains over `embedding[lo:hi]`
+    slices joined on vec_id — hash-matches codes AND errors bit for
+    bit. Subspaces are independent by construction: four small driver
+    loops (k×subdim ints each), each scanning the same materialized
+    quantized input; the per-subspace update aggregates are k×16 rows
+    regardless of corpus size."""
+    e = load_table(spark, sf_dir, "embeddings")
+    out = None
+    for s in range(_PQ_M):
+        sub = e.select(
+            "vec_id",
+            F.slice("embedding", s * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias(
+                "embedding"
+            ),
+        )
+        res = kmeans_fixed_plan(
+            sub, k=_PQ_K, iters=_PQ_ITERS, dim=_PQ_SUBDIM
+        ).select(
+            "vec_id",
+            F.col("cluster").alias(f"code_{s}"),
+            F.col("dist_fixed").alias(f"_err_{s}"),
+        )
+        out = res if out is None else out.join(res, "vec_id")
+    return out.select(
+        "vec_id",
+        *[F.col(f"code_{s}") for s in range(_PQ_M)],
+        sum(F.col(f"_err_{s}") for s in range(_PQ_M))
+        .cast("bigint")
+        .alias("err_fixed"),
+    )

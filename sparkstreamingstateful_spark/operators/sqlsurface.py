@@ -785,3 +785,24 @@ sql_unpivot_clause = _sql_query(
     FROM customer
     """,
 )
+
+
+sql_order_by_all_offset = _sql_query(
+    "sql_order_by_all_offset",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_c
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+    LIMIT 7 OFFSET 3
+    """,
+)
+# ORDER BY ALL + LIMIT/OFFSET pagination (Q42): ALL orders by every
+# SELECT item left-to-right, and the grouped rows are distinct on the
+# leading pair, so the total order — hence the 7-row page after a 3-row
+# skip — is deterministic on both engines; exact-cents sum keeps the
+# page contents hash-stable. Plan-wise OFFSET+LIMIT collapse into one
+# CollectLimit over the sorted aggregate.

@@ -82,6 +82,8 @@ _KEY_PRIORITY = [
     "cluster_kmeans_fixed",
     "multimodal_decode_wav",
     "join_asof_nearest",
+    "embed_pq_codes",
+    "sql_order_by_all_offset",
     # (0) Keys NEW in round 13 — VERDICT r12 items 3-6 (TABLE-argument
     # UDTF, ANN recall contract at nprobe 1 and 3, foreachBatch MERGE
     # materialization, fixed-point PageRank over the LSH pair graph)
