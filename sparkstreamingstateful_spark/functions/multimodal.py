@@ -168,7 +168,8 @@ def extract_features(df: DataFrame, *, fake_decode: bool = True) -> DataFrame:
 # stats without parsing bytes); decode_bmp parses ONLY the bytes —
 # header fields, row padding, bottom-up row order, BGR channel order —
 # exactly what any conformant reader must do. The NotImplementedError
-# gates above still cover JPEG/video; PNG is decoded for real below
+# gates above still cover video + lossy audio; BMP/PNG/JPEG/WAV are
+# decoded for real below
 # (zlib is stdlib).
 
 BMP_HEADER_BYTES = 54  # 14-byte file header + 40-byte BITMAPINFOHEADER
@@ -301,8 +302,8 @@ def decode_bmp_stats(df: DataFrame) -> DataFrame:
 # (None/Sub/Up/Average/Paeth, one per row) so the decoder's unfiltering
 # is genuinely exercised; decode_png parses bytes alone — signature,
 # chunk framing with CRC validation, IDAT concatenation, inflate, and
-# per-row unfiltering. JPEG and the video codecs stay behind the honest
-# NotImplementedError gates above.
+# per-row unfiltering. Baseline JPEG is decoded for real further below;
+# video codecs stay behind the honest NotImplementedError gates above.
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -627,3 +628,322 @@ def decode_wav_stats(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, WAV_STATS_SCHEMA)
+
+
+# ----------------------------------------------------------------- JPEG
+# The ENTROPY-CODED image decode path: baseline JFIF is public spec
+# (ITU T.81) — markers, Annex-K Huffman tables, byte-stuffed bitstream,
+# zigzag, dequantization, IDCT — and needs no codec library, only
+# struct + numpy. decode_jpeg is a COMPLETE baseline grayscale decoder
+# (general DC-diff + AC run-length decoding, any quant/Huffman tables
+# in the file, full 2D IDCT). The SYNTHESIZER, to keep a relational
+# oracle possible for a lossy codec, emits images whose 8x8 blocks are
+# each constant: a flat block's FDCT has a single DC coefficient
+# 8*(v-128) that quantizes EXACTLY under Q[0]=8, so reconstruction is
+# bit-predictable (IDCT float error ~1e-13 << the 0.5 rounding margin)
+# while the decoder still runs the entire marker/Huffman/bitstream/
+# dequant/IDCT pipeline — including the differential-DC predictor
+# chain across blocks. Lossy AC content stays outside the oracle's
+# reach by construction, not because the decoder skips it.
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+# ITU T.81 Annex K "typical" Huffman tables (public spec constants)
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """value → (code, length) per T.81 C.2 canonical code assignment."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def jpeg_dims(doc_id: int) -> tuple[int, int]:
+    """Block-grid dims: 1-2 blocks wide, 1-3 tall (8x8 blocks)."""
+    return 8 * (1 + doc_id % 2), 8 * (1 + doc_id % 3)
+
+
+def jpeg_block_value(doc_id: int, bx: int, by: int) -> int:
+    """Closed-form gray level of block (bx, by) — replayed by the
+    oracle SQL."""
+    return (doc_id * 7 + bx * 13 + by * 29) % 256
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing
+                    self.buf.append(0x00)
+                self.acc = self.n = 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.acc = (self.acc << pad) | ((1 << pad) - 1)
+            self.buf.append(self.acc)
+            if self.acc == 0xFF:
+                self.buf.append(0x00)
+            self.acc = self.n = 0
+        return bytes(self.buf)
+
+
+def synthesize_jpeg(doc_id: int) -> bytes:
+    """One conformant baseline grayscale JFIF: Annex-K tables, flat
+    Q=8 luminance quant table, per-block constant pixels (see module
+    comment), differential-DC Huffman entropy coding, EOB per block."""
+    import struct
+
+    w, h = jpeg_dims(doc_id)
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+    bw = _BitWriter()
+    pred = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            dc = jpeg_block_value(doc_id, bx, by) - 128  # Q00=8 ⇒ exact
+            diff = dc - pred
+            pred = dc
+            t = diff.bit_length() if diff != 0 else 0
+            bw.put(*dc_codes[t])
+            if t:
+                bw.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+            bw.put(*ac_codes[0x00])  # EOB: all AC zero
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    dqt = seg(0xFFDB, bytes([0x00]) + bytes([8] * 64))
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)) + seg(
+        0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
+    )
+    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+class _BitReader:
+    """MSB-first reader over an entropy-coded segment with 0xFF00
+    byte-unstuffing."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos]
+                if nxt != 0x00:
+                    raise ValueError("unexpected marker inside scan")
+                self.pos += 1
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decoder(bits: list[int], vals: list[int]):
+    """(code, length) → value lookup table for sequential bit decode."""
+    table = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _read_huff(r: "_BitReader", table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.bit()
+        if (length, code) in table:
+            return table[(length, code)]
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(data: bytes):
+    """COMPLETE baseline grayscale JPEG decoder from bytes alone:
+    marker walk, DQT/DHT/SOF0/SOS parsing, byte-unstuffed Huffman
+    decode of DC diffs AND general AC run-lengths, dequantization,
+    zigzag de-ordering, full 2D IDCT (orthonormal cosine matrix),
+    level shift + clamp. Returns (width, height, mean_gray, tl_gray,
+    min_gray, max_gray). Rejects progressive/multi-component files
+    loudly."""
+    import struct
+
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: bad SOI")
+    qt, hufftabs = {}, {}
+    w = h = None
+    pos = 2
+    scan_off = None
+    dc_id = ac_id = None
+    while pos < len(data):
+        marker, ln = struct.unpack_from(">HH", data, pos)
+        body = data[pos + 4 : pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xFFDB:
+            while body:
+                pq_tq, body = body[0], body[1:]
+                if pq_tq >> 4 != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                qt[pq_tq & 15] = list(body[:64])
+                body = body[64:]
+        elif marker == 0xFFC4:
+            while body:
+                tc_th = body[0]
+                bits = list(body[1:17])
+                n = sum(bits)
+                hufftabs[(tc_th >> 4, tc_th & 15)] = _huff_decoder(
+                    bits, list(body[17 : 17 + n])
+                )
+                body = body[17 + n :]
+        elif marker == 0xFFC0:
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", body)
+            if prec != 8 or ncomp != 1:
+                raise NotImplementedError("only 8-bit grayscale baseline")
+            if body[7] != 0x11:
+                raise NotImplementedError("subsampled grayscale?")
+            tq = body[8]
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
+            raise NotImplementedError("only baseline (SOF0) is supported")
+        elif marker == 0xFFDA:
+            dc_id, ac_id = body[2] >> 4, body[2] & 15
+            scan_off = pos
+            break
+    if scan_off is None or w is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    r = _BitReader(data[scan_off:])
+    q = np.array(qt[tq], dtype=np.float64)
+    dc_tab, ac_tab = hufftabs[(0, dc_id)], hufftabs[(1, ac_id)]
+    # orthonormal 8-point DCT-II basis
+    xs = np.arange(8)
+    A = np.cos((2 * xs[None, :] + 1) * xs[:, None] * np.pi / 16) / 2.0
+    A[0, :] /= np.sqrt(2.0)
+    img = np.zeros((h, w), dtype=np.int64)
+    pred = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            zz = np.zeros(64, dtype=np.float64)
+            t = _read_huff(r, dc_tab)
+            diff = _extend(r.bits(t), t) if t else 0
+            pred += diff
+            zz[0] = pred
+            k = 1
+            while k < 64:
+                rs = _read_huff(r, ac_tab)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL: 16 zeros
+                    k += 16
+                    continue
+                k += rs >> 4
+                size = rs & 15
+                zz[k] = _extend(r.bits(size), size)
+                k += 1
+            coef = np.zeros(64, dtype=np.float64)
+            coef[_ZIGZAG] = zz * q
+            block = A.T @ coef.reshape(8, 8) @ A
+            pix = np.clip(np.rint(block + 128), 0, 255).astype(np.int64)
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
+    return (
+        int(w),
+        int(h),
+        float(int(img.sum()) / img.size),
+        int(img[0, 0]),
+        int(img.min()),
+        int(img.max()),
+    )
+
+
+JPEG_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_gray", T.DoubleType()),
+        T.StructField("tl_gray", T.LongType()),
+        T.StructField("min_gray", T.LongType()),
+        T.StructField("max_gray", T.LongType()),
+    ]
+)
+
+
+def decode_jpeg_stats(df: DataFrame) -> DataFrame:
+    """(doc_id, media: binary) → per-image stats via Arrow-batched
+    mapInPandas, consuming ONLY the bytes (the BMP/PNG/WAV discipline)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [decode_jpeg(bytes(b)) for b in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [o[0] for o in out],
+                    "height": [o[1] for o in out],
+                    "mean_gray": [o[2] for o in out],
+                    "tl_gray": [o[3] for o in out],
+                    "min_gray": [o[4] for o in out],
+                    "max_gray": [o[5] for o in out],
+                }
+            )
+
+    return df.mapInPandas(run, JPEG_STATS_SCHEMA)

@@ -1066,9 +1066,9 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     conformance test of the whole decompress+unfilter pipeline (one
     wrong Paeth predictor skews every mean). PNG is RGB top-down where
     the BMP twin is BGR bottom-up — the two keys pin opposite
-    channel/row conventions. JPEG stays honestly gated
-    (functions/multimodal.py — DCT entropy coding has no stdlib
-    substrate).
+    channel/row conventions. JPEG's entropy-coded path is decoded for real too
+    (multimodal_decode_jpeg); only lossy-AC ORACLE coverage is out of
+    reach by construction.
 
     Scale: two narrow Arrow stages, zero shuffles, constant memory —
     decode cost is per-row Python+numpy, the honest shape for codec
@@ -1155,6 +1155,68 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     media = d.mapInPandas(synth, "doc_id long, media binary")
     return decode_wav_stats(media)
+
+
+@query(
+    "multimodal_decode_jpeg",
+    oracle="""
+    WITH d AS (SELECT doc_id, 1 + doc_id % 2 AS wb, 1 + doc_id % 3 AS hb
+               FROM documents),
+    blk AS (
+        SELECT d.doc_id, d.wb, d.hb, x.i AS bx, y.i AS by,
+               (d.doc_id * 7 + x.i * 13 + y.i * 29) % 256 AS v
+        FROM d, range(2) x(i), range(3) y(i)
+        WHERE x.i < d.wb AND y.i < d.hb
+    )
+    SELECT doc_id,
+           CAST(max(wb) * 8 AS INT) AS width,
+           CAST(max(hb) * 8 AS INT) AS height,
+           avg(CAST(v AS DOUBLE)) AS mean_gray,
+           CAST(max(CASE WHEN bx = 0 AND by = 0 THEN v END) AS BIGINT)
+               AS tl_gray,
+           CAST(min(v) AS BIGINT) AS min_gray,
+           CAST(max(v) AS BIGINT) AS max_gray
+    FROM blk GROUP BY doc_id
+    """,
+)
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENTROPY-CODED image decode path (L8e) — real baseline JPEG,
+    zero codec libraries: the container and coding are public spec (ITU
+    T.81 markers, Annex-K Huffman tables, byte-stuffed bitstream,
+    zigzag, dequantization, IDCT), so a conformant baseline grayscale
+    decoder is built from struct + numpy. Per-doc JPEGs are synthesized
+    with per-block-CONSTANT pixels — a flat block's FDCT is a single DC
+    coefficient 8·(v−128) that quantizes EXACTLY under Q[0]=8, making a
+    lossy codec's output bit-predictable (IDCT float error ~1e-13,
+    five orders below the 0.5 rounding margin) — then decoded FROM
+    BYTES ALONE through the complete pipeline: marker walk, Huffman
+    table build, DC-diff PREDICTOR CHAIN across blocks (block values
+    vary, so the differential path is genuinely exercised), general AC
+    run-length decode (EOB here; ZRL/run/extend pinned by a
+    hand-crafted-scan unit test), dequant, full 2D IDCT, level shift.
+    The closed-form block grid lets the oracle state expected stats
+    relationally — an independent conformance check of the entropy
+    decoder. Lossy AC content stays outside the ORACLE's reach by
+    construction, not because the decoder skips it.
+
+    Scale: two narrow Arrow stages, zero shuffles — the BMP/PNG/WAV
+    posture, now covering the dominant real-world image container."""
+    import pandas as pd
+
+    from ..functions.multimodal import decode_jpeg_stats, synthesize_jpeg
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [synthesize_jpeg(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = d.mapInPandas(synth, "doc_id long, media binary")
+    return decode_jpeg_stats(media)
 
 
 _EDGES_SQL = """

@@ -173,3 +173,88 @@ def test_wav_rejections():
     struct.pack_into("<H", mut, fmt_off, 3)
     with pytest.raises(NotImplementedError):
         decode_wav(bytes(mut))
+
+
+def test_jpeg_ac_path_hand_crafted_scan():
+    """decode_jpeg's AC run-length path (never hit by the DC-exact
+    corpus files) pinned with a hand-built 8x8 single-block scan
+    carrying DC + two AC coefficients (one behind a ZRL run): the
+    decoded block must equal an independent numpy IDCT of the same
+    dequantized coefficient matrix."""
+    import numpy as np
+    import struct
+
+    from sparkstreamingstateful_spark.functions.multimodal import (
+        _AC_BITS,
+        _AC_VALS,
+        _BitWriter,
+        _DC_BITS,
+        _DC_VALS,
+        _ZIGZAG,
+        decode_jpeg,
+        _huff_codes,
+    )
+
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+    bw = _BitWriter()
+    # DC = 5 (category 3)
+    bw.put(*dc_codes[3]); bw.put(5, 3)
+    # AC at zigzag k=1: value -3 (size 2, run 0) -> RS 0x02, bits = -3 + 3 = 0
+    bw.put(*ac_codes[0x02]); bw.put(0, 2)
+    # ZRL (16 zeros) then at k=18: value 7 (size 3, run 0 after ZRL)
+    bw.put(*ac_codes[0xF0])
+    bw.put(*ac_codes[0x03]); bw.put(7, 3)
+    bw.put(*ac_codes[0x00])  # EOB
+    scan = bw.flush()
+
+    def seg(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    q = bytes([8] * 64)
+    blob = (
+        b"\xff\xd8"
+        + seg(0xFFDB, bytes([0x00]) + q)
+        + seg(0xFFC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        + seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+        + seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+        + seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + scan
+        + b"\xff\xd9"
+    )
+    w, h, mean, tl, mn, mx = decode_jpeg(blob)
+    assert (w, h) == (8, 8)
+
+    zz = np.zeros(64)
+    zz[0], zz[1], zz[18] = 5, -3, 7
+    coef = np.zeros(64)
+    coef[_ZIGZAG] = zz * 8.0
+    xs = np.arange(8)
+    A = np.cos((2 * xs[None, :] + 1) * xs[:, None] * np.pi / 16) / 2.0
+    A[0, :] /= np.sqrt(2.0)
+    block = np.clip(np.rint(A.T @ coef.reshape(8, 8) @ A + 128), 0, 255)
+    assert tl == int(block[0, 0])
+    assert mean == float(block.sum() / 64)
+    assert (mn, mx) == (int(block.min()), int(block.max()))
+
+
+def test_jpeg_rejections():
+    """Progressive SOF2 and multi-component files must fail loudly."""
+    import struct
+
+    import pytest
+
+    from sparkstreamingstateful_spark.functions.multimodal import (
+        decode_jpeg,
+        synthesize_jpeg,
+    )
+
+    good = synthesize_jpeg(3)
+    with pytest.raises(ValueError):
+        decode_jpeg(b"XX" + good[2:])
+    # flip SOF0 -> SOF2 (progressive)
+    mut = bytearray(good)
+    i = good.index(b"\xff\xc0")
+    mut[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(mut))
