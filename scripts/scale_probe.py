@@ -171,6 +171,35 @@ PROBES = [
     # rows/users — t should grow sub-linearly (per-batch fixed cost
     # amortizes) and the versioned-table row count tracks users ×K.
     ("stream_merge_to_table", "events(stream)"),
+    # r13 late additions:
+    # - triangle count reads the lineitem replicas, whose co-purchase
+    #   graph DENSIFIES (same ~20k parts, xK orders -> distinct edges
+    #   grow toward saturation): the probe measures the degree-oriented
+    #   O(m^1.5) wedge bound under densification -- the exact regime the
+    #   orientation exists for (a same-shape disjoint replica would make
+    #   this trivially linear and test nothing).
+    ("graph_triangle_count", "lineitem(densifying)"),
+    # - BFS + containment ride the suffixed-token document replicas:
+    #   within-replica pair graphs/containment pairs replicate
+    #   disjointly, so edges/pairs xK and t must track ~K.
+    ("graph_bfs_distance", "documents"),
+    ("dedup_containment", "documents"),
+    # - fixed-point k-means / PQ: FIXED iteration count, centroid state
+    #   k x dim on the driver; per-round cost is one assignment scan +
+    #   one kxdim agg -> t ~K over the rotated embedding replicas.
+    ("cluster_kmeans_fixed", "embeddings"),
+    ("embed_pq_codes", "embeddings"),
+    # - Holt: hourly spine (hours x types) is K-independent; the in-row
+    #   fold length never grows with K -> ~flat past the xK hash agg.
+    ("events_holt_linear", "events"),
+    # - CMS: one key-count agg (~K scan), sketch build distinct-keys x
+    #   depth (parts fixed -> flat), probe lookup broadcast-constant.
+    ("agg_count_min_sketch", "lineitem"),
+    # - nearest as-of: union + two window passes over xK users -> ~K.
+    ("join_asof_nearest", "events"),
+    # - JPEG decode: per-row Python entropy decode, embarrassingly
+    #   parallel -> ~K over xK documents.
+    ("multimodal_decode_jpeg", "documents"),
 ]
 
 # keys whose first run at a given dir includes a ONE-TIME source-layout
@@ -372,7 +401,13 @@ def build_rj(k: int) -> str:
 
 
 def main() -> None:
-    ks = [int(a) for a in sys.argv[1:]] or [3, 10]
+    args = sys.argv[1:]
+    only: set[str] | None = None
+    if "--keys" in args:
+        i = args.index("--keys")
+        only = set(args[i + 1].split(","))
+        del args[i : i + 2]
+    ks = [int(a) for a in args] or [3, 10]
     queries, _ = registry.collect()
     spark = get_spark(app_name="sss-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -388,8 +423,12 @@ def main() -> None:
     # warm-up
     queries["agg_hash_q1"](spark, SRC).write.format("noop").mode("overwrite").save()
 
+    probes = [
+        (k, tbl) for k, tbl in PROBES
+        if only is None or k.partition(":")[0] in only
+    ]
     results: dict[str, dict[int, tuple[float, int]]] = {}
-    for key, table in PROBES:
+    for key, table in probes:
         base, _, variant = key.partition(":")
         kdirs = variant_dirs.get(variant, dirs)
         results[key] = {}
@@ -426,7 +465,7 @@ def main() -> None:
         "| key | " + " | ".join(f"t @{k}× | rows @{k}×" for k in dirs) + " |",
         "|---|" + "---|" * (2 * len(dirs)),
     ]
-    for key, table in PROBES:
+    for key, table in probes:
         cells = []
         for k in dirs:
             t, n = results[key][k]
@@ -452,7 +491,7 @@ def main() -> None:
     # regeneration would silently clobber.
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "SCALING_raw.md",
+        "SCALING_raw.md" if only is None else "SCALING_raw_partial.md",
     )
     with open(out, "w") as f:
         f.write("\n".join(lines))

@@ -288,9 +288,7 @@ def _tdiv2(c):
     return F.when(c >= 0, F.shiftright(c, 1)).otherwise(-F.shiftright(-c, 1))
 
 
-@query(
-    "events_holt_linear",
-    oracle="""
+HOLT_ORACLE = """
     WITH RECURSIVE
     hourly AS MATERIALIZED (
         SELECT event_type, date_trunc('hour', ts) AS h,
@@ -317,7 +315,12 @@ def _tdiv2(c):
            CAST(l + b AS BIGINT) AS forecast_c,
            round(CAST(l + b AS DOUBLE) / 100, 2) AS forecast
     FROM rec
-    """,
+    """
+
+
+@query(
+    "events_holt_linear",
+    oracle=HOLT_ORACLE,
 )
 def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt LINEAR-TREND smoothing (E24) of each event type's hourly

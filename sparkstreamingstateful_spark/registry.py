@@ -85,6 +85,7 @@ _KEY_PRIORITY = [
     "embed_pq_codes",
     "sql_order_by_all_offset",
     "multimodal_decode_jpeg",
+    "stream_holt_linear",
     # (0) Keys NEW in round 13 — VERDICT r12 items 3-6 (TABLE-argument
     # UDTF, ANN recall contract at nprobe 1 and 3, foreachBatch MERGE
     # materialization, fixed-point PageRank over the LSH pair graph)

@@ -2199,3 +2199,49 @@ def stream_merge_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_value",
         "n_changes",
     )
+
+
+from ..operators.statistics import HOLT_ORACLE as _HOLT_ORACLE  # noqa: E402
+
+
+@query("stream_holt_linear", oracle=_HOLT_ORACLE)
+def stream_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Holt linear-trend smoothing (ST29) — the INCREMENTAL
+    twin of E24 `events_holt_linear`, same DuckDB oracle (attached via
+    registry after both modules import; see bottom of this file): a
+    numeric recurrence maintained in keyed state across micro-batches,
+    the capacity-forecast shape a monitoring pipeline actually runs.
+    Keyed by event type; state = (level, trend) in exact integer fixed
+    point + the open hour's partial sum; closing an hour commits one
+    recurrence step, every batch also emits a provisional snapshot of
+    the open hour, and a monotone per-key seq lets the materialized
+    reader arg-max the authoritative row per hour (the snapshot-
+    supersession device — see `stateful.holt_fn`). The hash therefore
+    pins the ENTIRE incremental state evolution against the batch
+    recursive-CTE replay: a wrong step order, a lost partial sum, or a
+    float drift in state flips some hour's (level, trend) and fails the
+    driver. Update mode without watermark help → sentinel-free feed."""
+    ev = _stream(spark, sf_dir, sentinels=False)
+    updates = ev.groupBy("event_type").applyInPandasWithState(
+        stateful.holt_fn,
+        stateful.HOLT_OUTPUT,
+        stateful.HOLT_STATE,
+        "update",
+        "NoTimeout",
+    )
+    res = run_stream(updates, output_mode="update", state_partitions=_parts(sf_dir))
+    final = res.groupBy("event_type", "win_start_us").agg(
+        F.max(F.struct("seq", "x", "l", "b")).alias("s")
+    )
+    return final.select(
+        "event_type",
+        _ntz(F.expr("timestamp_micros(win_start_us)")).alias("win_start"),
+        F.col("s.x").alias("sum_v_c"),
+        F.col("s.l").alias("level_c"),
+        F.col("s.b").alias("trend_c"),
+        (F.col("s.l") + F.col("s.b")).cast("bigint").alias("forecast_c"),
+        F.round(
+            (F.col("s.l") + F.col("s.b")).cast("double") / 100, 2
+        ).alias("forecast"),
+    )
+

@@ -569,3 +569,97 @@ def make_sessionize_processor():
             pass
 
     return SessionizeTws()
+
+
+# ---------------------------------------------------------------- ST29
+HOLT_OUTPUT = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("win_start_us", T.LongType()),
+        T.StructField("x", T.LongType()),
+        T.StructField("l", T.LongType()),
+        T.StructField("b", T.LongType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+HOLT_STATE = T.StructType(
+    [
+        T.StructField("init", T.LongType()),      # 0 until first hour closes
+        T.StructField("l", T.LongType()),
+        T.StructField("b", T.LongType()),
+        T.StructField("pend_hour_us", T.LongType()),
+        T.StructField("pend_x", T.LongType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+_HOUR_US = 3_600_000_000
+
+
+def _holt_tdiv2(v: int) -> int:
+    """Truncate-toward-zero halving — DuckDB ``// 2`` / Spark ``div``
+    semantics on signed fixed-point state (Python ``//`` floors)."""
+    return v // 2 if v >= 0 else -((-v) // 2)
+
+
+def _holt_step(init: int, l: int, b: int, x: int) -> tuple[int, int, int]:
+    """One Holt update (alpha = beta = 1/2, integer fixed point) —
+    identical recurrence to operators/statistics.events_holt_linear."""
+    if not init:
+        return 1, x, 0
+    nl = _holt_tdiv2(x + l + b)
+    nb = _holt_tdiv2(nl - l + b)
+    return 1, nl, nb
+
+
+def holt_fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+    """Streaming Holt linear-trend smoothing per event type (ST29): keyed
+    state carries (level, trend) plus the OPEN hour's partial sum; a row
+    landing in a later hour CLOSES the pending hour (committing the
+    recurrence step and emitting the hour's final smoothed row), and each
+    batch also emits a PROVISIONAL snapshot of the still-open hour
+    (stepped from the committed state WITHOUT committing), so the sink
+    always holds the freshest estimate. A monotone per-key ``seq`` (total
+    rows processed) lets the reader arg-max to the authoritative row per
+    hour — later snapshots of the same hour supersede earlier ones, and
+    the closing emission supersedes every snapshot. The feeder's
+    file-order == event-time-order contract makes hours close
+    monotonically per key, so a committed step is never revisited.
+
+    Per-row values quantize through Decimal ROUND_HALF_UP on the exact
+    binary double — bit-identical to Spark's BigDecimal round AND
+    DuckDB's round on positives (numpy's round is banker's; floor(x+.5)
+    mis-rounds binary-boundary values)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    init, l, b, pend_h, pend_x, seq = (
+        state.get if state.exists else (0, 0, 0, -1, 0, 0)
+    )
+    out = []
+    rows = []
+    for pdf in pdf_iter:
+        for r in pdf.itertuples():
+            us = r.ts.value // 1000  # pandas ns → µs
+            x = int(
+                Decimal(r.value * 100).quantize(Decimal(1), ROUND_HALF_UP)
+            )
+            rows.append((us - us % _HOUR_US, us, x))
+            seq += 1
+    rows.sort(key=lambda t: t[1])
+    for hour_us, _, x in rows:
+        if pend_h == -1:
+            pend_h, pend_x = hour_us, x
+        elif hour_us == pend_h:
+            pend_x += x
+        else:
+            init, l, b = _holt_step(init, l, b, pend_x)
+            out.append((key[0], pend_h, pend_x, l, b, seq))
+            pend_h, pend_x = hour_us, x
+    if pend_h != -1:
+        # provisional snapshot of the open hour — NOT committed
+        _, sl, sb = _holt_step(init, l, b, pend_x)
+        out.append((key[0], pend_h, pend_x, sl, sb, seq))
+    state.update((init, l, b, pend_h, pend_x, seq))
+    yield pd.DataFrame(
+        out, columns=["event_type", "win_start_us", "x", "l", "b", "seq"]
+    )
