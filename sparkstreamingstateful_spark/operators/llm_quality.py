@@ -374,3 +374,85 @@ def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("score"),
         (score > F.lit(0.0)).alias("keep"),
     )
+
+
+@query(
+    "dq_expectations",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_rows,
+               CAST(count(o_custkey) AS DOUBLE) / count(*) AS completeness,
+               CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*)
+                   AS uniqueness,
+               CAST(min(o_totalprice) AS DOUBLE) AS min_price,
+               CAST(count(*) FILTER (o_orderstatus NOT IN ('F', 'O', 'P'))
+                    AS DOUBLE) AS bad_status,
+               CAST(count(*) FILTER (o_orderdate < DATE '1992-01-01'
+                                     OR o_orderdate >= DATE '1999-01-01')
+                    AS DOUBLE) AS bad_dates
+        FROM orders
+    )
+    SELECT c.name AS expectation, c.observed, c.passed FROM m,
+    LATERAL (VALUES
+        ('completeness_custkey', m.completeness, m.completeness = 1.0),
+        ('uniqueness_orderkey', m.uniqueness, m.uniqueness = 1.0),
+        ('min_price_positive', m.min_price, m.min_price > 0),
+        ('status_in_domain', m.bad_status, m.bad_status = 0),
+        ('dates_in_range', m.bad_dates, m.bad_dates = 0),
+        ('non_empty', m.n_rows, m.n_rows > 0)
+    ) c(name, observed, passed)
+    """,
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style EXPECTATION SUITE (T12 family, beside T9's profile):
+    declarative constraints — completeness, key uniqueness, value
+    bounds, categorical domain, date range, non-emptiness — verified in
+    ONE aggregation pass and emitted as (expectation, observed, passed)
+    rows, the contract gate a production ingest runs before publishing
+    a partition. All observations are exact (counts and one min — no
+    float summation), so the oracle replays them bit-for-bit; the
+    passed flags make regressions loud (any constraint flip fails the
+    hash). Scale: a single map-side-combinable agg over the table —
+    adding expectations adds accumulators, not passes; the
+    count(DISTINCT) is the one shuffle-bearing term (exact by
+    requirement here; A10's sketches are the billion-key relaxation)."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.agg(
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+        (F.count("o_custkey").cast("double") / F.count(F.lit(1))).alias(
+            "completeness"
+        ),
+        (
+            F.countDistinct("o_orderkey").cast("double") / F.count(F.lit(1))
+        ).alias("uniqueness"),
+        F.min("o_totalprice").cast("double").alias("min_price"),
+        F.count_if(
+            ~F.col("o_orderstatus").isin("F", "O", "P")
+        ).cast("double").alias("bad_status"),
+        F.count_if(
+            (F.col("o_orderdate") < F.lit("1992-01-01").cast("date"))
+            | (F.col("o_orderdate") >= F.lit("1999-01-01").cast("date"))
+        ).cast("double").alias("bad_dates"),
+    )
+    rows = [
+        ("completeness_custkey", F.col("completeness"), F.col("completeness") == 1.0),
+        ("uniqueness_orderkey", F.col("uniqueness"), F.col("uniqueness") == 1.0),
+        ("min_price_positive", F.col("min_price"), F.col("min_price") > 0),
+        ("status_in_domain", F.col("bad_status"), F.col("bad_status") == 0),
+        ("dates_in_range", F.col("bad_dates"), F.col("bad_dates") == 0),
+        ("non_empty", F.col("n_rows"), F.col("n_rows") > 0),
+    ]
+    checks = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("expectation"),
+                obs.alias("observed"),
+                passed.alias("passed"),
+            )
+            for name, obs, passed in rows
+        ]
+    )
+    return (
+        m.select(F.explode(checks).alias("c"))
+        .select("c.expectation", "c.observed", "c.passed")
+    )

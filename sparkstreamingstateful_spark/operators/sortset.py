@@ -166,3 +166,36 @@ def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests), but no cross-engine oracle exists for sampling."""
     o = load_table(spark, sf_dir, "orders")
     return o.sample(fraction=0.1, seed=42).select("o_orderkey", "o_totalprice")
+
+
+@query(
+    "set_union_by_name_missing",
+    oracle="""
+    SELECT o_orderkey AS k, o_orderstatus AS status,
+           CAST(o_totalprice AS DOUBLE) AS price, NULL AS segment
+    FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL BY NAME
+    SELECT c_custkey AS k, c_mktsegment AS segment
+    FROM customer WHERE c_acctbal < 0
+    """,
+)
+def set_union_by_name_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union (O6): `unionByName(allowMissingColumns=
+    True)` — the append path when a new ingest batch carries a column
+    subset/superset of the table (each side's missing columns
+    null-fill), mirrored by DuckDB's `UNION ALL BY NAME`. The nullable
+    DOUBLE cast on price follows the fetchdf rule (one side is all-NULL
+    for it); segment stays string (NULL literal types as VARCHAR under
+    BY NAME alignment on the oracle side, string here)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    a = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    b = c.filter(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return a.unionByName(b, allowMissingColumns=True)

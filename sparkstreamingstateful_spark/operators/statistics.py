@@ -394,3 +394,172 @@ def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("forecast"),
         )
     )
+
+
+# ------------------------------------------------------------------ LTTB
+_LTTB_B = 48  # middle buckets; output = B + 2 points per series
+
+
+@query(
+    "events_downsample_lttb",
+    oracle=f"""
+    WITH RECURSIVE
+    hourly AS MATERIALIZED (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    ser AS MATERIALIZED (
+        SELECT event_type, h, y,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS idx,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM hourly
+    ),
+    params AS MATERIALIZED (
+        SELECT event_type, max(n) AS n FROM ser
+        GROUP BY event_type HAVING max(n) >= {_LTTB_B + 2}
+    ),
+    buckets AS MATERIALIZED (
+        SELECT p.event_type, k.k,
+               2 + ((k.k - 1) * (p.n - 2)) // {_LTTB_B} AS lo,
+               1 + (k.k * (p.n - 2)) // {_LTTB_B} AS hi
+        FROM params p, (SELECT unnest(range(1, {_LTTB_B + 1})) AS k) k
+    ),
+    bsum AS MATERIALIZED (
+        SELECT b.event_type, b.k,
+               sum(s.idx) AS sx, sum(s.y) AS sy, count(*) AS c
+        FROM buckets b
+        JOIN ser s ON s.event_type = b.event_type
+                  AND s.idx BETWEEN b.lo AND b.hi
+        GROUP BY b.event_type, b.k
+    ),
+    lastp AS MATERIALIZED (
+        SELECT s.event_type, s.idx, s.y
+        FROM ser s JOIN params p ON p.event_type = s.event_type
+                                AND s.idx = p.n
+    ),
+    nxt AS MATERIALIZED (
+        SELECT b.event_type, b.k,
+               coalesce(nb.sx, lp.idx) AS sx,
+               coalesce(nb.sy, lp.y) AS sy,
+               coalesce(nb.c, 1) AS c
+        FROM buckets b
+        LEFT JOIN bsum nb ON nb.event_type = b.event_type
+                         AND nb.k = b.k + 1
+        JOIN lastp lp ON lp.event_type = b.event_type
+    ),
+    sel(k, event_type, sel_idx, sel_y) AS (
+        SELECT 0, s.event_type, s.idx, s.y
+        FROM ser s JOIN params p ON p.event_type = s.event_type
+        WHERE s.idx = 1
+        UNION ALL
+        SELECT r.k + 1, r.event_type,
+               (min({{'na': -abs((r.sel_idx * x.c - x.sx) * (s.y - r.sel_y)
+                             - (r.sel_idx - s.idx) * (x.sy - r.sel_y * x.c)),
+                      'i': s.idx, 'y': s.y}})).i,
+               (min({{'na': -abs((r.sel_idx * x.c - x.sx) * (s.y - r.sel_y)
+                             - (r.sel_idx - s.idx) * (x.sy - r.sel_y * x.c)),
+                      'i': s.idx, 'y': s.y}})).y
+        FROM sel r
+        JOIN buckets b ON b.event_type = r.event_type AND b.k = r.k + 1
+        JOIN nxt x ON x.event_type = r.event_type AND x.k = r.k + 1
+        JOIN ser s ON s.event_type = r.event_type
+                  AND s.idx BETWEEN b.lo AND b.hi
+        WHERE r.k < {_LTTB_B}
+        GROUP BY r.k, r.event_type
+    ),
+    final AS (
+        SELECT event_type, CAST(k + 1 AS BIGINT) AS sel_rank,
+               sel_idx AS idx, sel_y AS y_c
+        FROM sel
+        UNION ALL
+        SELECT event_type, CAST({_LTTB_B + 2} AS BIGINT), idx, y FROM lastp
+    )
+    SELECT f.event_type, f.sel_rank, CAST(f.idx AS BIGINT) AS idx,
+           s.h AS win_start, CAST(f.y_c AS BIGINT) AS y_c
+    FROM final f
+    JOIN ser s ON s.event_type = f.event_type AND s.idx = f.idx
+    """,
+)
+def events_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB downsampling (E25) — Largest-Triangle-Three-Buckets
+    (Steinarsson's public thesis algorithm, the Grafana/monitoring
+    standard) of each event type's hourly series to 50 visually-
+    representative points: first and last kept, the middle split into
+    48 even index-buckets, and each bucket contributes the point
+    maximizing the triangle area with the PREVIOUSLY SELECTED point and
+    the NEXT bucket's average — a sequential dependency (each selection
+    feeds the next bucket's triangles) that no window frame expresses.
+
+    Exactness across engines: coordinates are (row index, 1e-2-unit
+    BIGINT sums); the next-bucket AVERAGE is rational, so the area
+    comparison is cross-multiplied by the bucket count c —
+    |(x_p·c − Σx)(y_c − y_p) − (x_p − x_c)(Σy − y_p·c)| — pure integer,
+    identical tie contract (max area, then min index) spelled as
+    min(struct(−area, idx)) in the oracle's recursive CTE and a
+    strict-greater scan on the Spark side. Series shorter than 50
+    points are excluded by BOTH engines (HAVING n >= 50).
+
+    Spark shape: the hourly agg runs JVM-side (one shuffle); each
+    type's BOUNDED series (hours × 1, the gap-fill spine argument) then
+    runs the sequential selection in grouped pandas with Python-int
+    arithmetic — per-series work is O(n), series count partitions the
+    work, and the output is 50 rows per series at any corpus size."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("h"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("y"))
+
+    B = _LTTB_B
+
+    def lttb(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("h").reset_index(drop=True)
+        n = len(pdf)
+        if n < B + 2:
+            return pd.DataFrame(
+                columns=["event_type", "sel_rank", "idx", "win_start", "y_c"]
+            )
+        ys = [int(v) for v in pdf["y"]]
+        m = n - 2
+        bounds = [(2 + ((k - 1) * m) // B, 1 + (k * m) // B)
+                  for k in range(1, B + 1)]
+        out = [(1, 1)]  # (sel_rank, idx); first point fixed
+        prev_i, prev_y = 1, ys[0]
+        for k in range(1, B + 1):
+            lo, hi = bounds[k - 1]
+            if k < B:
+                nlo, nhi = bounds[k]
+                c = nhi - nlo + 1
+                sx = (nlo + nhi) * c // 2
+                sy = sum(ys[j - 1] for j in range(nlo, nhi + 1))
+            else:
+                c, sx, sy = 1, n, ys[n - 1]
+            best = None
+            for i in range(lo, hi + 1):
+                area2 = abs(
+                    (prev_i * c - sx) * (ys[i - 1] - prev_y)
+                    - (prev_i - i) * (sy - prev_y * c)
+                )
+                if best is None or area2 > best[0]:
+                    best = (area2, i)
+            prev_i, prev_y = best[1], ys[best[1] - 1]
+            out.append((k + 1, prev_i))
+        out.append((B + 2, n))
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"].iloc[0],
+                "sel_rank": [r for r, _ in out],
+                "idx": [i for _, i in out],
+                "win_start": [pdf["h"].iloc[i - 1] for _, i in out],
+                "y_c": [ys[i - 1] for _, i in out],
+            }
+        )
+
+    return hourly.groupBy("event_type").applyInPandas(
+        lttb,
+        "event_type string, sel_rank long, idx long, "
+        "win_start timestamp_ntz, y_c long",
+    )

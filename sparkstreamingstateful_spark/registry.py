@@ -86,6 +86,9 @@ _KEY_PRIORITY = [
     "sql_order_by_all_offset",
     "multimodal_decode_jpeg",
     "stream_holt_linear",
+    "events_downsample_lttb",
+    "set_union_by_name_missing",
+    "dq_expectations",
     # (0) Keys NEW in round 13 — VERDICT r12 items 3-6 (TABLE-argument
     # UDTF, ANN recall contract at nprobe 1 and 3, foreachBatch MERGE
     # materialization, fixed-point PageRank over the LSH pair graph)
