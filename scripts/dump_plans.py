@@ -184,6 +184,37 @@ SHOWCASE = [
      "on user_id, one ordered window pass; collect_set bounds per-row "
      "state by |event types|, the workaround plan for Spark's missing "
      "count(DISTINCT) OVER"),
+    ("graph_triangle_count", "degree-oriented triangle counting (r13): "
+     "the wedge enumeration is two equi-joins on the ORIENTED edge list "
+     "(out-degree bounded O(sqrt m)) plus a canonical closing join — "
+     "no triple self-join on raw edges, no hub reducer"),
+    ("dedup_containment", "directional containment dedup (r13): "
+     "asymmetric prefix filter — only the probe side explodes to its "
+     "rare-first prefix; candidates equi-join on (lang, shingle) and "
+     "verify exactly; cost tracks the true pair set"),
+    ("agg_count_min_sketch", "count-min sketch (r13): sketch built from "
+     "the key-count agg (map-side combining), probe lookup joins the "
+     "BROADCAST <=1024-row counter table — the fact table never "
+     "shuffles for a probe"),
+    ("join_asof_nearest", "nearest-direction as-of (r13): union + ONE "
+     "shuffle on user_id + two ordered window passes and a row-local "
+     "arbiter — no per-user candidate blow-up (the oracle's all-pairs "
+     "rank is what this plan avoids)"),
+    ("events_holt_linear", "Holt trend smoothing (r13): one hash agg to "
+     "hourly sums, then the two-state recurrence folds IN-ROW per "
+     "series (collect_list + aggregate) — no second shuffle, no window"),
+    ("cluster_kmeans_fixed", "fixed-point k-means (r13): per round, "
+     "assignment is a row-local codegen/HOF map against LITERAL "
+     "broadcast centroids and the update is one posexplode hash agg "
+     "whose output is k x dim rows — the corpus never shuffles"),
+    ("events_downsample_lttb", "LTTB downsampling (r13): hourly "
+     "partial+final hash agg JVM-side; the sequential bucket selection "
+     "runs in grouped pandas over the BOUNDED per-series spine "
+     "(hours x 1), emitting 50 rows/series at any corpus size"),
+    ("dq_expectations", "expectation suite (r13): six constraints in "
+     "ONE map-side-combinable aggregate (count-distinct is the only "
+     "shuffle-bearing term) exploded to rows in-row — adding checks "
+     "adds accumulators, not passes"),
 ]
 
 

@@ -16,7 +16,9 @@ oracle discipline:
   partition-layout-dependent and can never hash-match another engine.
 * ``stat_approx_quantile`` wraps the driver-returning
   ``df.stat.approxQuantile`` API (it RETURNS a Python list by contract
-  — the one documented driver interaction in this module) and H-checks
+  — like ``stat_cov_corr``'s cov/corr, the documented driver
+  interactions in this module: these APIs return Python scalars, so a
+  1-row collect IS their shape) and H-checks
   the agg_approx-style accuracy bound: each estimate's exact rank must
   sit within 1% of q·N, alongside the exact percentile both engines
   agree on.
@@ -233,4 +235,94 @@ def stat_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains(F.col("o_orderpriority_freqItems"), F.col("item")).alias(
             "found"
         ),
+    )
+
+
+@query(
+    "stat_cov_corr",
+    oracle="""
+    WITH q AS (
+        SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM q
+    )
+    SELECT n,
+           (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / (n - 1)
+               AS sample_cov,
+           (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+               / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                  * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy))
+               AS pearson_corr,
+           TRUE AS api_cov_ok, TRUE AS api_corr_ok
+    FROM m
+    """,
+)
+def stat_cov_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.stat.cov`` / ``df.stat.corr`` (ST-E) — the remaining
+    DataFrameStatFunctions pair, under the A13 discipline: the native
+    APIs accumulate DOUBLES, and double summation is partition-order-
+    dependent (Spark's 32 partials vs DuckDB's single scan disagree in
+    the last ulps — un-hash-checkable by construction), so the H-checked
+    VALUES are closed forms over exact BIGINT moment sums (quantity is
+    integer-valued; price quantized to cents), bit-equal cross-engine:
+    one division tree + two correctly-rounded sqrts. The native
+    ``df.stat.cov``/``df.stat.corr`` calls are pinned alongside as
+    contract flags (|api − exact| ≤ 1e-9 relative), so an API
+    regression flips a flag and fails the hash — the same two-sided
+    surface agg_approx gives HLL.
+
+    Scale: the moment agg is ONE map-side-combinable pass (six BIGINT
+    accumulators merge associatively); the two stat API calls each run
+    their own single-pass agg. Output is one row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.select(
+        F.round("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    m = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    ).collect()[0]
+    n, sx, sy = m.n, m.sx, m.sy
+    sxx, sxy, syy = m.sxx, m.sxy, m.syy
+    import math
+
+    cov = (float(sxy) - float(sx) * sy / n) / (n - 1)
+    corr = (n * float(sxy) - float(sx) * sy) / (
+        math.sqrt(n * float(sxx) - float(sx) * sx)
+        * math.sqrt(n * float(syy) - float(sy) * sy)
+    )
+    # the native API surface under test — each one aggregation pass;
+    # compared against the exact-moment closed form at 1e-9 relative
+    qd = li.select(
+        F.round("l_quantity").cast("double").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("double").alias("y"),
+    )
+    api_cov = qd.stat.cov("x", "y")
+    api_corr = qd.stat.corr("x", "y")
+    row = [
+        (
+            n,
+            cov,
+            corr,
+            bool(abs(api_cov - cov) <= 1e-9 * max(1.0, abs(cov))),
+            bool(abs(api_corr - corr) <= 1e-9 * max(1.0, abs(corr))),
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "n bigint, sample_cov double, pearson_corr double, "
+        "api_cov_ok boolean, api_corr_ok boolean",
     )

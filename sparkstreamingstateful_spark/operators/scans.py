@@ -1110,3 +1110,88 @@ def maintenance_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("total_c"),
     )
+
+
+def _recursive_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Arbitrarily-NESTED (non-Hive) orders layout for the recursive-
+    lookup key, cached by content fingerprint: status F under
+    deep/f/files, O under deep/o/more/files, P at the top level — plus a
+    DECOY `.bin` copy of one parquet file that a glob-less read would
+    double-count. Nesting depth varies per branch deliberately: Hive
+    partition discovery would reject the layout (no key=value dirs),
+    which is the point — recursiveFileLookup is the escape hatch for
+    inherited directory trees."""
+    import shutil
+
+    tag = _dir_tag(sf_dir, "orders")
+    root = os.path.join(tempfile.gettempdir(), f"sss_rfl_{tag}")
+    done = os.path.join(root, ".done")
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)
+        o = load_table(spark, sf_dir, "orders")
+        dests = {
+            "F": os.path.join(root, "deep", "f"),
+            "O": os.path.join(root, "deep", "o", "more"),
+            "P": root,
+        }
+        for status, dest in dests.items():
+            o.filter(F.col("o_orderstatus") == status).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(dest + "_stage")
+            os.makedirs(dest, exist_ok=True)
+            for f_ in os.listdir(dest + "_stage"):
+                if f_.endswith(".parquet"):
+                    shutil.move(
+                        os.path.join(dest + "_stage", f_),
+                        os.path.join(dest, f"orders_{status}.parquet"),
+                    )
+            shutil.rmtree(dest + "_stage")
+        # decoy: same bytes, wrong suffix — must be glob-excluded
+        shutil.copy(
+            os.path.join(dests["F"], "orders_F.parquet"),
+            os.path.join(dests["F"], "orders_F.bin"),
+        )
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return root
+
+
+@query(
+    "scan_recursive_glob",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_c
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def scan_recursive_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive directory ingestion (S6p): `recursiveFileLookup` +
+    `pathGlobFilter` over an arbitrarily-nested NON-Hive tree (depths
+    differ per branch; no key=value dirs, so partition discovery can't
+    apply) — the inherited-data-lake shape every migration hits. The
+    glob filter excludes a same-bytes `.bin` decoy that an unfiltered
+    recursive read WOULD double-count (the F group's totals would
+    double and fail the hash), so the H-check pins both the full
+    traversal and the filter. Explicit schema as always (no inference
+    job). Scale: listing is driver-side metadata — at real scale this
+    layout is exactly why recursive listing cost matters and why the
+    parallel listing threshold (`spark.sql.sources.parallelPartition
+    Discovery.threshold`) exists; the read itself is a plain pruned
+    columnar scan."""
+    from ..catalog import SCHEMAS
+
+    root = _recursive_layout(spark, sf_dir)
+    df = (
+        spark.read.schema(SCHEMAS["orders"])
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(root)
+    )
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("total_c"),
+    )

@@ -89,6 +89,8 @@ _KEY_PRIORITY = [
     "events_downsample_lttb",
     "set_union_by_name_missing",
     "dq_expectations",
+    "stat_cov_corr",
+    "scan_recursive_glob",
     # (0) Keys NEW in round 13 — VERDICT r12 items 3-6 (TABLE-argument
     # UDTF, ANN recall contract at nprobe 1 and 3, foreachBatch MERGE
     # materialization, fixed-point PageRank over the LSH pair graph)
