@@ -1116,6 +1116,14 @@ def _km_oracle() -> str:
 def kmeans_fixed_plan(
     e: DataFrame, k: int = _KM_K, iters: int = _KM_ITERS, dim: int = _KM_DIM
 ):
+    """`kmeans_fixed_train` minus the trained codebook — the assignment
+    DataFrame only (see that function's docstring for the contract)."""
+    return kmeans_fixed_train(e, k, iters, dim)[0]
+
+
+def kmeans_fixed_train(
+    e: DataFrame, k: int = _KM_K, iters: int = _KM_ITERS, dim: int = _KM_DIM
+):
     """Lloyd's k-means over the embedding table in EXACT FIXED-POINT
     arithmetic → ``(vec_id, cluster, dist_fixed, cluster_size)``.
 
@@ -1193,12 +1201,14 @@ def kmeans_fixed_plan(
     sizes = assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
-    return assigned.join(F.broadcast(sizes), "cluster").select(
+    out = assigned.join(F.broadcast(sizes), "cluster").select(
         "vec_id",
         "cluster",
         "dist_fixed",
         F.col("cluster_size").cast("bigint").alias("cluster_size"),
     )
+    # cents here = the codebook the FINAL assignment used (trained model)
+    return out, cents
 
 
 @query("cluster_kmeans_fixed", oracle=_km_oracle())
@@ -1298,4 +1308,149 @@ def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum(F.col(f"_err_{s}") for s in range(_PQ_M))
         .cast("bigint")
         .alias("err_fixed"),
+    )
+
+
+def _pq_adc_oracle() -> str:
+    """ADC top-k replay: the four `_km_rounds_ctes` chains again, plus —
+    per subspace — the TRAINED codebook (the centroids the final
+    assignment used, cent_s{it}_{iters-1}), probe distance tables, and
+    the summed asymmetric distance, all in exact integers."""
+    ctes, finals, cents = [], [], []
+    for s in range(_PQ_M):
+        lo, hi = s * _PQ_SUBDIM + 1, (s + 1) * _PQ_SUBDIM
+        c, f = _km_rounds_ctes(
+            _km_quant_expr(f"embedding[{lo}:{hi}]"),
+            _PQ_SUBDIM, _PQ_K, _PQ_ITERS, tag=f"_s{s}",
+        )
+        ctes.append(c)
+        finals.append(f)
+        cents.append(f"cent_s{s}_{_PQ_ITERS - 1}")
+    dtabs = ",\n    ".join(
+        f"""dtab{s} AS MATERIALIZED (
+        SELECT p.vec_id AS probe_id, c.cid,
+               list_sum(list_transform(range(1, {_PQ_SUBDIM + 1}),
+                   i -> (p.qv[i] - c.cv[i]) * (p.qv[i] - c.cv[i]))) AS d
+        FROM (SELECT vec_id, qv FROM q_s{s}
+              WHERE vec_id IN ({_PROBES_SQL})) p
+        CROSS JOIN {cents[s]} c
+    )"""
+        for s in range(_PQ_M)
+    )
+    djoin = "\n    ".join(
+        f"JOIN dtab{s} d{s} ON d{s}.probe_id = p.probe_id"
+        f" AND d{s}.cid = a{s}.cid"
+        for s in range(_PQ_M)
+    )
+    cjoin = "\n    ".join(
+        f"JOIN {f} a{s} ON a{s}.vec_id = a0.vec_id"
+        for s, f in enumerate(finals)
+        if s > 0
+    )
+    dsum = " + ".join(f"d{s}.d" for s in range(_PQ_M))
+    return f"""
+    WITH {",".join(ctes)},
+    {dtabs},
+    probes AS (SELECT DISTINCT vec_id AS probe_id FROM embeddings
+               WHERE vec_id IN ({_PROBES_SQL})),
+    adc AS (
+        SELECT p.probe_id, a0.vec_id AS neighbor_id,
+               CAST({dsum} AS BIGINT) AS adc_dist
+        FROM probes p, {finals[0]} a0
+        {cjoin}
+        {djoin}
+        WHERE a0.vec_id <> p.probe_id
+    )
+    SELECT probe_id, neighbor_id, adc_dist,
+           CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                       ORDER BY adc_dist, neighbor_id)
+                        AS rank
+          FROM adc)
+    WHERE rank <= 5
+    """
+
+
+@query("embed_pq_adc_topk", oracle=_pq_adc_oracle())
+def embed_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ASYMMETRIC-DISTANCE top-k search (L22) — the query half of
+    L21's product quantization (Jégou et al. TPAMI'11, "ADC"): each
+    probe precomputes, per subspace, its distance to all 8 codebook
+    centroids (a 4×8 lookup table of exact integers); a corpus vector's
+    approximate distance is then the SUM of 4 table lookups over its
+    code word — the memory-bandwidth trick that lets a vector store
+    scan billions of codes without touching raw floats. Top-5 per probe
+    by (adc_dist, neighbor_id). Everything is integer (quantized probe,
+    integer centroids), so the oracle — the PQ training chains plus
+    per-subspace CROSS JOIN distance tables — hash-matches distances
+    AND ranking bit for bit; no recall flag needed, ADC is
+    deterministic given the codebooks.
+
+    Spark shape: codebooks train via `kmeans_fixed_train` (k×subdim
+    ints on the driver — the model); the 10-probe × 4×8 lookup table
+    builds driver-side in exact ints and BROADCASTS (320 rows at any
+    corpus size); the corpus side explodes each code word to
+    (vec_id, subspace, code) and equi-joins the lookup — one narrow
+    broadcast join + one (probe, vec) sum-agg + a top-k window. The
+    corpus is scanned once; nothing pairwise touches raw vectors."""
+    e = load_table(spark, sf_dir, "embeddings")
+    import math
+
+    code_parts, cents_by_s = [], {}
+    for s in range(_PQ_M):
+        sub = e.select(
+            "vec_id",
+            F.slice("embedding", s * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias(
+                "embedding"
+            ),
+        )
+        res, cents = kmeans_fixed_train(
+            sub, k=_PQ_K, iters=_PQ_ITERS, dim=_PQ_SUBDIM
+        )
+        cents_by_s[s] = cents
+        code_parts.append(
+            res.select(
+                "vec_id",
+                F.lit(s).alias("s"),
+                F.col("cluster").alias("cid"),
+            )
+        )
+    codes = code_parts[0]
+    for part in code_parts[1:]:
+        codes = codes.unionByName(part)
+
+    probe_rows = (
+        e.filter(F.col("vec_id").isin(*PROBE_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    lookup = []
+    for r in probe_rows:
+        qv = [math.floor(float(x) * _KM_SCALE) for x in r.embedding]
+        for s in range(_PQ_M):
+            seg = qv[s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM]
+            for cid, cv in cents_by_s[s].items():
+                d = sum((a - b) * (a - b) for a, b in zip(seg, cv))
+                lookup.append((r.vec_id, s, cid, d))
+    ltab = F.broadcast(
+        spark.createDataFrame(
+            lookup, "probe_id long, s int, cid bigint, d long"
+        )
+    )
+    adc = (
+        codes.join(ltab, ["s", "cid"])
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .groupBy("probe_id", "vec_id")
+        .agg(F.sum("d").cast("bigint").alias("adc_dist"))
+    )
+    w = Window.partitionBy("probe_id").orderBy("adc_dist", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "adc_dist",
+            "rank",
+        )
     )
