@@ -64,16 +64,22 @@ def query(name: str, oracle: str | None = None):
 # Evidence-priority ordering. The correctness driver checks exactly the
 # FIRST 50 registered keys each round (count cap, measured r1/r2), so
 # iteration order is the lever that decides which keys get hard oracle
-# signal. Round-13 window: (0) the 22 keys new this round, (a) 28 of
-# the 40-key cohort whose newest driver evidence was r7 — the
-# staleness tail VERDICT r12 item 1 targeted. Everything below the
-# line is ordered for the NEXT rotation: the cohort's remaining 12
-# r7 keys, then the r8 cohort, then r9, then the freshest (r11/r12)
-# evidence last.
+# signal. Round-13 window: (00) the 18 keys added late in the round,
+# (0) the 22 keys from the round's first wave, then the first 10 of
+# the 40-key cohort whose newest driver evidence was r7 (the staleness
+# tail VERDICT r12 item 1 targeted — its remaining 30 keys slipped to
+# just below the line and lead the r14 rotation, then the r8 cohort,
+# then r9, then the freshest evidence last). Every key in both r13
+# waves was driver-sim verified at sf0.001 AND sf0.01 in-session
+# regardless of window position.
 _KEY_PRIORITY = [
-    # (00) Keys added late in round 13 (graph analytics beyond CC/PageRank,
-    # count-min sketch, containment dedup, Holt trend smoothing, fixed-
-    # point k-means) — newest evidence need, so they lead the window.
+    # (00) Keys added late in round 13 — graph analytics beyond
+    # CC/PageRank, count-min sketch, containment dedup, Holt trend
+    # smoothing (batch + streaming twin), fixed-point k-means + the PQ
+    # train/encode/search pair, WAV + baseline-JPEG real decodes, LTTB
+    # downsampling, df.stat cov/corr, recursive-glob ingestion, DQ
+    # expectations, ORDER BY ALL pagination, schema-evolution union —
+    # newest evidence need, so they lead the window.
     "graph_triangle_count",
     "graph_bfs_distance",
     "agg_count_min_sketch",
@@ -163,11 +169,11 @@ _KEY_PRIORITY = [
     "agg_listagg",
     "udtf_analyze",
     "scalar_try_arithmetic",
-    # --- 50-key boundary falls 12 keys above this line (22 new + 28 of
-    # the 40-key r7 cohort fill the window; the cohort's last 12 keys
-    # land just below and lead the r14 rotation together with the r8
-    # cohort, then the r9 cohort, then the freshest evidence at the
-    # bottom).
+    # --- 50-key boundary: 18 late-r13 + 22 first-wave-r13 keys + the 10
+    # r7-cohort keys above (through scan_parquet) fill the window; the
+    # cohort's remaining 30 keys start at scan_projection_pushdown just
+    # above/below here and lead the r14 rotation together with the r8
+    # cohort, then r9, then the freshest evidence at the bottom.
     "stateful_running_agg_tws_bootstrap",
     "scd2_point_in_time_join",
     "stream_union_sources",
