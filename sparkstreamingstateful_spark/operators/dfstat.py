@@ -247,20 +247,23 @@ def stat_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
     ),
     m AS (
+        -- second moments stay HUGEINT: sum(y*y) is ~6e19 at sf0.1,
+        -- past BIGINT (the sf0.1 contract check caught the cast)
         SELECT CAST(count(*) AS BIGINT) AS n,
                CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-               CAST(sum(x * x) AS BIGINT) AS sxx,
-               CAST(sum(x * y) AS BIGINT) AS sxy,
-               CAST(sum(y * y) AS BIGINT) AS syy
+               sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
         FROM q
     )
+    -- rounded on BOTH sides: the huge second moments pass through a
+    -- HUGEINT->DOUBLE (duck) vs int->float (python) conversion whose
+    -- last ulp can differ (measured at sf0.1) — round() absorbs it
     SELECT n,
-           (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / (n - 1)
-               AS sample_cov,
-           (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+           round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                 / (n - 1), 6) AS sample_cov,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
                / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
-                  * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy))
-               AS pearson_corr,
+                  * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)),
+               9) AS pearson_corr,
            TRUE AS api_cov_ok, TRUE AS api_corr_ok
     FROM m
     """,
@@ -287,16 +290,18 @@ def stat_cov_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("l_quantity").cast("bigint").alias("x"),
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
     )
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
     m = q.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum((xd * xd).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((xd * yd).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((yd * yd).cast("decimal(38,0)")).alias("syy"),
     ).collect()[0]
     n, sx, sy = m.n, m.sx, m.sy
-    sxx, sxy, syy = m.sxx, m.sxy, m.syy
+    sxx, sxy, syy = int(m.sxx), int(m.sxy), int(m.syy)
     import math
 
     cov = (float(sxy) - float(sx) * sy / n) / (n - 1)
@@ -325,4 +330,11 @@ def stat_cov_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         row,
         "n bigint, sample_cov double, pearson_corr double, "
         "api_cov_ok boolean, api_corr_ok boolean",
+    ).select(
+        "n",
+        # Spark-SQL round (half-up), never Python round (banker's)
+        F.round("sample_cov", 6).alias("sample_cov"),
+        F.round("pearson_corr", 9).alias("pearson_corr"),
+        "api_cov_ok",
+        "api_corr_ok",
     )

@@ -1265,6 +1265,41 @@ def _pq_oracle() -> str:
     """
 
 
+import weakref
+
+_PQ_MODEL_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _pq_train_cached(spark: SparkSession, sf_dir: str, e: DataFrame):
+    """Train the 4 subspace codebooks ONCE per (session, corpus content)
+    and memoize (codes DataFrames are localCheckpoint-materialized, so
+    reuse costs nothing). Train-once / use-many is the production PQ
+    shape: L21 (encode) and L22 (ADC search) share the model, exactly
+    as a vector store shares its trained quantizer across queries.
+    Session-weak keying per the repo idempotence rule (never id())."""
+    from .scans import _dir_tag
+
+    tag = _dir_tag(sf_dir, "embeddings")
+    per_session = _PQ_MODEL_CACHE.setdefault(spark, {})
+    if tag not in per_session:
+        trained = []
+        for s in range(_PQ_M):
+            sub = e.select(
+                "vec_id",
+                F.slice(
+                    "embedding", s * _PQ_SUBDIM + 1, _PQ_SUBDIM
+                ).alias("embedding"),
+            )
+            res, cents = kmeans_fixed_train(
+                sub, k=_PQ_K, iters=_PQ_ITERS, dim=_PQ_SUBDIM
+            )
+            trained.append((res.localCheckpoint(), cents))
+        per_session[tag] = trained
+    return per_session[tag]
+
+
 @query("embed_pq_codes", oracle=_pq_oracle())
 def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCT QUANTIZATION codes (L21) — the memory-bound ANN
@@ -1287,16 +1322,8 @@ def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of corpus size."""
     e = load_table(spark, sf_dir, "embeddings")
     out = None
-    for s in range(_PQ_M):
-        sub = e.select(
-            "vec_id",
-            F.slice("embedding", s * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias(
-                "embedding"
-            ),
-        )
-        res = kmeans_fixed_plan(
-            sub, k=_PQ_K, iters=_PQ_ITERS, dim=_PQ_SUBDIM
-        ).select(
+    for s, (res, _cents) in enumerate(_pq_train_cached(spark, sf_dir, e)):
+        res = res.select(
             "vec_id",
             F.col("cluster").alias(f"code_{s}"),
             F.col("dist_fixed").alias(f"_err_{s}"),
@@ -1397,16 +1424,7 @@ def embed_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     code_parts, cents_by_s = [], {}
-    for s in range(_PQ_M):
-        sub = e.select(
-            "vec_id",
-            F.slice("embedding", s * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias(
-                "embedding"
-            ),
-        )
-        res, cents = kmeans_fixed_train(
-            sub, k=_PQ_K, iters=_PQ_ITERS, dim=_PQ_SUBDIM
-        )
+    for s, (res, cents) in enumerate(_pq_train_cached(spark, sf_dir, e)):
         cents_by_s[s] = cents
         code_parts.append(
             res.select(
