@@ -9,7 +9,7 @@ the scan pipeline.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -420,4 +420,56 @@ def array_edit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         s(F.array_prepend(base, F.lit(7))).alias("prepended"),
         s(F.array_compact(F.array(a, F.lit(None), b))).alias("compacted"),
         s(F.array_remove(F.array(a, b, F.lit(3)), 3)).alias("removed"),
+    )
+
+
+@query(
+    "array_explode_outer",
+    oracle="""
+    WITH src AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderstatus = 'P' THEN NULL
+                    WHEN o_orderkey % 3 = 0 THEN []
+                    ELSE string_split(o_orderpriority, '-') END AS parts
+        FROM orders
+    ),
+    ex AS (
+        SELECT o_orderkey, u.part FROM src,
+        LATERAL (SELECT unnest(
+            CASE WHEN parts IS NULL OR len(parts) = 0
+                 THEN [NULL] ELSE parts END) AS part) u
+    )
+    SELECT o_orderkey, part,
+           CAST(count(*) OVER (PARTITION BY o_orderkey) AS BIGINT)
+               AS n_rows_for_key
+    FROM ex
+    """,
+)
+def array_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``explode_outer`` row-preservation semantics (N12): plain explode
+    DROPS rows whose array is NULL or empty — silently losing the
+    parent row from any later join — while the outer variant emits one
+    NULL row for them. The source plants BOTH degenerate classes (NULL
+    arrays for status P, empty arrays for every third key), so the
+    hash pins exactly the rows a bare explode would destroy; DuckDB has
+    no outer unnest, so the oracle spells the same semantics with a
+    CASE-to-[NULL] rewrite. The per-key row count rides along to pin
+    multiplicity (split rows for normal keys, exactly one for
+    degenerate ones)."""
+    o = load_table(spark, sf_dir, "orders")
+    src = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "P", F.lit(None))
+        .when(F.col("o_orderkey") % 3 == 0, F.array().cast("array<string>"))
+        .otherwise(F.split("o_orderpriority", "-"))
+        .alias("parts"),
+    )
+    ex = src.select(
+        "o_orderkey", F.explode_outer("parts").alias("part")
+    )
+    w = Window.partitionBy("o_orderkey")
+    return ex.select(
+        "o_orderkey",
+        "part",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_rows_for_key"),
     )

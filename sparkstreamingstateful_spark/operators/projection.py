@@ -593,3 +593,44 @@ def scalar_str_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.getItem("nat").cast("bigint").alias("nat_back"),
         F.size(F.map_keys(m)).cast("bigint").alias("n_keys"),
     )
+
+
+@query(
+    "scalar_regexp",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT)
+               AS n_runs,
+           regexp_extract(text, '([a-z]{6,})', 1) AS first_long,
+           regexp_replace(substr(text, 1, 40), '[aeiou]', '*', 'g')
+               AS starred,
+           regexp_matches(text, 'data|model') AS flagged
+    FROM documents
+    """,
+)
+def scalar_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-expression scalar family (P20): extract-all run counting,
+    first-group extraction, GLOBAL replacement, and boolean matching
+    over free text — the comment-mining surface. Cross-engine care:
+    Spark regexp_replace is global BY DEFAULT while DuckDB replaces the
+    first match only (the oracle passes the 'g' option); both engines
+    return '' (not NULL) for a no-match extract (measured); the
+    patterns stay inside the character-class/alternation subset where
+    Java regex and RE2 agree — lookarounds and lazy quantifiers are
+    exactly where the dialects fork, and don't belong in a
+    cross-engine contract. All four expressions are row-local codegen
+    over the scan: zero shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        # idx 0 = whole match (Spark defaults to GROUP 1 and throws on a
+        # group-less pattern; DuckDB's default is already the full match)
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_runs"),
+        F.regexp_extract("text", "([a-z]{6,})", 1).alias("first_long"),
+        F.regexp_replace(F.substring("text", 1, 40), "[aeiou]", "*").alias(
+            "starred"
+        ),
+        F.col("text").rlike("data|model").alias("flagged"),
+    )

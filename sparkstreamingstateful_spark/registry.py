@@ -98,6 +98,8 @@ _KEY_PRIORITY = [
     "stat_cov_corr",
     "scan_recursive_glob",
     "embed_pq_adc_topk",
+    "array_explode_outer",
+    "scalar_regexp",
     # (0) Keys NEW in round 13 — VERDICT r12 items 3-6 (TABLE-argument
     # UDTF, ANN recall contract at nprobe 1 and 3, foreachBatch MERGE
     # materialization, fixed-point PageRank over the LSH pair graph)
