@@ -64,8 +64,8 @@ def query(name: str, oracle: str | None = None):
 # Evidence-priority ordering. The correctness driver checks exactly the
 # FIRST 50 registered keys each round (count cap, measured r1/r2), so
 # iteration order is the lever that decides which keys get hard oracle
-# signal. Round-13 window: (00) the 18 keys added late in the round,
-# (0) the 22 keys from the round's first wave, then the first 10 of
+# signal. Round-13 window: (00) the 20 keys added late in the round,
+# (0) the 22 keys from the round's first wave, then the first 8 of
 # the 40-key cohort whose newest driver evidence was r7 (the staleness
 # tail VERDICT r12 item 1 targeted — its remaining 30 keys slipped to
 # just below the line and lead the r14 rotation, then the r8 cohort,
@@ -171,10 +171,10 @@ _KEY_PRIORITY = [
     "agg_listagg",
     "udtf_analyze",
     "scalar_try_arithmetic",
-    # --- 50-key boundary: 18 late-r13 + 22 first-wave-r13 keys + the 10
-    # r7-cohort keys above (through scan_parquet) fill the window; the
-    # cohort's remaining 30 keys start at scan_projection_pushdown just
-    # above/below here and lead the r14 rotation together with the r8
+    # --- 50-key boundary: 20 late-r13 + 22 first-wave-r13 keys + the 8
+    # r7-cohort keys above (through seq_packing) fill the window; the
+    # cohort's remaining 32 keys start just above/below here and lead
+    # the r14 rotation together with the r8
     # cohort, then r9, then the freshest evidence at the bottom.
     "stateful_running_agg_tws_bootstrap",
     "scd2_point_in_time_join",
