@@ -89,16 +89,22 @@ def main() -> None:
         # lose the whole bench payload after the suite already ran
         tws_path = None
 
+    # Dict insertion order is deliberate: the driver's BENCH_r* capture
+    # keeps only the last 2000 chars of stdout, so with 282 per-key
+    # timings the FRONT of the line is what gets truncated. "queries"
+    # must come first and the suite-level fields last so metric/value/
+    # unit/sf always land inside the captured tail (BENCH_r12/r13 were
+    # parsed:null precisely because value sat at the front).
     payload = {
-        "metric": "suite_wall_clock",
-        "value": total,
-        "unit": "sec",
         "queries": timings,
-        "sf": sf_dir,
         # Which stateful API stateful_running_agg_tws actually executed —
         # the TWS gate is environment-dependent (protobuf health), so each
         # round's artifact must record which path produced its numbers.
         "tws_path": tws_path,
+        "metric": "suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_dir,
     }
     print(json.dumps(payload))
     # The driver's BENCH_r* capture keeps only the stdout TAIL, which

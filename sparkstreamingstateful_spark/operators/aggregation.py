@@ -934,11 +934,15 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     H-checked surface is the sketch's CONTRACT on a fixed probe panel
     (partkeys 1..20): ``never_undercounts`` (est >= exact, the CMS
     one-sided theorem: every occurrence of k lands in every probed
-    cell) and ``within_bound`` (est <= exact + 4N/width — the ε-N error
-    bound at ε = 4/width; deterministic here because hashes and data
-    are fixed, verified at sf0.001/0.01/0.1). The oracle asserts both
-    TRUE next to the exact counts; a broken sketch (dropped updates,
-    wrong modulus, undersized table) flips a flag and fails the hash.
+    cell) and ``within_bound`` (est <= exact + 8N/width). The ε-N bound
+    is PROBABILISTIC, not a theorem (ADVICE r13) — the classic
+    guarantee is est <= exact + e·N/width with prob 1 - e^-depth — so
+    the pinned flag uses ε = 8/width, ~3× the Markov ε, giving flip
+    probability ~(1/8)^4 per probe even on adversarial future data;
+    measured headroom at sf0.001/0.01/0.1 is far inside it. The oracle
+    asserts both TRUE next to the exact counts; a broken sketch
+    (dropped updates, wrong modulus, undersized table) flips a flag and
+    fails the hash.
     Estimates themselves are pinned in tests (width-1 degenerate table
     → every estimate equals N exactly).
 
@@ -975,7 +979,7 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.coalesce("est", F.lit(0))
                 <= F.coalesce("c", F.lit(0))
-                + F.expr(f"(4 * n_total) div {_CMS_WIDTH}")
+                + F.expr(f"(8 * n_total) div {_CMS_WIDTH}")
             ).alias("within_bound"),
         )
     )

@@ -15,7 +15,12 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import query
-from .llm_text import _EDGES_SQL, connected_components, dedup_minhash_lsh
+from .llm_text import (
+    _EDGES_SQL,
+    _WEDGES_SQL,
+    connected_components,
+    lsh_sym_edges,
+)
 
 # Oracle prelude for the LSH-graph keys: the exact >=0.7 shingle-Jaccard
 # pair graph (identical to the graph dedup_minhash_lsh H-checks) plus its
@@ -234,14 +239,9 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (tiny) LSH pair graph — the textbook Pregel/BSP BFS with the
     frontier as a DataFrame; lineage is truncated each round
     (localCheckpoint, T7 discipline) so plans stay flat."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
-    sym = (
-        pairs.union(
-            pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
-        )
-        .select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
-        .localCheckpoint()
-    )
+    # session-memoized symmetrized edge list (shared with
+    # dedup_cluster_cc and graph_pagerank_lsh — see lsh_sym_edges)
+    sym = lsh_sym_edges(spark, sf_dir)
     labels = connected_components(sym)
     comp = labels.select("node", F.col("label").alias("component"))
     dist = (
@@ -273,3 +273,113 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         F.coalesce("dist", F.lit(_BFS_MAX_HOPS + 1)).cast("bigint").alias("dist_hops"),
     )
+
+
+def _sp_levels_sql(hops: int) -> str:
+    """Unrolled Bellman–Ford levels d1..d{hops} for the oracle: each
+    level is min-weight over paths of <= i edges from the component
+    keepers. MATERIALIZED per level — each d_{i+1} references d_i twice
+    (carry + relax), so an unmaterialized chain re-evaluates
+    exponentially (the r13 recursive-PageRank lesson applied to a
+    non-recursive chain)."""
+    parts = []
+    for i in range(1, hops + 1):
+        parts.append(f"""
+    d{i} AS MATERIALIZED (
+        SELECT node, min(dist) AS dist FROM (
+            SELECT node, dist FROM d{i - 1}
+            UNION ALL
+            SELECT s.dst AS node, d.dist + s.w AS dist
+            FROM d{i - 1} d JOIN wsym s ON s.src = d.node
+        ) GROUP BY node)""")
+    return ",".join(parts)
+
+
+@query(
+    "graph_shortest_path",
+    oracle=f"""
+    WITH RECURSIVE
+    wedges AS MATERIALIZED ({_WEDGES_SQL}),
+    wsym AS MATERIALIZED (SELECT a_id AS src, b_id AS dst, w FROM wedges
+            UNION ALL SELECT b_id, a_id, w FROM wedges),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM wsym),
+    reach(n, m) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT r.n, s.dst FROM reach r JOIN wsym s ON r.m = s.src
+    ),
+    comp AS MATERIALIZED (
+        SELECT n AS node, min(m) AS component FROM reach GROUP BY n),
+    d0 AS MATERIALIZED (
+        SELECT DISTINCT component AS node, CAST(0 AS BIGINT) AS dist
+        FROM comp),
+    {_sp_levels_sql(_BFS_MAX_HOPS)}
+    SELECT c.node, c.component,
+           CAST(coalesce(b.dist, -1) AS BIGINT) AS dist_w
+    FROM comp c LEFT JOIN d{_BFS_MAX_HOPS} b ON b.node = c.node
+    """,
+)
+def graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED single-source shortest paths (T15, VERDICT r13 item 7):
+    Bellman–Ford relaxation from each component's keeper over the LSH
+    near-dup graph with dissimilarity weights w = 10^6·(1 - jaccard) —
+    "how much cumulative dissimilarity separates a document from its
+    cluster representative", the weighted refinement of T14's hop
+    count (two hops through 0.99-similar docs is closer than one hop
+    through a 0.70 one).
+
+    Semantics: EXACT min total weight over paths of <= 8 edges
+    (_BFS_MAX_HOPS), sentinel -1 beyond — round i of Bellman–Ford fixes
+    min weight over <= i-edge paths by induction, and the oracle's
+    unrolled relaxation levels carry the identical recurrence, so the
+    contract is k-hop-bounded weighted SP, not convergence-dependent
+    (the BFS-cap discipline). Weights are exact BIGINTs derived from
+    the H-checked 6-decimal jaccard (see lsh_sym_edges), so sums are
+    bit-equal across engines — float path weights would drift through
+    summation order.
+
+    Scale: per round one join + min-agg over the (tiny) LSH pair
+    graph — the Pregel SSSP pattern; lineage truncated every other
+    round, shuffles sized to the graph (T14 discipline)."""
+    sym = lsh_sym_edges(spark, sf_dir)
+    labels = connected_components(sym)
+    comp = labels.select("node", F.col("label").alias("component"))
+    seeds = comp.select(F.col("component").alias("node")).distinct()
+    dist = bounded_weighted_sp(spark, sym, seeds, _BFS_MAX_HOPS)
+    return comp.join(dist, "node", "left").select(
+        "node",
+        "component",
+        F.coalesce("dist", F.lit(-1)).cast("bigint").alias("dist_w"),
+    )
+
+
+def bounded_weighted_sp(
+    spark: SparkSession, sym: DataFrame, seeds: DataFrame, hops: int
+) -> DataFrame:
+    """``hops`` Bellman–Ford relaxation rounds over a weighted symmetric
+    edge list ``(src, dst, w)`` from ``seeds`` (one ``node`` column) →
+    ``(node, dist)`` with dist = exact min total weight over paths of
+    <= hops edges. Separated from graph_shortest_path so tests can pin
+    hand-computed path weights on known graphs (the triangle_counts /
+    pagerank_fixed_point device)."""
+    from .scans import _conf_guard
+
+    dist = seeds.withColumn(
+        "dist", F.lit(0).cast("bigint")
+    ).localCheckpoint()
+    with _conf_guard(spark, "spark.sql.shuffle.partitions", "2"):
+        for i in range(hops):
+            stepped = (
+                sym.join(dist, sym.src == dist.node)
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("dist") + F.col("w")).alias("dist"),
+                )
+                .unionByName(dist.select("node", "dist"))
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+            )
+            if i % 2 == 1 or i == hops - 1:
+                stepped = stepped.localCheckpoint()
+            dist = stepped
+    return dist

@@ -794,14 +794,21 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "kind", F.col("click_id").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # forward pass: among clicks strictly after, min ts then min id.
-    # Walk DESCENDING ts with purchases first at ties (kind ascending in
-    # the desc walk = purchase kind 1 first? no — order kind so clicks
-    # at the SAME ts are NOT visible: they belong to the backward side).
+    # forward pass: among clicks strictly after, min ts then MIN id.
+    # Walk DESCENDING ts; kind desc puts the purchase BEFORE same-ts
+    # clicks in the walk, so equal-ts clicks are invisible to the
+    # forward side (they belong to the backward side). Within a tied-ts
+    # run of forward clicks, last() picks the row nearest the current
+    # one — order click ids DESCENDING (mirroring w_back) so that last
+    # row is the SMALLEST id, matching the oracle's `ORDER BY abs(gap),
+    # c.ts, c.event_id` tiebreak (ADVICE r13: ascending here picked the
+    # largest id on duplicate-ts forward clicks).
     w_fwd = (
         Window.partitionBy("user_id")
         .orderBy(
-            F.col("ts").desc(), F.col("kind").desc(), F.col("click_id")
+            F.col("ts").desc(),
+            F.col("kind").desc(),
+            F.col("click_id").desc(),
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

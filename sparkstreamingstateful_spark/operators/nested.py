@@ -473,3 +473,107 @@ def array_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "part",
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_rows_for_key"),
     )
+
+
+@query(
+    "generator_functions",
+    oracle="""
+    SELECT p_partkey, 'posexplode' AS gen, 'elem' AS label,
+           CAST(generate_subscripts(
+               [p_size, p_size * 2, p_partkey % 10], 1) AS BIGINT) AS pos,
+           CAST(unnest([p_size, p_size * 2, p_partkey % 10])
+               AS BIGINT) AS val
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'inline', 'size', 1, CAST(p_size AS BIGINT)
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'inline', 'bucket', 2, CAST(p_partkey % 10 AS BIGINT)
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'stack', 'size', 1, CAST(p_size AS BIGINT)
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'stack', 'bucket', 2, CAST(p_partkey % 10 AS BIGINT)
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'sequence', 'seq', CAST(u AS BIGINT), CAST(u AS BIGINT)
+    FROM part, unnest(range(1, p_partkey % 3 + 2)) AS t(u)
+    """,
+)
+def generator_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-GENERATOR family in one key (N13, VERDICT r13 item 6):
+    ``posexplode`` (explode with ordinality), ``inline`` (struct-array
+    to columns), ``stack`` (columns to rows — the generator spelling of
+    unpivot), and ``sequence``-as-generator, each emitting into a
+    uniform (gen, label, pos, val) shape so every generator's
+    multiplicity, ordering, and payload are pinned in one hash. The
+    oracle replays posexplode with DuckDB's zipped
+    ``generate_subscripts``+``unnest`` (1-based, so the Spark side
+    shifts its 0-based pos), inline/stack as their row-expansion
+    UNION ALL definitions, and the sequence generator as a lateral
+    ``unnest(range(...))`` (ascending by construction — start 1 <= stop
+    p%3+1 — per the CLAUDE.md descending-sequence ANSI gotcha).
+
+    Scale: all four are row-local expansions riding the scan — no
+    shuffle; output volume is input x small constant, the same shape as
+    N2's explode."""
+    p = load_table(spark, sf_dir, "part")
+    arr = F.array(
+        F.col("p_size").cast("long"),
+        (F.col("p_size") * 2).cast("long"),
+        (F.col("p_partkey") % 10).cast("long"),
+    )
+    pos_exploded = p.select(
+        "p_partkey",
+        F.lit("posexplode").alias("gen"),
+        F.lit("elem").alias("label"),
+        F.posexplode(arr).alias("pos0", "val"),
+    ).select(
+        "p_partkey", "gen", "label",
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        F.col("val").cast("bigint").alias("val"),
+    )
+    inlined = p.select(
+        "p_partkey",
+        F.lit("inline").alias("gen"),
+        F.inline(
+            F.array(
+                F.struct(
+                    F.lit("size").alias("label"),
+                    F.lit(1).cast("bigint").alias("pos"),
+                    F.col("p_size").cast("bigint").alias("val"),
+                ),
+                F.struct(
+                    F.lit("bucket").alias("label"),
+                    F.lit(2).cast("bigint").alias("pos"),
+                    (F.col("p_partkey") % 10).cast("bigint").alias("val"),
+                ),
+            )
+        ),
+    ).select("p_partkey", "gen", "label", "pos", "val")
+    stacked = p.selectExpr(
+        "p_partkey",
+        "'stack' AS gen",
+        """stack(2,
+                 'size', CAST(1 AS BIGINT), CAST(p_size AS BIGINT),
+                 'bucket', CAST(2 AS BIGINT), CAST(p_partkey % 10 AS BIGINT)
+           ) AS (label, pos, val)""",
+    ).select("p_partkey", "gen", "label", "pos", "val")
+    seq = p.select(
+        "p_partkey",
+        F.lit("sequence").alias("gen"),
+        F.lit("seq").alias("label"),
+        F.explode(
+            F.sequence(F.lit(1).cast("long"), (F.col("p_partkey") % 3 + 1))
+        ).alias("val"),
+    ).select(
+        "p_partkey", "gen", "label",
+        F.col("val").cast("bigint").alias("pos"),
+        F.col("val").cast("bigint").alias("val"),
+    )
+    return (
+        pos_exploded.unionByName(inlined)
+        .unionByName(stacked)
+        .unionByName(seq)
+    )

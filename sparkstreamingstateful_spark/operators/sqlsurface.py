@@ -806,3 +806,127 @@ sql_order_by_all_offset = _sql_query(
 # skip — is deterministic on both engines; exact-cents sum keeps the
 # page contents hash-stable. Plan-wise OFFSET+LIMIT collapse into one
 # CollectLimit over the sorted aggregate.
+
+
+@query(
+    "sql_tablesample",
+    oracle="""
+    SELECT CAST(500 AS BIGINT) AS sample_rows,
+           CAST(500 AS BIGINT) AS distinct_keys,
+           TRUE AS from_source_only
+    """,
+)
+def sql_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``TABLESAMPLE (n ROWS)`` clause (Q43, VERDICT r13 item 5) — the
+    row-count-exact sampling surface (the percent/BUCKET variants are
+    RNG-dependent and cross-engine unhashable, SURVEY O5). WHICH rows
+    the engine picks is implementation-defined (a LIMIT over an
+    unordered scan), so the H-checked contract is the sample's
+    invariants, not its contents: exactly n rows come back, all n are
+    distinct source keys (no row duplicated by the sampler), and an
+    anti-join against the source is empty (nothing fabricated). The
+    oracle states the same three invariants as literals.
+
+    Scale: TABLESAMPLE(n ROWS) plans as a GlobalLimit over the scan —
+    executors stop after their quota, no full-table pass."""
+    _views(spark, sf_dir)
+    sample = spark.sql(
+        "SELECT o_orderkey FROM orders TABLESAMPLE (500 ROWS)"
+    ).localCheckpoint()  # two consumers (count + anti-join), one sample
+    stray = sample.join(
+        spark.table("orders").select("o_orderkey"), "o_orderkey", "left_anti"
+    )
+    counts = sample.agg(
+        F.count(F.lit(1)).cast("bigint").alias("sample_rows"),
+        F.countDistinct("o_orderkey").cast("bigint").alias("distinct_keys"),
+    )
+    ok = stray.agg((F.count(F.lit(1)) == 0).alias("from_source_only"))
+    return counts.crossJoin(ok)
+
+
+@query(
+    "sql_distribute_cluster",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+           TRUE AS partition_sorted,
+           TRUE AS partition_disjoint
+    FROM customer
+    """,
+)
+def sql_distribute_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DISTRIBUTE BY`` + ``SORT BY`` physical-layout clauses (Q44,
+    VERDICT r13 item 5): hash-repartition on c_mktsegment, then sort
+    WITHIN each partition — the write-layout idiom (cluster files by
+    key, keep rows ordered inside each) that a global ORDER BY can't
+    express without a total sort. DuckDB has no partition layout to
+    replay, so the H-checked contract is the clauses' guarantees,
+    verified honestly via one mapInPandas pass over the PHYSICAL
+    partitions (a window re-sort would destroy the evidence): every
+    partition's rows arrive non-decreasing in the SORT BY key
+    (partition_sorted), every segment lands in exactly one partition
+    (partition_disjoint — the DISTRIBUTE BY co-location guarantee), and
+    row count + key checksum prove the exchange is a permutation, not a
+    drop/dup. tests/test_plans.py pins the physical plan: one
+    hashpartitioning Exchange, Sort with global=false.
+
+    Scale: this IS the scale idiom — one shuffle, per-partition sorts,
+    no global merge."""
+    _views(spark, sf_dir)
+    dist = spark.sql(
+        """
+        SELECT c_mktsegment, c_acctbal, c_custkey
+        FROM customer
+        DISTRIBUTE BY c_mktsegment
+        SORT BY c_mktsegment, c_acctbal, c_custkey
+        """
+    )
+
+    def _audit(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        last = None
+        ok = True
+        per_seg: dict = {}
+        for pdf in batches:
+            for seg, bal, key in zip(
+                pdf["c_mktsegment"], pdf["c_acctbal"], pdf["c_custkey"]
+            ):
+                t = (seg, float(bal), int(key))
+                if last is not None and t < last:
+                    ok = False
+                last = t
+                s = per_seg.setdefault(seg, [0, 0])
+                s[0] += 1
+                s[1] += int(key)
+        yield pd.DataFrame(
+            [
+                {
+                    "segment": seg,
+                    "pid": pid,
+                    "n": n,
+                    "ksum": ksum,
+                    "sorted": ok,
+                }
+                for seg, (n, ksum) in per_seg.items()
+            ],
+            columns=["segment", "pid", "n", "ksum", "sorted"],
+        )
+
+    per = dist.mapInPandas(
+        _audit, "segment string, pid int, n long, ksum long, sorted boolean"
+    )
+    seg = per.groupBy("segment").agg(
+        F.countDistinct("pid").alias("npid"),
+        F.sum("n").alias("n"),
+        F.sum("ksum").alias("ksum"),
+        F.bool_and("sorted").alias("sorted"),
+    )
+    return seg.agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.sum("ksum").cast("bigint").alias("key_sum"),
+        F.bool_and("sorted").alias("partition_sorted"),
+        (F.max("npid") == 1).alias("partition_disjoint"),
+    )

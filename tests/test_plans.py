@@ -292,3 +292,36 @@ def test_join_hints_change_strategy(spark):
     assert "BroadcastHashJoin" in plan
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_distribute_cluster_plan(spark):
+    """Q44's DISTRIBUTE BY + SORT BY must plan as exactly one
+    hashpartitioning Exchange on c_mktsegment feeding a PARTITION-LOCAL
+    sort (global=false) — a global Sort would mean the clause degraded
+    to ORDER BY's total sort, the thing the idiom exists to avoid."""
+    from sparkstreamingstateful_spark.operators.sqlsurface import _views
+
+    _views(spark, SF_UNIT)
+    df = spark.sql(
+        """
+        SELECT c_mktsegment, c_acctbal, c_custkey
+        FROM customer
+        DISTRIBUTE BY c_mktsegment
+        SORT BY c_mktsegment, c_acctbal, c_custkey
+        """
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(c_mktsegment" in plan
+    assert "Sort [" in plan and "false, 0" in plan  # Sort(global=false)
+    assert plan.count("Exchange") == 1
+
+
+def test_tablesample_rows_is_limit_not_scan(spark):
+    """Q43: TABLESAMPLE (n ROWS) must plan as a limit over the scan —
+    executors stop at their quota instead of scanning the table."""
+    from sparkstreamingstateful_spark.operators.sqlsurface import _views
+
+    _views(spark, SF_UNIT)
+    df = spark.sql("SELECT o_orderkey FROM orders TABLESAMPLE (500 ROWS)")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Limit" in plan

@@ -613,3 +613,93 @@ def test_holt_linear_replay(spark):
             i, r, l, b,
         )
     assert any(r.trend_c < 0 for r in rows), "declining stretches expected"
+
+
+def test_asof_nearest_tie_breaks_on_min_click_id(spark, tmp_path_factory):
+    """ADVICE r13 regression: duplicate-ts clicks in the FORWARD window
+    must resolve to the SMALLEST click id (the oracle's ORDER BY
+    abs(gap), c.ts, c.event_id) — the shipped w_fwd ordered ids
+    ascending, so last() picked the LARGEST. No same-user duplicate-ts
+    clicks exist at any shipped SF, so this pins the contract on
+    synthetic events covering forward ties, backward ties, and the
+    equidistant case (backward wins via the earlier-ts rule)."""
+    import datetime as dt
+
+    from sparkstreamingstateful_spark.catalog import SCHEMAS
+    from sparkstreamingstateful_spark.operators.joins import join_asof_nearest
+
+    def ev(eid, sec, uid, typ):
+        return (eid, dt.datetime(2024, 1, 1, 0, 0, sec), uid, typ, 1.0, "{}")
+
+    rows = [
+        # forward tie: purchase t=8; clicks 5 and 7 both t=10 -> 5
+        ev(1, 8, 1, "purchase"), ev(5, 10, 1, "click"), ev(7, 10, 1, "click"),
+        # backward tie: purchase t=20; clicks 11 and 13 both t=18 -> 11
+        ev(2, 20, 2, "purchase"), ev(11, 18, 2, "click"), ev(13, 18, 2, "click"),
+        # equidistant: clicks at t=28 and t=32 around purchase t=30 ->
+        # backward (21) via the earlier-ts tiebreak
+        ev(3, 30, 3, "purchase"), ev(21, 28, 3, "click"), ev(23, 32, 3, "click"),
+        # forward-only: purchase t=40, single later click
+        ev(4, 40, 4, "purchase"), ev(31, 45, 4, "click"),
+        # unmatched purchase
+        ev(6, 50, 5, "purchase"),
+    ]
+    d = tmp_path_factory.mktemp("asof_tie")
+    spark.createDataFrame(rows, SCHEMAS["events"]).coalesce(1).write.parquet(
+        str(d / "events.parquet")
+    )
+    got = {
+        r.purchase_id: r.click_id
+        for r in join_asof_nearest(spark, str(d)).collect()
+    }
+    assert got == {1: 5.0, 2: 11.0, 3: 21.0, 4: 31.0, 6: None}
+
+
+def test_bounded_weighted_sp_known_graph(spark):
+    """graph_shortest_path's relaxation core pinned where the corpus
+    can't reach: a graph where the MORE-hop path is LIGHTER (0-1-2-3 at
+    weight 1 each vs the direct 0-3 edge at weight 10) must return the
+    3-hop weight 3; a node beyond the hop cap stays unreached (no row)."""
+    from pyspark.sql import functions as F
+
+    from sparkstreamingstateful_spark.operators.graphs import (
+        bounded_weighted_sp,
+    )
+
+    edges = [(0, 1, 1), (1, 2, 1), (2, 3, 1), (0, 3, 10), (3, 4, 1), (4, 5, 1)]
+    pairs = spark.createDataFrame(edges, "a_id long, b_id long, w long")
+    sym = pairs.union(
+        pairs.select("b_id", "a_id", "w")
+    ).select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"), "w")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r.node: r.dist
+        for r in bounded_weighted_sp(spark, sym, seeds, hops=3).collect()
+    }
+    # hops=3: node 3 via the light chain (3), node 4 NOT reachable in 3
+    # hops via the light chain but IS via 0-3(10)+3-4(1) = 11
+    assert got[0] == 0 and got[1] == 1 and got[2] == 2 and got[3] == 3
+    assert got[4] == 11
+    assert 5 not in got or got[5] == 12  # 0-3-4-5 uses exactly 3 hops = 12
+    got8 = {
+        r.node: r.dist
+        for r in bounded_weighted_sp(spark, sym, seeds, hops=8).collect()
+    }
+    assert got8 == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 5}
+
+
+def test_lsh_sym_edges_memoized_per_session(spark):
+    """VERDICT r13 item 4: the graph family shares ONE edge build per
+    (session, corpus) — repeated calls must return the identical
+    materialized DataFrame object, not re-run the LSH pipeline."""
+    from sparkstreamingstateful_spark.operators.llm_text import lsh_sym_edges
+
+    a = lsh_sym_edges(spark, SF_UNIT)
+    b = lsh_sym_edges(spark, SF_UNIT)
+    assert a is b
+    assert set(a.columns) == {"src", "dst", "w"}
+    # weights are exact BIGINT dissimilarities in [0, 300000] (j >= 0.7)
+    r = a.agg(
+        F.min("w").alias("lo"), F.max("w").alias("hi")
+    ).collect()[0]
+    assert r.lo >= 0 and r.hi <= 300_000
