@@ -200,6 +200,16 @@ PROBES = [
     # - JPEG decode: per-row Python entropy decode, embarrassingly
     #   parallel -> ~K over xK documents.
     ("multimodal_decode_jpeg", "documents"),
+    # r14: weighted Bellman-Ford rides the same suffixed-token document
+    # replicas as BFS (disjoint per-replica pair graphs -> nodes/edges
+    # xK, FIXED 8 relaxation rounds) — t must track ~K (per-round join +
+    # min-agg over the edge list), rows exactly xK. The LSH edge build
+    # is memoized per (session, dir) since r14 (lsh_sym_edges), so at
+    # each dir the FIRST graph key probed (pagerank, above) pays the
+    # build and the later ones (bfs, this) measure iteration cost on the
+    # shared materialized edges — the build's own xK behavior is probed
+    # separately via dedup_minhash_lsh.
+    ("graph_shortest_path", "documents"),
 ]
 
 # keys whose first run at a given dir includes a ONE-TIME source-layout
