@@ -215,6 +215,21 @@ SHOWCASE = [
      "ONE map-side-combinable aggregate (count-distinct is the only "
      "shuffle-bearing term) exploded to rows in-row — adding checks "
      "adds accumulators, not passes"),
+    ("generator_functions", "generator family (r14): four row-local "
+     "expansions (posexplode/inline/stack/sequence) unioned — every "
+     "Generate rides its scan, zero shuffles before the union"),
+    ("sql_tablesample", "TABLESAMPLE rows contract (r14): the sample "
+     "plans as a limit over the scan (executors stop at quota); the "
+     "audit anti-join broadcasts the 500-row sample, never shuffling "
+     "the source"),
+    ("sql_distribute_cluster", "DISTRIBUTE BY + SORT BY (r14): exactly "
+     "ONE hashpartitioning Exchange feeding a partition-local Sort "
+     "(global=false) — no total-order merge anywhere; the audit is one "
+     "mapInPandas pass over the physical partitions"),
+    ("graph_shortest_path", "weighted Bellman-Ford (r14): 8 fixed "
+     "relaxation rounds of join + min-agg over the session-memoized "
+     "LSH edge list (shuffles sized to the graph, lineage truncated "
+     "every other round) — the corpus is never rescanned"),
 ]
 
 
