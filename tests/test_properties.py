@@ -253,3 +253,45 @@ def test_subword_greedy_walk_matches_python(spark, words, vocab):
             for r in df.select("word", fin["np"].alias("np"), fin["nu"].alias("nu")).collect()
         }
     assert got == {w: greedy(w) for w in set(words)}
+
+
+EDGE_LISTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),   # u
+        st.integers(min_value=0, max_value=9),   # v
+        st.integers(min_value=0, max_value=50),  # weight
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(edges=EDGE_LISTS, hops=st.integers(min_value=1, max_value=4))
+@_SETTINGS
+def test_bounded_weighted_sp_matches_python_bf(spark, edges, hops):
+    """graphs.bounded_weighted_sp ≡ a pure-Python Bellman–Ford carrying
+    the identical ≤hops-edge recurrence, for arbitrary small weighted
+    graphs (parallel edges, self-loops, zero weights included) from a
+    fixed source 0."""
+    from sparkstreamingstateful_spark.operators.graphs import (
+        bounded_weighted_sp,
+    )
+
+    # symmetrize exactly like the operator's callers do
+    sym_edges = [(u, v, w) for u, v, w in edges] + [
+        (v, u, w) for u, v, w in edges
+    ]
+    sym = spark.createDataFrame(sym_edges, "src long, dst long, w long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r.node: r.dist
+        for r in bounded_weighted_sp(spark, sym, seeds, hops=hops).collect()
+    }
+    dist = {0: 0}
+    for _ in range(hops):
+        nxt = dict(dist)
+        for u, v, w in sym_edges:
+            if u in dist and (v not in nxt or dist[u] + w < nxt[v]):
+                nxt[v] = dist[u] + w
+        dist = nxt
+    assert got == dist
