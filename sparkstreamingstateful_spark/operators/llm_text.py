@@ -2028,3 +2028,159 @@ def text_tokenize_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nu").cast("bigint").alias("n_unk"),
         )
     )
+
+
+# ------------------------------------------------------------- BPE training
+_BPE_MERGES = 8
+
+
+def _bpe_oracle(merges: int = _BPE_MERGES) -> str:
+    """Unrolled BPE-training replay: per level, pair counts over the
+    current symbol sequences, the argmax pair (count desc, pair asc),
+    and the merge applied via the boundary-space replace both engines
+    share. Every CTE is MATERIALIZED — each w_i is referenced by both
+    p_{i+1} and w_{i+1}, so an unmaterialized chain re-evaluates
+    exponentially (the unrolled-kmeans / r13 PageRank lesson)."""
+    parts = ["""
+    w0 AS MATERIALIZED (
+        SELECT array_to_string(list_transform(range(1, len(w) + 1),
+                   i -> substr(w, CAST(i AS INT), 1)), ' ') AS seq,
+               CAST(cnt AS BIGINT) AS cnt
+        FROM (SELECT w, count(*) AS cnt FROM (
+                  SELECT unnest(string_split(lower(text), ' ')) AS w
+                  FROM documents) WHERE w <> '' GROUP BY w)
+    )"""]
+    for i in range(1, merges + 1):
+        parts.append(f"""
+    p{i} AS MATERIALIZED (
+        SELECT pr AS pair, CAST(sum(cnt) AS BIGINT) AS pair_count FROM (
+            SELECT cnt, unnest(list_transform(
+                range(1, len(string_split(seq, ' '))),
+                j -> string_split(seq, ' ')[j] || ' ' ||
+                     string_split(seq, ' ')[j + 1])) AS pr
+            FROM w{i - 1} WHERE len(string_split(seq, ' ')) >= 2)
+        GROUP BY pr
+    ),
+    b{i} AS MATERIALIZED (
+        SELECT CAST({i} AS BIGINT) AS step, pair,
+               replace(pair, ' ', '') AS merged, pair_count
+        FROM p{i} ORDER BY pair_count DESC, pair LIMIT 1
+    ),
+    w{i} AS MATERIALIZED (
+        SELECT trim(replace(' ' || seq || ' ',
+                            ' ' || (SELECT pair FROM b{i}) || ' ',
+                            ' ' || (SELECT merged FROM b{i}) || ' ')) AS seq,
+               cnt
+        FROM w{i - 1}
+    )""")
+    final = " UNION ALL ".join(
+        f"SELECT * FROM b{i}" for i in range(1, merges + 1)
+    )
+    return "WITH " + ",".join(parts) + " " + final
+
+
+@query("text_bpe_train", oracle=_bpe_oracle())
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (L23) — learn the first 8 byte-pair
+    merges from the corpus word-frequency table (Sennrich, Haddow &
+    Birch, ACL'16 — the standard subword-vocabulary construction; L17
+    consumes a vocabulary, this key LEARNS one). Classic formulation:
+    distinct words with counts, each word as a space-joined symbol
+    sequence; per round, count adjacent symbol pairs weighted by word
+    count, pick the most frequent (ties: lexicographically smallest
+    pair — pinned identically in both engines), fuse it everywhere,
+    repeat. Output = the merge table (step, pair, merged, pair_count),
+    the artifact a real tokenizer ships.
+
+    Merge application contract: one left-to-right NON-OVERLAPPING
+    boundary-space replace per round (`replace(' '||seq||' ', ' a b ',
+    ' ab ')`) — the exact semantics Spark's and DuckDB's `replace`
+    share, verified on symbol runs ('x x x x' -> 'xx x x' in both:
+    the consumed boundary space hides the alternating occurrence).
+    Canonical greedy BPE differs only inside >=4-symbol runs of one
+    character; the learned merges here are deterministic and
+    bit-replayable, which is what the hash pins.
+
+    Scale: the training input is the DISTINCT-WORD count table (the
+    standard BPE preprocessing — bounded by vocabulary, not corpus:
+    one hash agg over the corpus, then 8 rounds of pair-agg + replace
+    over vocab-sized data). The only driver materialization is the
+    per-round 1-row argmax (the kmeans k x dim device); ties and
+    argmax both live in one orderBy().limit(1). Lineage truncated per
+    round (localCheckpoint) so the 8 chained replaces stay flat."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    chars = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.col("w").substr(i, F.lit(1)),
+        ),
+        " ",
+    )
+    cur = words.select(chars.alias("seq"), F.col("cnt")).localCheckpoint()
+    out_rows = []
+    # iteration shuffles sized to the VOCAB table, not the session
+    # default: 8 rounds × (pair-agg + argmax) × 32 mostly-empty tasks is
+    # pure scheduler overhead on distinct-word-sized data (the
+    # pagerank_fixed_point rationale; measured 13.1 s → ~3 s at sf0.01)
+    from .scans import _conf_guard
+
+    with _conf_guard(spark, "spark.sql.shuffle.partitions", "2"):
+        out_rows = _bpe_rounds(cur)
+    return spark.createDataFrame(
+        out_rows, "step long, pair string, merged string, pair_count long"
+    )
+
+
+def _bpe_rounds(cur: DataFrame, merges: int = _BPE_MERGES) -> list:
+    """The merge rounds over a materialized (seq, cnt) vocab table —
+    separated so tests can pin merges on hand-built word tables."""
+    out_rows = []
+    for step in range(1, merges + 1):
+        arr = F.split(F.col("seq"), " ")
+        prs = F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 1),
+            lambda j: F.concat_ws(
+                " ", F.element_at(arr, j), F.element_at(arr, j + 1)
+            ),
+        )
+        # single-symbol sequences carry no pairs — filter BEFORE the
+        # sequence(1, size-1) projection (it DESCENDS for size < 2,
+        # the CLAUDE.md ANSI gotcha)
+        pair_counts = (
+            cur.filter(F.size(arr) >= 2)
+            .select(F.explode(prs).alias("pair"), "cnt")
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("pair_count"))
+        )
+        best = (
+            pair_counts.orderBy(F.col("pair_count").desc(), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            # every sequence fully fused before the merge budget — a
+            # degenerate corpus; silence here would emit a short merge
+            # table that hash-mismatches the oracle's
+            raise RuntimeError(
+                f"text_bpe_train: no pairs left at merge step {step}"
+            )
+        pair = best[0]["pair"]
+        merged = pair.replace(" ", "")
+        out_rows.append((step, pair, merged, int(best[0]["pair_count"])))
+        cur = cur.select(
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("seq"), F.lit(" ")),
+                    F.lit(f" {pair} "),
+                    F.lit(f" {merged} "),
+                )
+            ).alias("seq"),
+            "cnt",
+        ).localCheckpoint()
+    return out_rows

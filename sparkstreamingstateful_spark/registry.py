@@ -132,11 +132,15 @@ _KEY_PRIORITY = [
     "stream_stream_join_semi",
     "stream_sink_to_table",
     "stream_sink_foreach",
-    # --- 50-key boundary. The r8 cohort's remaining 36 keys lead the
-    # r15 rotation; below them the keys whose CODE changed this round
-    # (asof tie-break fix, CMS bound widening, memoized LSH edges) —
-    # all re-verified vs oracle in-session — then r9/r11/r12/r13
-    # cohorts, freshest evidence last.
+    # --- 50-key boundary. First below the line: text_bpe_train, added
+    # late in r14 (staged r15 window — driver-sim verified at all three
+    # SFs in-session; the 46 stale slots above outranked it for this
+    # round's H-window). Then the r8 cohort's remaining 36 keys leading
+    # the r15 rotation; below them the keys whose CODE changed this
+    # round (asof tie-break fix, CMS bound widening, memoized LSH
+    # edges) — all re-verified vs oracle in-session — then
+    # r9/r11/r12/r13 cohorts, freshest evidence last.
+    "text_bpe_train",
     "scan_state_store",
     "sql_lateral_topk",
     "sql_recursive_cte",

@@ -703,3 +703,31 @@ def test_lsh_sym_edges_memoized_per_session(spark):
         F.min("w").alias("lo"), F.max("w").alias("hi")
     ).collect()[0]
     assert r.lo >= 0 and r.hi <= 300_000
+
+
+def test_bpe_rounds_known_vocab(spark):
+    """text_bpe_train's merge loop pinned on a hand-computed vocabulary:
+    words 'aaab'x3 + 'ab'x2. Round 1 must pick ('a a', 6) and — the
+    documented non-overlapping boundary-replace contract — fuse only the
+    FIRST pair of the 'a a a' run; round 2 picks ('a b', 5) (the 'aa a'
+    wedge lost), round 3 closes ('aa ab', 3); a 4th round has no pairs
+    left and must fail LOUDLY (a short merge table would silently
+    hash-mismatch the oracle)."""
+    import pytest as _pytest
+
+    from sparkstreamingstateful_spark.operators.llm_text import _bpe_rounds
+
+    cur = spark.createDataFrame(
+        [("a a a b", 3), ("a b", 2)], "seq string, cnt long"
+    ).localCheckpoint()
+    got = _bpe_rounds(cur, merges=3)
+    assert got == [
+        (1, "a a", "aa", 6),
+        (2, "a b", "ab", 5),
+        (3, "aa ab", "aaab", 3),
+    ]
+    cur2 = spark.createDataFrame(
+        [("a a a b", 3), ("a b", 2)], "seq string, cnt long"
+    ).localCheckpoint()
+    with _pytest.raises(RuntimeError, match="no pairs left"):
+        _bpe_rounds(cur2, merges=4)
