@@ -90,7 +90,7 @@ def main() -> None:
         tws_path = None
 
     # Dict insertion order is deliberate: the driver's BENCH_r* capture
-    # keeps only the last 2000 chars of stdout, so with 282 per-key
+    # keeps only the last 2000 chars of stdout, so with ~290 per-key
     # timings the FRONT of the line is what gets truncated. "queries"
     # must come first and the suite-level fields last so metric/value/
     # unit/sf always land inside the captured tail (BENCH_r12/r13 were

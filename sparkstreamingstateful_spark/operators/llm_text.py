@@ -1219,26 +1219,31 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_jpeg_stats(media)
 
 
-_EDGES_SQL = """
-        SELECT a.doc_id AS a_id, b.doc_id AS b_id
-        FROM (SELECT lang, doc_id,
+# One shared shingle-pair derivation feeds BOTH oracle edge constants
+# (_EDGES_SQL and the weighted _WEDGES_SQL): the trigram construction and
+# the 0.7 threshold must never drift apart, or graph_shortest_path's
+# oracle would silently operate on a different edge set than the
+# CC/BFS/PageRank oracles.
+_SHINGLE_ITEMS_SQL = """SELECT lang, doc_id,
                      list_distinct(list_transform(
                          range(1, len(string_split(text, ' ')) - 1),
                          i -> string_split(text, ' ')[i] || ' ' ||
                               string_split(text, ' ')[i + 1] || ' ' ||
                               string_split(text, ' ')[i + 2])) AS items
-              FROM documents) a
-        JOIN (SELECT lang, doc_id,
-                     list_distinct(list_transform(
-                         range(1, len(string_split(text, ' ')) - 1),
-                         i -> string_split(text, ' ')[i] || ' ' ||
-                              string_split(text, ' ')[i + 1] || ' ' ||
-                              string_split(text, ' ')[i + 2])) AS items
-              FROM documents) b
+              FROM documents"""
+
+_SHINGLE_PAIRS_FROM = f"""
+        FROM ({_SHINGLE_ITEMS_SQL}) a
+        JOIN ({_SHINGLE_ITEMS_SQL}) b
           ON a.lang = b.lang AND a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.items, b.items)) AS DOUBLE)
               / len(list_distinct(list_concat(a.items, b.items))) >= 0.7
 """
+
+_EDGES_SQL = (
+    "\n        SELECT a.doc_id AS a_id, b.doc_id AS b_id"
+    + _SHINGLE_PAIRS_FROM
+)
 
 
 import weakref
@@ -1299,30 +1304,15 @@ def lsh_sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lsh_sym_edges carries — round-to-nearest of jaccard·10^6 is cross-engine
 # exact because the 6-decimal jaccard sits within one ulp of a
 # millionth-grid point in both engines (see lsh_sym_edges).
-_WEDGES_SQL = """
+_WEDGES_SQL = (
+    """
         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                CAST(1000000 - round(
                    round(CAST(len(list_intersect(a.items, b.items)) AS DOUBLE)
                          / len(list_distinct(list_concat(a.items, b.items))),
-                         6) * 1000000, 0) AS BIGINT) AS w
-        FROM (SELECT lang, doc_id,
-                     list_distinct(list_transform(
-                         range(1, len(string_split(text, ' ')) - 1),
-                         i -> string_split(text, ' ')[i] || ' ' ||
-                              string_split(text, ' ')[i + 1] || ' ' ||
-                              string_split(text, ' ')[i + 2])) AS items
-              FROM documents) a
-        JOIN (SELECT lang, doc_id,
-                     list_distinct(list_transform(
-                         range(1, len(string_split(text, ' ')) - 1),
-                         i -> string_split(text, ' ')[i] || ' ' ||
-                              string_split(text, ' ')[i + 1] || ' ' ||
-                              string_split(text, ' ')[i + 2])) AS items
-              FROM documents) b
-          ON a.lang = b.lang AND a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.items, b.items)) AS DOUBLE)
-              / len(list_distinct(list_concat(a.items, b.items))) >= 0.7
-"""
+                         6) * 1000000, 0) AS BIGINT) AS w"""
+    + _SHINGLE_PAIRS_FROM
+)
 
 
 def connected_components(sym: DataFrame, max_iters: int = 20) -> DataFrame:
@@ -2123,7 +2113,6 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ",
     )
     cur = words.select(chars.alias("seq"), F.col("cnt")).localCheckpoint()
-    out_rows = []
     # iteration shuffles sized to the VOCAB table, not the session
     # default: 8 rounds × (pair-agg + argmax) × 32 mostly-empty tasks is
     # pure scheduler overhead on distinct-word-sized data (the
