@@ -2024,16 +2024,19 @@ def text_tokenize_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGES = 8
 
 
-def _bpe_oracle(merges: int = _BPE_MERGES) -> str:
-    """Unrolled BPE-training replay: per level, pair counts over the
+def _bpe_ctes(merges: int = _BPE_MERGES, carry_word: bool = False) -> str:
+    """Unrolled BPE-training CTE chain: per level, pair counts over the
     current symbol sequences, the argmax pair (count desc, pair asc),
     and the merge applied via the boundary-space replace both engines
     share. Every CTE is MATERIALIZED — each w_i is referenced by both
     p_{i+1} and w_{i+1}, so an unmaterialized chain re-evaluates
-    exponentially (the unrolled-kmeans / r13 PageRank lesson)."""
-    parts = ["""
+    exponentially (the unrolled-kmeans / r13 PageRank lesson).
+    ``carry_word`` threads the original word through every w_i so the
+    encode oracle can join the final segmentation back to documents."""
+    wcol = "w, " if carry_word else ""
+    parts = [f"""
     w0 AS MATERIALIZED (
-        SELECT array_to_string(list_transform(range(1, len(w) + 1),
+        SELECT {wcol}array_to_string(list_transform(range(1, len(w) + 1),
                    i -> substr(w, CAST(i AS INT), 1)), ' ') AS seq,
                CAST(cnt AS BIGINT) AS cnt
         FROM (SELECT w, count(*) AS cnt FROM (
@@ -2057,16 +2060,20 @@ def _bpe_oracle(merges: int = _BPE_MERGES) -> str:
         FROM p{i} ORDER BY pair_count DESC, pair LIMIT 1
     ),
     w{i} AS MATERIALIZED (
-        SELECT trim(replace(' ' || seq || ' ',
+        SELECT {wcol}trim(replace(' ' || seq || ' ',
                             ' ' || (SELECT pair FROM b{i}) || ' ',
                             ' ' || (SELECT merged FROM b{i}) || ' ')) AS seq,
                cnt
         FROM w{i - 1}
     )""")
+    return ",".join(parts)
+
+
+def _bpe_oracle(merges: int = _BPE_MERGES) -> str:
     final = " UNION ALL ".join(
         f"SELECT * FROM b{i}" for i in range(1, merges + 1)
     )
-    return "WITH " + ",".join(parts) + " " + final
+    return "WITH " + _bpe_ctes(merges) + " " + final
 
 
 @query("text_bpe_train", oracle=_bpe_oracle())
@@ -2097,33 +2104,60 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     over vocab-sized data). The only driver materialization is the
     per-round 1-row argmax (the kmeans k x dim device); ties and
     argmax both live in one orderBy().limit(1). Lineage truncated per
-    round (localCheckpoint) so the 8 chained replaces stay flat."""
+    round (localCheckpoint) so the 8 chained replaces stay flat.
+    Training is memoized per (session, corpus) — L24 `text_bpe_encode`
+    consumes the same model, the train-once/use-many tokenizer shape
+    (the `_pq_train_cached` device)."""
+    out_rows = _bpe_train_cached(spark, sf_dir)
+    return spark.createDataFrame(
+        out_rows, "step long, pair string, merged string, pair_count long"
+    )
+
+
+_BPE_MODEL_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _bpe_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus word-frequency table both BPE keys derive from (one
+    hash agg; lower + space-split, the repo's document tokenization)."""
     d = load_table(spark, sf_dir, "documents")
-    words = (
+    return (
         d.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    chars = F.array_join(
-        F.transform(
-            F.sequence(F.lit(1), F.length("w")),
-            lambda i: F.col("w").substr(i, F.lit(1)),
-        ),
-        " ",
-    )
-    cur = words.select(chars.alias("seq"), F.col("cnt")).localCheckpoint()
-    # iteration shuffles sized to the VOCAB table, not the session
-    # default: 8 rounds × (pair-agg + argmax) × 32 mostly-empty tasks is
-    # pure scheduler overhead on distinct-word-sized data (the
-    # pagerank_fixed_point rationale; measured 13.1 s → ~3 s at sf0.01)
-    from .scans import _conf_guard
 
-    with _conf_guard(spark, "spark.sql.shuffle.partitions", "2"):
-        out_rows = _bpe_rounds(cur)
-    return spark.createDataFrame(
-        out_rows, "step long, pair string, merged string, pair_count long"
-    )
+
+def _bpe_train_cached(spark: SparkSession, sf_dir: str) -> list:
+    """Train the merge table ONCE per (session, corpus content) and
+    memoize (content-fingerprint + session-weakref keying)."""
+    from .scans import _conf_guard, _dir_tag
+
+    tag = _dir_tag(sf_dir, "documents")
+    per_session = _BPE_MODEL_CACHE.setdefault(spark, {})
+    if tag not in per_session:
+        chars = F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w")),
+                lambda i: F.col("w").substr(i, F.lit(1)),
+            ),
+            " ",
+        )
+        cur = (
+            _bpe_words(spark, sf_dir)
+            .select(chars.alias("seq"), F.col("cnt"))
+            .localCheckpoint()
+        )
+        # iteration shuffles sized to the VOCAB table, not the session
+        # default: 8 rounds × (pair-agg + argmax) × 32 mostly-empty
+        # tasks is pure scheduler overhead on distinct-word-sized data
+        # (the pagerank_fixed_point rationale)
+        with _conf_guard(spark, "spark.sql.shuffle.partitions", "2"):
+            per_session[tag] = _bpe_rounds(cur)
+    return per_session[tag]
 
 
 def _bpe_rounds(cur: DataFrame, merges: int = _BPE_MERGES) -> list:
@@ -2173,3 +2207,85 @@ def _bpe_rounds(cur: DataFrame, merges: int = _BPE_MERGES) -> list:
             "cnt",
         ).localCheckpoint()
     return out_rows
+
+
+def _bpe_encode_oracle(merges: int = _BPE_MERGES) -> str:
+    """Encode oracle: the training CTE chain carrying word identity, so
+    the FINAL segmentation w{merges} joins back to per-doc token
+    occurrences — piece counts replay Spark's dictionary-encoded
+    application of the same merges."""
+    return f"""
+    WITH {_bpe_ctes(merges, carry_word=True)}
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(string_split(v.seq, ' '))) AS BIGINT) AS n_pieces,
+           round(CAST(sum(len(string_split(v.seq, ' '))) AS DOUBLE)
+                 / count(*), 4) AS pieces_per_word
+    FROM (SELECT doc_id, w FROM (
+              SELECT doc_id,
+                     unnest(string_split(lower(text), ' ')) AS w
+              FROM documents) WHERE w <> '') t
+    JOIN w{merges} v ON v.w = t.w
+    GROUP BY t.doc_id
+    """
+
+
+@query("text_bpe_encode", oracle=_bpe_encode_oracle())
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION (L24) — encode the corpus with the
+    merge table L23 learns: per document, the whitespace word count,
+    the BPE piece count after applying the 8 learned merges in
+    training order, and pieces-per-word (the compression diagnostic a
+    tokenizer report ships; 1.0 = fully fused words, word-length =
+    untouched). Train-once / encode-many: the merges come from the
+    session-memoized `_bpe_train_cached` model, exactly as a
+    production tokenizer is trained once and applied per shard.
+
+    Encoding is DICTIONARY-ENCODED (the L17 discipline): the 8 merges
+    are applied as chained boundary-space replaces over DISTINCT words
+    only — trillions of tokens, millions of distinct words — then
+    joined back to per-doc occurrences; piece count = segment count of
+    the final sequence. The replace chain is 8 nested column
+    expressions (no per-round jobs — the merge list is already a local
+    literal), so encode is one distinct-word map + one join + one hash
+    agg. The oracle replays the identical segmentation by carrying
+    word identity through the training CTE chain and reading the final
+    w8 level — Spark's applied-merges result must equal the oracle's
+    trained fixed point bit-for-bit, which also cross-checks L23's
+    training end-to-end."""
+    merges = _bpe_train_cached(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    seq = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.col("w").substr(i, F.lit(1)),
+        ),
+        " ",
+    )
+    for _step, pair, merged, _cnt in merges:
+        seq = F.trim(
+            F.replace(
+                F.concat(F.lit(" "), seq, F.lit(" ")),
+                F.lit(f" {pair} "),
+                F.lit(f" {merged} "),
+            )
+        )
+    vocab = (
+        toks.select("w")
+        .distinct()
+        .select("w", F.size(F.split(seq, " ")).alias("n_p"))
+    )
+    return (
+        toks.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_p").cast("bigint").alias("n_pieces"),
+            F.round(
+                F.sum("n_p").cast("double") / F.count(F.lit(1)), 4
+            ).alias("pieces_per_word"),
+        )
+    )

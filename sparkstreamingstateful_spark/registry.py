@@ -141,6 +141,7 @@ _KEY_PRIORITY = [
     # edges) — all re-verified vs oracle in-session — then
     # r9/r11/r12/r13 cohorts, freshest evidence last.
     "text_bpe_train",
+    "text_bpe_encode",
     "scan_state_store",
     "sql_lateral_topk",
     "sql_recursive_cte",
