@@ -200,6 +200,15 @@ PROBES = [
     # - JPEG decode: per-row Python entropy decode, embarrassingly
     #   parallel -> ~K over xK documents.
     ("multimodal_decode_jpeg", "documents"),
+    # r14: BPE — training input is the DISTINCT-WORD table, and the
+    # suffixed-token replicas grow the vocabulary ~xK, so train cost
+    # tracks VOCAB (xK here), never raw tokens; output is 8 merge rows
+    # constant. Encode is dictionary-encoded over the same vocab +
+    # join-back: rows = docs xK. At the same dir encode rides train's
+    # session-memoized model (the graph-family warm rule: the first BPE
+    # key per dir pays training).
+    ("text_bpe_train", "documents"),
+    ("text_bpe_encode", "documents"),
     # r14: weighted Bellman-Ford rides the same suffixed-token document
     # replicas as BFS (disjoint per-replica pair graphs -> nodes/edges
     # xK, FIXED 8 relaxation rounds) — t must track ~K (per-round join +
