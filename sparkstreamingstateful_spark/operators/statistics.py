@@ -563,3 +563,102 @@ def events_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, sel_rank long, idx long, "
         "win_start timestamp_ntz, y_c long",
     )
+
+
+@query(
+    "events_trend_mann_kendall",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+        FROM events
+        GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    s AS (
+        SELECT a.event_type,
+               CAST(sum(CASE WHEN b.v > a.v THEN 1
+                             WHEN b.v < a.v THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s_stat
+        FROM hourly a JOIN hourly b
+          ON b.event_type = a.event_type AND a.h < b.h
+        GROUP BY a.event_type
+    ),
+    n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours
+          FROM hourly GROUP BY event_type)
+    SELECT n.event_type, n.n_hours,
+           CAST(coalesce(s.s_stat, 0) AS BIGINT) AS s_stat,
+           CASE WHEN n.n_hours >= 2 THEN
+               round(CAST(coalesce(s.s_stat, 0) AS DOUBLE)
+                     / (CAST(n.n_hours AS DOUBLE)
+                        * (n.n_hours - 1) / 2), 6)
+           END AS tau_a
+    FROM n LEFT JOIN s USING (event_type)
+    """,
+)
+def events_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend statistic per event type (E26) — the
+    NON-PARAMETRIC monotone-trend test (Mann '45 / Kendall's tau; the
+    hydrology/monitoring standard A13's least-squares slope can't
+    replace: OLS assumes linearity and is wrecked by outliers, while
+    S = Σ_{i<j} sign(x_j − x_i) only reads the ORDER of the series).
+    Series = hourly sums in exact 1e-2 BIGINT units (the E20/E22
+    quantization), so every sign comparison is integer-exact and S is a
+    pure BIGINT — bit-replayable; tau_a = S / C(n,2) is one double
+    division, rounded in SQL on both sides; the n < 2 denominator is
+    NULL-guarded under ANSI (the r9 divide-by-zero rule, even though no
+    shipped SF produces a 1-hour series).
+
+    Plan: one hash agg to the hourly spine, then the pairwise sign sum
+    as a per-type self-join on the SPINE (hours × types — bounded by
+    the time range, NOT the corpus: at 100 TB the join is exactly as
+    big as it is here; a year of hours is 8,760 rows/type, C(n,2) ≈
+    38M pairs/type, each a codegen'd integer compare). For multi-year
+    horizons the O(n log n) merge-sort inversion count is the upgrade
+    path; the spine self-join is the exact, shuffle-light form at any
+    operational window."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("v")
+        )
+        # one computed spine feeds both self-join sides and the n-count
+        .localCheckpoint()
+    )
+    a = hourly.select(
+        "event_type", F.col("h").alias("h1"), F.col("v").alias("v1")
+    )
+    b = hourly.select(
+        "event_type", F.col("h").alias("h2"), F.col("v").alias("v2")
+    )
+    s = (
+        a.join(b, "event_type")
+        .filter(F.col("h1") < F.col("h2"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("v2") > F.col("v1"), 1)
+                .when(F.col("v2") < F.col("v1"), -1)
+                .otherwise(0)
+            ).cast("bigint").alias("s_stat")
+        )
+    )
+    n = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours")
+    )
+    nh = F.col("n_hours")
+    s_stat = F.coalesce("s_stat", F.lit(0)).cast("bigint")
+    return n.join(s, "event_type", "left").select(
+        "event_type",
+        "n_hours",
+        s_stat.alias("s_stat"),
+        F.when(
+            nh >= 2,
+            F.round(
+                s_stat.cast("double") / (nh.cast("double") * (nh - 1) / 2),
+                6,
+            ),
+        ).alias("tau_a"),
+    )

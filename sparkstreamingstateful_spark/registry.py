@@ -142,6 +142,7 @@ _KEY_PRIORITY = [
     # r9/r11/r12/r13 cohorts, freshest evidence last.
     "text_bpe_train",
     "text_bpe_encode",
+    "events_trend_mann_kendall",
     "scan_state_store",
     "sql_lateral_topk",
     "sql_recursive_cte",
