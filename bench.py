@@ -1,8 +1,13 @@
 """Benchmark runner — per-query wall-clock at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Prints TWO JSON lines (VERDICT r14 item 2):
+    {"queries": {key: sec, ...}, ..., "metric": "suite_wall_clock",
+     "value": <total sec>, "unit": "sec", "sf": <dir>}        # full
     {"metric": "suite_wall_clock", "value": <total sec>, "unit": "sec",
-     "queries": {key: sec, ...}, "sf": <dir>}
+     "n_keys": N, "n_errors": E, "sf": <dir>}                  # short
+The short line is last so it survives the driver's 2000-char stdout
+tail capture intact and machine-parses even when the full line (~10 KB)
+is truncated at the front.
 
 Protocol (BASELINE.md): local[$SPARK_GRAFT_CPUS], AQE on, one warm-up of the
 flagship, then one timed run per registered query (action = noop-format
@@ -107,6 +112,20 @@ def main() -> None:
         "sf": sf_dir,
     }
     print(json.dumps(payload))
+    # Second, SHORT, self-contained summary line. The full line above is
+    # ~10 KB with 290 per-key timings; the driver stores only the last
+    # 2000 chars of stdout, so the full line's captured tail is never
+    # valid JSON on its own (BENCH r12-r14 all landed parsed:null). This
+    # line is <200 bytes and is the LAST stdout line, so it always lands
+    # whole inside any tail capture and parses standalone.
+    print(json.dumps({
+        "metric": "suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "n_keys": len(timings),
+        "n_errors": sum(1 for t in timings.values() if t < 0),
+        "sf": sf_dir,
+    }))
     # The driver's BENCH_r* capture keeps only the stdout TAIL, which
     # truncates the alphabetically-early keys (agg_*, dedup_*, embed_*) —
     # persist the complete per-key table so the flagship numbers survive.

@@ -338,3 +338,130 @@ def stat_cov_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "api_cov_ok",
         "api_corr_ok",
     )
+
+
+@query(
+    "stat_describe",
+    oracle="""
+    WITH q AS (
+        SELECT CAST(round(l_quantity) AS BIGINT) AS x FROM lineitem
+    ),
+    m AS (
+        -- sxx stays HUGEINT (the ST-E/second-moment rule); harmless
+        -- here (x <= 50 keeps it ~1.5e12 at sf0.1) but scale-honest
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               sum(x * x) AS sxx,
+               CAST(min(x) AS BIGINT) AS min_x,
+               CAST(max(x) AS BIGINT) AS max_x
+        FROM q
+    )
+    SELECT n, min_x, max_x,
+           round(CAST(sx AS DOUBLE) / n, 9) AS mean_x,
+           round(sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                      / (n * (n - 1.0))), 9) AS stddev_x,
+           TRUE AS api_count_ok, TRUE AS api_min_ok, TRUE AS api_max_ok,
+           TRUE AS api_mean_ok, TRUE AS api_stddev_ok,
+           TRUE AS summary_quantiles_ok
+    FROM m
+    """,
+)
+def stat_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.describe()`` / ``df.summary()`` (ST-F, VERDICT r14 item 4) —
+    the everyday profiling API, H-checked under the ST-E exact-moment
+    discipline. Both APIs return a driver-side STRINGLY frame BY
+    CONTRACT (every stat is cast to string in the result — the
+    documented driver interaction, same class as approxQuantile's
+    list), and describe()'s mean/stddev accumulate doubles whose
+    partition-order-dependent last ulps can never hash-match another
+    engine. So the H-checked VALUES are exact: count/min/max as
+    BIGINTs, mean/stddev as closed forms over exact BIGINT/HUGEINT
+    moment sums (one map-side-combinable pass), rounded in SQL on both
+    sides. The native surfaces are pinned alongside as contract flags:
+    describe()'s five stats must sit within 1e-9 relative of the exact
+    values (count/min/max exactly equal), and summary()'s 25%/50%/75%
+    approx percentiles must each satisfy the TIE-AWARE rank bound
+    rank<(est) - 1%*N <= q*N <= rank<=(est) + 1%*N — the ST-C device
+    widened for tied data: x is integer-valued 1..50, so a tie group
+    spans ~2% of N and the one-sided |rank<=(est) - q*N| form fails on
+    a correct estimate whose tie group merely straddles q*N (measured
+    at sf0.001). Checked distributed via a broadcast 3-row probe panel.
+
+    Scale: one exact-moment pass + describe()'s and summary()'s own
+    single-pass aggs; the rank probe is a broadcast cross join. Output
+    is one row; the only collects are the 1-row moment agg and the
+    stringly API frames (5 and 3 rows — API contract shapes)."""
+    import math
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round("l_quantity").cast("bigint").alias("x")
+    )
+    xd = F.col("x").cast("decimal(19,0)")
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum((xd * xd).cast("decimal(38,0)")).alias("sxx"),
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+    ).collect()[0]
+    n, sx, sxx = int(m.n), int(m.sx), int(m.sxx)
+    mean = float(sx) / n
+    std = math.sqrt((n * float(sxx) - float(sx) * sx) / (n * (n - 1.0)))
+
+    # The native APIs under test (stringly frames by contract).
+    desc = {r["summary"]: r["x"] for r in li.describe("x").collect()}
+    summ = {
+        r["summary"]: r["x"]
+        for r in li.summary("25%", "50%", "75%").collect()
+    }
+    api_ok = dict(
+        count=int(desc["count"]) == n,
+        mn=float(desc["min"]) == float(m.mn),
+        mx=float(desc["max"]) == float(m.mx),
+        mean=abs(float(desc["mean"]) - mean) <= 1e-9 * max(1.0, abs(mean)),
+        std=abs(float(desc["stddev"]) - std) <= 1e-9 * max(1.0, abs(std)),
+    )
+    # summary()'s GK percentiles: exact rank within 1% of q*N, computed
+    # distributed via a broadcast probe panel (the ST-C device).
+    panel = spark.createDataFrame(
+        [(q, float(summ[f"{int(q * 100)}%"])) for q in (0.25, 0.5, 0.75)],
+        "q double, est double",
+    )
+    q_ok = (
+        li.crossJoin(F.broadcast(panel))
+        .groupBy("q")
+        .agg(
+            F.sum(F.when(F.col("x") < F.col("est"), 1).otherwise(0)).alias(
+                "rk_lt"
+            ),
+            F.sum(F.when(F.col("x") <= F.col("est"), 1).otherwise(0)).alias(
+                "rk_le"
+            ),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            F.min(
+                (F.col("rk_lt") - 0.01 * F.col("cnt")
+                 <= F.col("q") * F.col("cnt"))
+                & (F.col("q") * F.col("cnt")
+                   <= F.col("rk_le") + 0.01 * F.col("cnt"))
+            ).alias("ok")
+        )
+        .collect()[0]["ok"]
+    )
+    row = [(n, int(m.mn), int(m.mx), mean, std, *map(bool, api_ok.values()),
+            bool(q_ok))]
+    return spark.createDataFrame(
+        row,
+        "n bigint, min_x bigint, max_x bigint, mean_x double, "
+        "stddev_x double, api_count_ok boolean, api_min_ok boolean, "
+        "api_max_ok boolean, api_mean_ok boolean, api_stddev_ok boolean, "
+        "summary_quantiles_ok boolean",
+    ).select(
+        "n", "min_x", "max_x",
+        # Spark-SQL round (half-up), never Python round (banker's)
+        F.round("mean_x", 9).alias("mean_x"),
+        F.round("stddev_x", 9).alias("stddev_x"),
+        "api_count_ok", "api_min_ok", "api_max_ok", "api_mean_ok",
+        "api_stddev_ok", "summary_quantiles_ok",
+    )

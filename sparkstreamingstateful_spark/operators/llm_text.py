@@ -2070,6 +2070,12 @@ def _bpe_ctes(merges: int = _BPE_MERGES, carry_word: bool = False) -> str:
 
 
 def _bpe_oracle(merges: int = _BPE_MERGES) -> str:
+    # Contract note (ADVICE r14): this oracle is only meaningful when the
+    # corpus supports all `merges` rounds. If pairs run dry, each b{i}'s
+    # scalar subquery over an empty p{i} yields NULL and the merge table
+    # silently shortens — whereas the Spark side (_bpe_rounds) raises
+    # RuntimeError loudly FIRST, so a degenerate corpus can never reach a
+    # quiet oracle mismatch. All shipped SFs support >=8 merges.
     final = " UNION ALL ".join(
         f"SELECT * FROM b{i}" for i in range(1, merges + 1)
     )
@@ -2288,4 +2294,107 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("n_p").cast("double") / F.count(F.lit(1)), 4
             ).alias("pieces_per_word"),
         )
+    )
+
+
+# ---------------------------------------------------------- inverted index
+_IDX_POSTING_CAP = 16
+
+
+@query(
+    "text_inverted_index",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    -- no WITH ORDINALITY in DuckDB: 1-based positions via unnest(range)
+    -- + list indexing (the subword-oracle pattern)
+    tok AS (
+        SELECT doc_id, toks[pos] AS term, CAST(pos AS BIGINT) AS pos
+        FROM (SELECT doc_id, toks,
+                     unnest(range(1, len(toks) + 1)) AS pos
+              FROM base)
+        WHERE toks[pos] <> ''
+    ),
+    tf AS (
+        SELECT term, doc_id,
+               CAST(count(*) AS BIGINT) AS tf,
+               CAST(min(pos) AS BIGINT) AS first_pos
+        FROM tok GROUP BY term, doc_id
+    ),
+    rn AS (
+        SELECT *, row_number() OVER (PARTITION BY term ORDER BY doc_id)
+                  AS rn
+        FROM tf
+    )
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(tf) AS BIGINT) AS cf,
+           string_agg(
+               CASE WHEN rn <= {_IDX_POSTING_CAP}
+                    THEN doc_id || ':' || tf || '@' || first_pos END,
+               ',' ORDER BY doc_id) AS postings
+    FROM rn GROUP BY term
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index BUILD (L25, VERDICT r14 item 5) — the retrieval
+    artifact behind L13's BM25 (which scores queries but never
+    materializes the index): one row per term carrying df (document
+    frequency), cf (collection frequency), and a deterministic CAPPED
+    posting list — the _IDX_POSTING_CAP (16) lowest doc_ids, each entry
+    ``doc_id:tf@first_pos`` (1-based first token position), serialized
+    to a comma-joined string because no ArrayType may leave a checked
+    projection (the agg_collect rule: the driver's canonicalizer can't
+    sort rows holding raw arrays). df/cf are EXACT over all postings;
+    only the materialized list is capped (every real index caps or
+    tiers its hot postings — impact-ordered / WAND-style tiering).
+    Tokenization is _tokens(), the exact BM25/L1 splitter, so index
+    and scorer agree on the term universe.
+
+    Plan: posexplode -> (term, doc_id) hash agg (map-side combinable)
+    -> per-term row_number window + final agg, all shuffled ON TERM
+    once. At 100 TB: postings per term bounded by the cap, df/cf are
+    associative BIGINT sums, and term skew (stopwords) is exactly the
+    AQE-skew shape the window's term-partitioning handles; the cap
+    keeps the collect_list state O(cap), never O(corpus)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "doc_id", F.posexplode(_tokens()).alias("p0", "term")
+        )
+        .filter(F.col("term") != "")
+        .select("doc_id", "term", (F.col("p0") + 1).cast("bigint").alias("pos"))
+    )
+    tf = tok.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf"),
+        F.min("pos").alias("first_pos"),
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    rn = tf.withColumn("rn", F.row_number().over(w))
+    entry = F.concat_ws(
+        "", F.col("doc_id").cast("string"), F.lit(":"),
+        F.col("tf").cast("string"), F.lit("@"),
+        F.col("first_pos").cast("string"),
+    )
+    return rn.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("cf"),
+        F.array_join(
+            F.transform(
+                # sort capped entries by doc_id (struct field 1) — the
+                # oracle's ORDER BY doc_id; collect_list drops the
+                # NULLs the cap produces
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("rn") <= _IDX_POSTING_CAP,
+                            F.struct(F.col("doc_id"), entry.alias("e")),
+                        )
+                    )
+                ),
+                lambda s: s["e"],
+            ),
+            ",",
+        ).alias("postings"),
     )

@@ -1195,3 +1195,60 @@ def scan_recursive_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("total_c"),
     )
+
+
+def rebalance_sink_path(sf_dir: str) -> str:
+    """maintenance_rebalance's sink dir — marker-cached for the
+    correctness gate, listed in sink_cache_paths so bench times the
+    real rebalanced write."""
+    tag = _dir_tag(sf_dir, "lineitem")
+    return os.path.join(tempfile.gettempdir(), f"sss_rebal_lineitem_{tag}")
+
+
+@query(
+    "maintenance_rebalance",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS total_c
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def maintenance_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE REBALANCE rewrite (S6q, VERDICT r14 item 6) — the third
+    layout-maintenance op after compaction (S6o, no-shuffle merge) and
+    Z-order (E19, locality re-sort): ``df.hint("rebalance", col)`` /
+    ``/*+ REBALANCE(col) */`` plans a ``RebalancePartitions`` node
+    whose shuffle AQE re-plans at runtime — small post-shuffle
+    partitions COALESCE and oversized (skewed) ones SPLIT, yielding
+    write-sized output files that plain ``repartition(col)`` cannot
+    deliver under skew (every skewed key lands whole in one task).
+    Input is the 64-file fragmented layout; rebalancing on
+    l_returnflag (3 values — maximal skew for a hash shuffle) is
+    exactly the case where AQE's split path earns its keep. The
+    H-checked contract is LOSSLESSNESS — the read-back per-flag
+    count / key-sum / exact-cents aggregate must equal the source
+    table — and the plan shape is pinned in
+    tests/test_plans.py::test_rebalance_hint_plans_rebalance_node.
+
+    Scale: at 100 TB this is the standard pre-write step of every
+    table-maintenance job (one shuffle, AQE-sized output); the
+    rebalance shuffle moves each byte once, same as the write itself."""
+    frag = fragmented_lineitem_layout(spark, sf_dir)
+    out = rebalance_sink_path(sf_dir)
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        spark.read.parquet(frag).hint("rebalance", "l_returnflag").write.mode(
+            "overwrite"
+        ).parquet(out)
+        open(os.path.join(out, "_DONE"), "w").write("ok")
+    back = spark.read.parquet(out)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_orderkey").cast("bigint").alias("key_sum"),
+        F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("total_c"),
+    )

@@ -827,6 +827,13 @@ def sql_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join against the source is empty (nothing fabricated). The
     oracle states the same three invariants as literals.
 
+    Precondition (ADVICE r14): the literals assume ``orders`` has at
+    least 500 rows — on a smaller source TABLESAMPLE returns the whole
+    table and sample_rows/distinct_keys come back < 500, hash-mismatching
+    the constant oracle. Every shipped SF satisfies it (sf0.001 orders =
+    1,500 rows); the invariant relative form is least(500, count(*)) if
+    a sub-500-row dir ever needs this key.
+
     Scale: TABLESAMPLE(n ROWS) plans as a GlobalLimit over the scan —
     executors stop after their quota, no full-table pass."""
     _views(spark, sf_dir)

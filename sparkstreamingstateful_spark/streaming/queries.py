@@ -1294,6 +1294,7 @@ def sink_cache_paths(sf_dir: str) -> list[str]:
         compact_sink_path,
         dpo_sink_path,
         jsonl_sink_path,
+        rebalance_sink_path,
     )
 
     return [
@@ -1303,6 +1304,7 @@ def sink_cache_paths(sf_dir: str) -> list[str]:
         foreach_sink_path(sf_dir),
         dpo_sink_path(sf_dir),
         compact_sink_path(sf_dir),
+        rebalance_sink_path(sf_dir),
         merge_table_path(sf_dir),
     ]
 

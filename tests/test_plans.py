@@ -325,3 +325,20 @@ def test_tablesample_rows_is_limit_not_scan(spark):
     df = spark.sql("SELECT o_orderkey FROM orders TABLESAMPLE (500 ROWS)")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Limit" in plan
+
+
+def test_rebalance_hint_plans_rebalance_node(spark):
+    """S6q: the REBALANCE hint must plan a RebalancePartitions node
+    (the AQE coalesce-and-split shuffle) — NOT degrade to a plain
+    RepartitionByExpression, which under skew puts every hot key whole
+    into one task and defeats the write-sizing purpose."""
+    from sparkstreamingstateful_spark.catalog import load_table
+
+    df = load_table(spark, SF_UNIT, "lineitem").hint(
+        "rebalance", "l_returnflag"
+    )
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "RebalancePartitions" in logical
+    # and the runtime plan goes through an AQE-managed exchange
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in physical

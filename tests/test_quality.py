@@ -680,7 +680,10 @@ def test_bounded_weighted_sp_known_graph(spark):
     # hops via the light chain but IS via 0-3(10)+3-4(1) = 11
     assert got[0] == 0 and got[1] == 1 and got[2] == 2 and got[3] == 3
     assert got[4] == 11
-    assert 5 not in got or got[5] == 12  # 0-3-4-5 uses exactly 3 hops = 12
+    # node 5 IS reachable in exactly 3 hops (0-3 w=10, 3-4, 4-5) = 12;
+    # a hard pin so a relaxation that drops the last frontier fails
+    # loudly (ADVICE r14).
+    assert got[5] == 12
     got8 = {
         r.node: r.dist
         for r in bounded_weighted_sp(spark, sym, seeds, hops=8).collect()
@@ -731,3 +734,120 @@ def test_bpe_rounds_known_vocab(spark):
     ).localCheckpoint()
     with _pytest.raises(RuntimeError, match="no pairs left"):
         _bpe_rounds(cur2, merges=4)
+
+
+def test_mann_kendall_sig_replay(spark):
+    """events_trend_mann_kendall_sig replayed in pure Python over each
+    type's hourly spine: brute-force pairwise S, tie-group Var(S)*18,
+    continuity-corrected z, and the 1.96 verdict — plus the spine
+    memoization contract (E26/E26b share ONE materialized agg per
+    session, the lsh_sym_edges device)."""
+    import math
+    from collections import Counter
+
+    from sparkstreamingstateful_spark.operators.statistics import (
+        _mk_hourly_spine,
+    )
+
+    assert _mk_hourly_spine(spark, SF_UNIT) is _mk_hourly_spine(
+        spark, SF_UNIT
+    ), "hourly spine must be memoized per (session, corpus)"
+
+    spine = {}
+    for r in _mk_hourly_spine(spark, SF_UNIT).collect():
+        spine.setdefault(r.event_type, []).append((r.h, r.v))
+    got = {
+        r.event_type: r
+        for r in QUERIES["events_trend_mann_kendall_sig"](
+            spark, SF_UNIT
+        ).collect()
+    }
+    assert set(got) == set(spine)
+    for et, series in spine.items():
+        series.sort()
+        vs = [v for _, v in series]
+        n = len(vs)
+        s = sum(
+            (1 if vs[j] > vs[i] else -1 if vs[j] < vs[i] else 0)
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        tie = sum(
+            t * (t - 1) * (2 * t + 5) for t in Counter(vs).values()
+        )
+        var18 = n * (n - 1) * (2 * n + 5) - tie
+        r = got[et]
+        assert (r.n_hours, r.s_stat, r.var_s_18) == (n, s, var18), et
+        if var18 <= 0:
+            assert r.z_mk is None and r.trend is None
+        else:
+            z = (s - (1 if s > 0 else -1 if s < 0 else 0)) / math.sqrt(
+                var18 / 18.0
+            )
+            assert abs(r.z_mk - z) < 5e-7, (et, r.z_mk, z)
+            want = (
+                "increasing" if z > 1.96
+                else "decreasing" if z < -1.96
+                else "no_trend"
+            )
+            assert r.trend == want, (et, z)
+
+
+def test_inverted_index_replay(spark):
+    """text_inverted_index replayed in pure Python over the corpus:
+    exact df/cf per term and the capped, doc_id-ordered posting string
+    with 1-based first positions."""
+    from sparkstreamingstateful_spark.catalog import load_table
+
+    docs = load_table(spark, SF_UNIT, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    index = {}
+    for r in docs:
+        toks = [t for t in r.text.split(" ") if t]
+        per = {}
+        for pos, t in enumerate(toks, start=1):
+            tf, first = per.get(t, (0, pos))
+            per[t] = (tf + 1, first)
+        for t, (tf, first) in per.items():
+            index.setdefault(t, []).append((r.doc_id, tf, first))
+    want = {}
+    for t, posts in index.items():
+        posts.sort()
+        want[t] = (
+            len(posts),
+            sum(tf for _, tf, _ in posts),
+            ",".join(f"{d}:{tf}@{fp}" for d, tf, fp in posts[:16]),
+        )
+    got = {
+        r.term: (r.df, r.cf, r.postings)
+        for r in QUERIES["text_inverted_index"](spark, SF_UNIT).collect()
+    }
+    assert got == want
+
+
+def test_describe_flags_and_exact_moments(spark):
+    """stat_describe: every native-API contract flag must hold on real
+    data, and the exact-moment mean/stddev must match an independent
+    recompute (numpy exact integer sums) to the 9-decimal round."""
+    row = QUERIES["stat_describe"](spark, SF_UNIT).collect()[0]
+    for flag in (
+        "api_count_ok", "api_min_ok", "api_max_ok", "api_mean_ok",
+        "api_stddev_ok", "summary_quantiles_ok",
+    ):
+        assert row[flag] is True, flag
+    import math
+
+    from sparkstreamingstateful_spark.catalog import load_table
+
+    xs = [
+        int(round(r.l_quantity))
+        for r in load_table(spark, SF_UNIT, "lineitem")
+        .select("l_quantity")
+        .collect()
+    ]
+    n, sx, sxx = len(xs), sum(xs), sum(x * x for x in xs)
+    assert row.n == n and row.min_x == min(xs) and row.max_x == max(xs)
+    assert abs(row.mean_x - sx / n) <= 1e-9
+    std = math.sqrt((n * float(sxx) - float(sx) * sx) / (n * (n - 1.0)))
+    assert abs(row.stddev_x - std) <= 1e-9
