@@ -219,6 +219,32 @@ PROBES = [
     # shared materialized edges — the build's own xK behavior is probed
     # separately via dedup_minhash_lsh.
     ("graph_shortest_path", "documents"),
+    # r15: Mann-Kendall pair — the hourly spine (hours x types) is
+    # K-INDEPENDENT (replicas shift user/event ids, not ts), so past the
+    # xK hash agg to the spine both the pairwise sign join (E26) and the
+    # tie-term agg + z (E26b) must stay ~flat; the spine is memoized per
+    # (session, dir) since r15 (_mk_hourly_spine), so at each dir the
+    # first key probed pays the agg and the second measures its own
+    # join/agg term alone (the lsh_sym_edges warm rule). Output = one
+    # row per type, constant.
+    ("events_trend_mann_kendall", "events"),
+    ("events_trend_mann_kendall_sig", "events"),
+    # r15: describe/summary — one exact-moment pass + the native APIs'
+    # own single-pass aggs + a broadcast 3-row rank probe: t ~K over xK
+    # lineitem rows, output constant 1 row.
+    ("stat_describe", "lineitem"),
+    # r15: inverted index — suffixed-token replicas make vocab xK with
+    # disjoint per-replica posting sets: terms (rows) xK, df/cf within-
+    # replica unchanged, postings bounded by the cap; t must track ~K
+    # (explode + hash agg + term window, one term shuffle), never K^2.
+    ("text_inverted_index", "documents"),
+    # r15: REBALANCE rewrite — one AQE-managed shuffle + sized write
+    # over the xK fragmented layout: t ~K (every byte moves once). The
+    # fragmented-layout fixture is warmed untimed and the sink cache is
+    # cleared before timing (main loop), so the probe times the real
+    # rebalance shuffle+write, not a fixture build or a marker-cache
+    # no-op.
+    ("maintenance_rebalance", "lineitem"),
 ]
 
 # keys whose first run at a given dir includes a ONE-TIME source-layout
@@ -456,6 +482,19 @@ def main() -> None:
                 queries[base](spark, d).count()
             elif base == "write_python_datasource":
                 _clear_sink_cache(d)
+            elif base == "maintenance_rebalance":
+                # warm once untimed: builds the fragmented-layout
+                # FIXTURE (content-fingerprint cached) — then drop the
+                # rebalance sink so the timed run performs the real
+                # shuffle+write, never a _DONE-marker no-op
+                import shutil
+
+                from sparkstreamingstateful_spark.operators.scans import (
+                    rebalance_sink_path,
+                )
+
+                queries[base](spark, d).count()
+                shutil.rmtree(rebalance_sink_path(d), ignore_errors=True)
             elif base == "stream_merge_to_table":
                 # the stream+merge IS the operator — never time a
                 # completion-marker cache hit (same rule as bench.py)

@@ -1398,10 +1398,14 @@ def connected_components(sym: DataFrame, max_iters: int = 20) -> DataFrame:
     "dedup_cluster_cc",
     oracle=f"""
     WITH RECURSIVE
-    edges AS ({_EDGES_SQL}),
-    sym AS (SELECT a_id AS a, b_id AS b FROM edges
+    -- MATERIALIZED is load-bearing (the r13 PageRank lesson, found
+    -- here by the r15 sf0.1 sweep at 1277s/check): sym is referenced
+    -- from reach's recursive term, and a plain CTE re-evaluates the
+    -- whole LSH minhash pipeline EVERY iteration
+    edges AS MATERIALIZED ({_EDGES_SQL}),
+    sym AS MATERIALIZED (SELECT a_id AS a, b_id AS b FROM edges
             UNION SELECT b_id, a_id FROM edges),
-    nodes AS (SELECT DISTINCT a AS n FROM sym),
+    nodes AS MATERIALIZED (SELECT DISTINCT a AS n FROM sym),
     reach(n, m) AS (
         SELECT n, n FROM nodes
         UNION
@@ -1881,13 +1885,18 @@ _SUBWORD_VOCAB_K = 64
 _SUBWORD_LENS = (2, 3, 4)
 
 _SUBWORD_ORACLE = f"""
-    WITH RECURSIVE wf AS (
+    WITH RECURSIVE wf AS MATERIALIZED (
         SELECT doc_id, word FROM (
             SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
             FROM documents
         ) WHERE word <> ''
     ),
-    vocab AS (
+    -- MATERIALIZED is load-bearing (the r13 PageRank lesson): vocab is
+    -- referenced from walk's recursive term three times per iteration,
+    -- and a plain CTE would re-run the full shingle-count agg over the
+    -- corpus each time (latent at the sf0.01 gate, found by the r15
+    -- sf0.1 oracle-cost sweep alongside dedup_cluster_cc's)
+    vocab AS MATERIALIZED (
         SELECT piece FROM (
             SELECT substr(word, s, l) AS piece, count(*) AS c
             FROM wf,
@@ -1896,7 +1905,7 @@ _SUBWORD_ORACLE = f"""
             GROUP BY piece
         ) ORDER BY c DESC, piece LIMIT {_SUBWORD_VOCAB_K}
     ),
-    dw AS (SELECT DISTINCT word FROM wf),
+    dw AS MATERIALIZED (SELECT DISTINCT word FROM wf),
     walk(word, pos, np, nu) AS (
         SELECT word, 1, 0, 0 FROM dw
         UNION ALL

@@ -149,6 +149,9 @@ _KEY_PRIORITY = [
     "agg_count_min_sketch",
     "graph_bfs_distance",
     "graph_pagerank_lsh",
+    # oracle-hint-only change in r15 (AS MATERIALIZED — output provably
+    # identical, sim-verified): leads r16 with the other changed keys
+    "text_tokenize_subword",
     "embed_similarity_topk",
     "array_hof_predicates",
     "scalar_mask",
@@ -251,7 +254,6 @@ _KEY_PRIORITY = [
     "stat_sample_by",
     "stat_approx_quantile",
     "stat_freq_items",
-    "text_tokenize_subword",
     "events_anomaly_zscore",
     "events_changepoint_meanshift",
     "sql_pivot_clause",
