@@ -226,6 +226,14 @@ SHOWCASE = [
      "ONE hashpartitioning Exchange feeding a partition-local Sort "
      "(global=false) — no total-order merge anywhere; the audit is one "
      "mapInPandas pass over the physical partitions"),
+    ("text_inverted_index", "inverted-index build (r15): posexplode -> "
+     "map-side-combinable (term, doc) HashAggregate -> per-term "
+     "row_number window + final agg — ONE shuffle on term; the posting "
+     "cap keeps collect_list state O(cap)"),
+    ("events_trend_mann_kendall_sig", "Mann-Kendall significance (r15): "
+     "pairwise sign join + tie-term agg both run on the memoized "
+     "localCheckpoint hourly spine (hours x types, corpus-independent) — "
+     "the corpus is scanned ONCE per session for the whole trend family"),
     ("graph_shortest_path", "weighted Bellman-Ford (r14): 8 fixed "
      "relaxation rounds of join + min-agg over the session-memoized "
      "LSH edge list (shuffles sized to the graph, lineage truncated "
