@@ -845,3 +845,98 @@ def events_trend_mann_kendall_sig(
         .otherwise(F.lit("no_trend"))
         .alias("trend"),
     )
+
+
+@query(
+    "events_trend_sen_slope",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+        FROM events
+        GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    slopes AS (
+        SELECT a.event_type,
+               CAST(b.v - a.v AS DOUBLE)
+               / date_diff('hour', a.h, b.h) AS slope
+        FROM hourly a JOIN hourly b
+          ON b.event_type = a.event_type AND a.h < b.h
+    ),
+    r AS (
+        SELECT event_type, slope,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY slope) AS rk,
+               count(*) OVER (PARTITION BY event_type) AS np
+        FROM slopes
+    )
+    SELECT event_type,
+           CAST(max(np) AS BIGINT) AS n_pairs,
+           round(avg(slope), 6) AS sen_slope
+    FROM r
+    WHERE rk IN ((np + 1) // 2, (np + 2) // 2)
+    GROUP BY event_type
+    """,
+)
+def events_trend_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sen's slope estimator per event type (E26c) — the MAGNITUDE
+    companion that completes the Mann-Kendall trend toolkit (direction
+    = E26's S, significance = E26b's z, magnitude = this): the median
+    of all C(n,2) pairwise slopes (v_j - v_i)/(h_j - h_i) (Sen '68,
+    Theil '50) — the robust alternative to A13's OLS slope (up to ~29%
+    outlier contamination moves it nothing, where least squares chases
+    every spike). Cross-engine exactness: numerator = BIGINT 1e-2-unit
+    diff, denominator = exact BIGINT hour count, each slope ONE double
+    division (identical IEEE op both engines); the median is spelled as
+    an explicit RANK construction — row_number over slope, keep ranks
+    floor((n+1)/2) and floor((n+2)/2), avg — because both engines'
+    native median/percentile interpolators are black boxes, while
+    avg of one-or-two identical doubles is bit-replayable (rank ties
+    are harmless: any rank inside a tie run reads the same value).
+    round(.., 6) in SQL on both sides; units = value-cents per hour.
+    Types with a single hour contribute no pairs and are absent on
+    both engines identically (every shipped SF has thousands of
+    hours/type).
+
+    Plan: shares the session-memoized hourly spine (_mk_hourly_spine)
+    with E26/E26b — the pairwise slope join is the same time-bounded
+    spine self-join (hours x types, corpus-independent at 100 TB), then
+    one per-type sort window + a tiny agg. Same multi-year upgrade path
+    as E26 (the O(n log n) Theil-Sen refinement via interval bisection
+    is the published route at very large n)."""
+    hourly = _mk_hourly_spine(spark, sf_dir)
+    a = hourly.select(
+        "event_type", F.col("h").alias("h1"), F.col("v").alias("v1")
+    )
+    b = hourly.select(
+        "event_type", F.col("h").alias("h2"), F.col("v").alias("v2")
+    )
+    hd = (
+        (F.col("h2").cast("long") - F.col("h1").cast("long")) / F.lit(3600)
+    ).cast("bigint")
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("h1") < F.col("h2"))
+        .select(
+            "event_type",
+            (
+                (F.col("v2") - F.col("v1")).cast("double") / hd
+            ).alias("slope"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("slope")
+    wc = Window.partitionBy("event_type")
+    r = slopes.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wc).alias("np"),
+    )
+    mid = r.filter(
+        (F.col("rk") == F.expr("(np + 1) div 2"))
+        | (F.col("rk") == F.expr("(np + 2) div 2"))
+    )
+    return mid.groupBy("event_type").agg(
+        F.max("np").cast("bigint").alias("n_pairs"),
+        F.round(F.avg("slope"), 6).alias("sen_slope"),
+    )

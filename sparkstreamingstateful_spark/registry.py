@@ -72,9 +72,9 @@ def query(name: str, oracle: str | None = None):
 # swapped in over the next r2 key because its CODE changed in r14
 # without a window slot — VERDICT item 3 — so one slot re-hashes
 # changed code while staying inside the r9-stale cohort). Exactly 50.
-# Below the line: the 4 keys NEW in r15 (stat_describe,
+# Below the line: the 5 keys NEW in r15 (stat_describe,
 # text_inverted_index, maintenance_rebalance,
-# events_trend_mann_kendall_sig — driver-sim verified at sf0.001/0.01/
+# events_trend_mann_kendall_sig, events_trend_sen_slope — driver-sim verified at sf0.001/0.01/
 # 0.1 in-session; they lead the r16 window per the r14 precedent), then
 # the 4 remaining r14-code-changed keys (VERDICT item 3 "else lead
 # r16"), then the rest of the r9 cohort and the r11/r12/r13 cohorts
@@ -134,7 +134,7 @@ _KEY_PRIORITY = [
     "cte_query",
     "embed_centroids",
     "dedup_cluster_cc",
-    # --- 50-key boundary. First below the line: the 4 keys NEW in r15
+    # --- 50-key boundary. First below the line: the 5 keys NEW in r15
     # (VERDICT r14 items 4-7; the exactly-50 rotation above outranked
     # them for this round's H-window — same staging device r14 used),
     # then the 4 remaining keys whose code changed in r14 (asof
@@ -145,6 +145,7 @@ _KEY_PRIORITY = [
     "text_inverted_index",
     "maintenance_rebalance",
     "events_trend_mann_kendall_sig",
+    "events_trend_sen_slope",
     "join_asof_nearest",
     "agg_count_min_sketch",
     "graph_bfs_distance",

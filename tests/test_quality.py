@@ -851,3 +851,35 @@ def test_describe_flags_and_exact_moments(spark):
     assert abs(row.mean_x - sx / n) <= 1e-9
     std = math.sqrt((n * float(sxx) - float(sx) * sx) / (n * (n - 1.0)))
     assert abs(row.stddev_x - std) <= 1e-9
+
+
+def test_sen_slope_replay(spark):
+    """events_trend_sen_slope replayed in pure Python: brute-force all
+    pairwise slopes per type, explicit rank-median (avg of the one-or-
+    two middle values of the sorted slopes) to 6 decimals."""
+    from sparkstreamingstateful_spark.operators.statistics import (
+        _mk_hourly_spine,
+    )
+
+    spine = {}
+    for r in _mk_hourly_spine(spark, SF_UNIT).collect():
+        spine.setdefault(r.event_type, []).append((r.h, r.v))
+    got = {
+        r.event_type: r
+        for r in QUERIES["events_trend_sen_slope"](spark, SF_UNIT).collect()
+    }
+    assert set(got) == {et for et, s in spine.items() if len(s) >= 2}
+    for et, series in spine.items():
+        series.sort()
+        slopes = sorted(
+            (b_v - a_v) / ((b_h - a_h).total_seconds() / 3600)
+            for i, (a_h, a_v) in enumerate(series)
+            for (b_h, b_v) in series[i + 1:]
+        )
+        n = len(slopes)
+        if not n:
+            continue
+        mid = (slopes[(n - 1) // 2] + slopes[n // 2]) / 2
+        r = got[et]
+        assert r.n_pairs == n
+        assert abs(r.sen_slope - mid) < 5e-7, (et, r.sen_slope, mid)
