@@ -2361,12 +2361,27 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     Tokenization is _tokens(), the exact BM25/L1 splitter, so index
     and scorer agree on the term universe.
 
-    Plan: posexplode -> (term, doc_id) hash agg (map-side combinable)
-    -> per-term row_number window + final agg, all shuffled ON TERM
-    once. At 100 TB: postings per term bounded by the cap, df/cf are
-    associative BIGINT sums, and term skew (stopwords) is exactly the
-    AQE-skew shape the window's term-partitioning handles; the cap
-    keeps the collect_list state O(cap), never O(corpus)."""
+    Plan: posexplode -> (term, doc_id) hash agg (map-side combinable),
+    then a TWO-LEVEL TOURNAMENT for the capped list (VERDICT r15
+    item 2): stage 1 is a row_number window over (term,
+    crc32(doc_id) % 64) salt buckets — a single per-term window would
+    sort a hot term's ENTIRE posting set (df ~ corpus size for
+    stopwords at 100 TB) in ONE task, and window partitions cannot be
+    split (AQE skew handling applies to joins/rebalance, NOT windows),
+    so the salt bounds any task at 1/64th of the hot term (plus Spark's
+    WindowGroupLimit pre-filters rank <= cap map-side before the
+    shuffle). Stage 2 merges per (term, salt) partials in ONE stream —
+    df/cf as associative BIGINT sums of bucket counts, candidates as
+    collect_list arrays of the <= cap bucket winners (agg state
+    O(cap), then O(64*cap)) — and settles the tournament with a bounded
+    ARRAY expression: array_sort + slice over the <= 64*cap survivors.
+    Each bucket keeps its cap lowest doc_ids, so the survivor union
+    provably contains the global cap lowest — bit-identical to the
+    naive plan, oracle unchanged. The whole key is one corpus scan and
+    three term-keyed exchanges; an earlier draft computed df/cf on a
+    separate branch joined back on term, which column pruning split
+    into a SECOND corpus scan (no ReusedExchange — measured), so the
+    partial-sum shape here is what keeps the scan count at one."""
     d = load_table(spark, sf_dir, "documents")
     tok = (
         d.select(
@@ -2378,29 +2393,43 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tok.groupBy("term", "doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf"),
         F.min("pos").alias("first_pos"),
+    ).withColumn(
+        "salt", F.pmod(F.crc32(F.col("doc_id").cast("string")), F.lit(64))
     )
-    w = Window.partitionBy("term").orderBy("doc_id")
-    rn = tf.withColumn("rn", F.row_number().over(w))
+    w1 = Window.partitionBy("term", "salt").orderBy("doc_id")
     entry = F.concat_ws(
         "", F.col("doc_id").cast("string"), F.lit(":"),
         F.col("tf").cast("string"), F.lit("@"),
         F.col("first_pos").cast("string"),
     )
-    return rn.groupBy("term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("df"),
-        F.sum("tf").cast("bigint").alias("cf"),
+    part = (
+        tf.withColumn("rn1", F.row_number().over(w1))
+        .groupBy("term", "salt")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df_p"),
+            F.sum("tf").cast("bigint").alias("cf_p"),
+            # bucket winners only — collect_list drops the NULLs the
+            # cap produces, so the agg state is O(cap)
+            F.collect_list(
+                F.when(
+                    F.col("rn1") <= _IDX_POSTING_CAP,
+                    F.struct(F.col("doc_id"), entry.alias("e")),
+                )
+            ).alias("cands"),
+        )
+    )
+    return part.groupBy("term").agg(
+        F.sum("df_p").cast("bigint").alias("df"),
+        F.sum("cf_p").cast("bigint").alias("cf"),
         F.array_join(
             F.transform(
-                # sort capped entries by doc_id (struct field 1) — the
-                # oracle's ORDER BY doc_id; collect_list drops the
-                # NULLs the cap produces
-                F.array_sort(
-                    F.collect_list(
-                        F.when(
-                            F.col("rn") <= _IDX_POSTING_CAP,
-                            F.struct(F.col("doc_id"), entry.alias("e")),
-                        )
-                    )
+                # stage-2 tournament: sort <= 64*cap survivors by
+                # doc_id (struct field 1) and keep the global cap
+                # lowest — the oracle's ORDER BY doc_id
+                F.slice(
+                    F.array_sort(F.flatten(F.collect_list("cands"))),
+                    1,
+                    _IDX_POSTING_CAP,
                 ),
                 lambda s: s["e"],
             ),
