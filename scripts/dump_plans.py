@@ -226,10 +226,13 @@ SHOWCASE = [
      "ONE hashpartitioning Exchange feeding a partition-local Sort "
      "(global=false) — no total-order merge anywhere; the audit is one "
      "mapInPandas pass over the physical partitions"),
-    ("text_inverted_index", "inverted-index build (r15): posexplode -> "
-     "map-side-combinable (term, doc) HashAggregate -> per-term "
-     "row_number window + final agg — ONE shuffle on term; the posting "
-     "cap keeps collect_list state O(cap)"),
+    ("text_inverted_index", "inverted-index build (r16 tournament fix): "
+     "posexplode -> map-side-combinable (term, doc) HashAggregate -> "
+     "salted (term, crc32(doc)%64) row_number window (no task sorts more "
+     "than 1/64th of a hot term; window partitions cannot be AQE-split) "
+     "-> per-(term, salt) partial df/cf sums + O(cap) bucket winners -> "
+     "per-term merge with an array_sort+slice stage-2 — one corpus scan, "
+     "three term-keyed exchanges, agg state O(64*cap)"),
     ("events_trend_mann_kendall_sig", "Mann-Kendall significance (r15): "
      "pairwise sign join + tie-term agg both run on the memoized "
      "localCheckpoint hourly spine (hours x types, corpus-independent) — "

@@ -249,6 +249,13 @@ PROBES = [
     # rebalance shuffle+write, not a fixture build or a marker-cache
     # no-op.
     ("maintenance_rebalance", "lineitem"),
+    # r16: TWS state-variable reader — setup (the sessionize TWS stream,
+    # content-cached per dir) pays the xK feed once; the READ is
+    # state-sized: users x sessions xK rows out, partition-parallel
+    # scans of one state version. scan_state_metadata is NOT probed:
+    # its read is O(operators) metadata files by construction and a
+    # probe would time the dedup-ckpt setup stream instead.
+    ("scan_state_tws_variables", "events(stream)"),
 ]
 
 # keys whose first run at a given dir includes a ONE-TIME source-layout

@@ -847,6 +847,12 @@ def events_trend_mann_kendall_sig(
     )
 
 
+# ~10k spine hours (~14 months) => ~50M pairs through one per-type rank
+# window task — the point where the Sen-slope plan needs its documented
+# two-level upgrade (ADVICE r15). Shipped spines are ~1 month (276k).
+_SEN_PAIRS_GUARD = 50_000_000
+
+
 @query(
     "events_trend_sen_slope",
     oracle="""
@@ -901,10 +907,39 @@ def events_trend_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: shares the session-memoized hourly spine (_mk_hourly_spine)
     with E26/E26b — the pairwise slope join is the same time-bounded
     spine self-join (hours x types, corpus-independent at 100 TB), then
-    one per-type sort window + a tiny agg. Same multi-year upgrade path
-    as E26 (the O(n log n) Theil-Sen refinement via interval bisection
-    is the published route at very large n)."""
+    one per-type sort window + a tiny agg. UNLIKE E26/E26b (which
+    reduce the pair join with an aggregate), the rank window funnels
+    every pair of a type through one task — fine for time-bounded
+    spines (a month of hours = 276k pairs/type, a year = 38M) but the
+    single-reducer skew shape beyond that, so a guard (ADVICE r15)
+    warns when pairs-per-type crosses _SEN_PAIRS_GUARD and names the
+    upgrade: the O(n log n) Theil-Sen interval-bisection refinement
+    (Matousek '91), or a value-bucketed two-level rank (per-bucket
+    histogram -> cumulative counts locate the median bucket -> sort
+    only that bucket). The guard count runs on the memoized
+    localCheckpoint'd spine — a types-bounded driver read, not a
+    corpus scan."""
+    import warnings
+
     hourly = _mk_hourly_spine(spark, sf_dir)
+    nmax = max(
+        (
+            r["nh"]
+            for r in hourly.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("nh"))
+            .collect()
+        ),
+        default=0,
+    )
+    if nmax * (nmax - 1) // 2 > _SEN_PAIRS_GUARD:
+        warnings.warn(
+            f"events_trend_sen_slope: {nmax} spine hours in one type -> "
+            f"{nmax * (nmax - 1) // 2} pairwise slopes through a single "
+            "per-type rank window; switch to the interval-bisection "
+            "Theil-Sen refinement or a value-bucketed two-level rank "
+            "before spines grow further (see docstring)",
+            stacklevel=2,
+        )
     a = hourly.select(
         "event_type", F.col("h").alias("h1"), F.col("v").alias("v1")
     )

@@ -64,331 +64,324 @@ def query(name: str, oracle: str | None = None):
 # Evidence-priority ordering. The correctness driver checks exactly the
 # FIRST 50 registered keys each round (count cap, measured r1/r2), so
 # iteration order is the lever that decides which keys get hard oracle
-# signal. Round-15 window (VERDICT r14 item 1, followed to the letter):
-# (00) the 3 keys staged in r14 with ZERO driver evidence, then (a) the
-# FULL 36-key cohort whose newest driver evidence is r8, then (b) 11
-# r9-evidence keys — the 8 whose FIRST driver evidence is r1, two of
-# the oldest r2-first-seen keys, and dedup_cluster_cc (first-seen r3,
-# swapped in over the next r2 key because its CODE changed in r14
-# without a window slot — VERDICT item 3 — so one slot re-hashes
-# changed code while staying inside the r9-stale cohort). Exactly 50.
-# Below the line: the 5 keys NEW in r15 (stat_describe,
-# text_inverted_index, maintenance_rebalance,
-# events_trend_mann_kendall_sig, events_trend_sen_slope — driver-sim verified at sf0.001/0.01/
-# 0.1 in-session; they lead the r16 window per the r14 precedent), then
-# the 4 remaining r14-code-changed keys (VERDICT item 3 "else lead
-# r16"), then the rest of the r9 cohort and the r11/r12/r13 cohorts
-# with the freshest evidence last.
+# signal. Round-16 window (VERDICT r15 item 1, followed to the letter):
+# (a) the 5 keys staged in r15 with zero driver evidence, then (b) the
+# 5 keys whose code/oracle changed without a fresh driver hash, then
+# (c) the FULL 39-key cohort whose newest driver evidence is r9, then
+# (d) the oldest r11-evidence key (agg_hash_q1, first seen r1).
+# Exactly 50.
 _KEY_PRIORITY = [
-    # (00) Staged in r14, zero driver evidence yet (VERDICT r14 item 1).
-    "text_bpe_train",
-    "text_bpe_encode",
-    "events_trend_mann_kendall",
-    # (a) The FULL 36-key r8-evidence cohort.
-    "scan_state_store",
-    "sql_lateral_topk",
-    "sql_recursive_cte",
-    "events_rollup_cascade",
-    "window_time_range",
-    "sql_tpch_q7like",
-    "sql_tpch_q18like",
-    "multimodal_features",
-    "dedup_near",
-    "dedup_ngram_jaccard",
-    "scan_partition_pruning",
-    "join_bucketed_colocated",
-    "join_semi",
-    "join_anti",
-    "join_cross",
-    "join_theta_range",
-    "join_multikey",
-    "agg_distinct",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_stats",
-    "agg_conditional_pivot",
-    "agg_salted_skew",
-    "distinct_rows",
-    "window_ranking",
-    "window_analytic",
-    "window_frame_rows",
-    "window_frame_range",
-    "topk_per_group",
-    "sort_multi",
-    "set_union_all",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    # (b) 11 r9-evidence keys: the 8 first-seen-r1 keys, the 2 oldest
-    # r2-first-seen keys, and the code-changed dedup_cluster_cc.
-    "agg_collect",
-    "array_explode",
-    "array_ops",
-    "limit_topk",
-    "scalar_cast",
-    "scalar_math",
-    "set_except_all",
-    "set_intersect_all",
-    "cte_query",
-    "embed_centroids",
-    "dedup_cluster_cc",
-    # --- 50-key boundary. First below the line: the 5 keys NEW in r15
-    # (VERDICT r14 items 4-7; the exactly-50 rotation above outranked
-    # them for this round's H-window — same staging device r14 used),
-    # then the 4 remaining keys whose code changed in r14 (asof
-    # tie-break fix, CMS bound widening, memoized LSH edges — all
-    # driver-sim re-verified), then the rest of the r9 cohort and the
-    # r11/r12/r13 cohorts, freshest evidence last.
+    # (a) The 5 keys staged in r15 with ZERO driver evidence
+    # (VERDICT r15 item 1; sim+replica green at sf0.001/0.01/0.1).
     "stat_describe",
     "text_inverted_index",
     "maintenance_rebalance",
     "events_trend_mann_kendall_sig",
     "events_trend_sen_slope",
+    # (b) The 5 keys whose code/oracle changed without a fresh driver
+    # hash (asof tie-break fix + CMS widening + memoized LSH edges in
+    # r14; subword oracle CTEs materialized in r15; text_inverted_index
+    # above additionally carries the r16 tournament fix).
     "join_asof_nearest",
     "agg_count_min_sketch",
     "graph_bfs_distance",
     "graph_pagerank_lsh",
-    # oracle-hint-only change in r15 (AS MATERIALIZED — output provably
-    # identical, sim-verified): leads r16 with the other changed keys
     "text_tokenize_subword",
-    "embed_similarity_topk",
-    "array_hof_predicates",
-    "scalar_mask",
-    "stream_window_session_dynamic",
+    # (c) The FULL 39-key cohort whose newest driver evidence is r9.
     "agg_hll_sketch",
-    "sql_identifier_clause",
-    "sql_try_cast",
-    "window_ignore_nulls",
-    "sql_not_in_null",
-    "scalar_bitwise",
-    "udf_pandas_iter",
-    "scan_dynamic_partition_pruning",
+    "array_hof_predicates",
+    "dedup_semantic",
+    "embed_similarity_topk",
     "events_sessionize_dynamic_gap",
-    "sql_agg_filter",
-    "scan_state_time_travel",
+    "map_ops",
+    "observe_metrics",
+    "scalar_bitwise",
+    "scalar_mask",
+    "scan_dynamic_partition_pruning",
+    "scan_state_changefeed",
     "scan_state_join_side",
+    "scan_state_time_travel",
+    "sql_agg_filter",
+    "sql_identifier_clause",
+    "sql_not_in_null",
+    "sql_try_cast",
+    "stateful_dedup_keyed",
+    "stateful_running_agg",
+    "stateful_running_agg_tws",
+    "stateful_sessionize",
+    "stream_cdc_upsert",
+    "stream_dedup",
+    "stream_static_join",
     "stream_static_join_anti",
     "stream_static_join_left",
-    "scan_state_changefeed",
-    "dedup_semantic",
-    "observe_metrics",
-    "map_ops",
+    "stream_stream_join",
+    "stream_text_analysis",
+    "stream_window_late_drop",
+    "stream_window_session",
+    "stream_window_session_dynamic",
+    "stream_window_sliding",
+    "stream_window_tumbling",
     "subquery_correlated_exists",
     "subquery_in",
     "subquery_scalar",
+    "udf_pandas_iter",
     "vector_ops",
-    "stateful_sessionize",
-    "stateful_running_agg",
-    "stateful_dedup_keyed",
-    "stream_window_late_drop",
-    "stream_window_tumbling",
-    "stream_window_sliding",
-    "stream_window_session",
-    "stream_dedup",
-    "stream_static_join",
-    "stream_stream_join",
-    "stream_text_analysis",
-    "stream_cdc_upsert",
-    "stateful_running_agg_tws",
-    "events_interpolate_linear",
-    "events_resample_ohlc",
-    "join_bloom_runtime_filter",
-    "text_bm25_search",
-    "agg_histogram",
-    "layout_zorder",
-    "map_hof",
-    "dedup_semantic_capped",
-    "codec_protobuf_roundtrip",
-    "stream_codec_protobuf",
-    "codec_avro_container",
-    "decontaminate_ngram",
-    "join_skew_aqe",
-    "join_range_binned",
-    "multimodal_decode_bmp",
+    "window_ignore_nulls",
+    # (d) The oldest r11-evidence key (first seen r1) — slot 50.
+    "agg_hash_q1",
+    # --- 50-key boundary. First below the line: the 2 keys NEW in r16
+    # (state-metadata discovery + TWS state-variable reader; driver-sim
+    # verified at sf0.001/0.01/0.1 in-session) — they lead the r17
+    # window per the r14/r15 staging precedent. Then every remaining
+    # key, stalest evidence first ((latest driver round, first-seen
+    # round, name) ascending; sample_seeded rides with the r9-era
+    # cohort — rows-only by design).
+    "scan_state_metadata",
+    "scan_state_tws_variables",
     "sample_seeded",
+    "join_asof",
+    "corpus_sample_stratified",
+    "dedup_cross_source",
+    "dedup_exact",
+    "dedup_simhash",
+    "doc_chunking",
+    "doc_fingerprint",
+    "embed_ann_ivf",
     "embed_near_dup",
+    "json_extract",
+    "map_in_pandas",
+    "multimodal_binary",
+    "pii_scrub",
+    "sql_tpch_q3like",
+    "sql_tpch_q5like",
+    "text_language_id",
+    "text_quality_score",
+    "text_stats",
+    "text_tokenize_wordcount",
+    "udaf_applyInPandas",
+    "udf_pandas",
+    "udf_python",
+    "udtf_python",
+    "agg_percentiles",
+    "events_resample_1h",
+    "sql_parameterized",
+    "struct_ops",
+    "text_token_count",
+    "values_inline",
+    "window_distribution",
     "scan_csv",
     "scan_json",
     "scan_text",
-    "sql_tpch_q3like",
-    "sql_tpch_q5like",
-    "udf_python",
-    "udf_pandas",
-    "udaf_applyInPandas",
-    "udtf_python",
-    "map_in_pandas",
-    "text_tokenize_wordcount",
-    "text_quality_score",
-    "doc_fingerprint",
-    "dedup_exact",
-    "dedup_simhash",
-    "multimodal_binary",
-    "doc_chunking",
-    "corpus_sample_stratified",
-    "pii_scrub",
-    "dedup_cross_source",
-    "embed_ann_ivf",
-    "join_asof",
-    "agg_hash_q1",
-    "agg_percentiles",
-    "events_resample_1h",
-    "window_distribution",
-    "sql_parameterized",
-    "values_inline",
-    "json_extract",
-    "struct_ops",
-    "text_stats",
-    "text_language_id",
-    "text_token_count",
-    "scan_json_corrupt",
-    "udtf_arrow",
-    "maintenance_compact_files",
-    "corpus_mix_temperature",
-    "sql_ctas_insert",
-    "scan_csv_malformed",
-    "scan_parquet_merge_schema",
-    "write_dynamic_partition_overwrite",
-    "agg_quantile_sketch",
-    "stat_crosstab",
-    "stat_sample_by",
-    "stat_approx_quantile",
-    "stat_freq_items",
-    "events_anomaly_zscore",
-    "events_changepoint_meanshift",
-    "sql_pivot_clause",
-    "join_asof_tolerance",
+    "agg_histogram",
+    "codec_avro_container",
+    "codec_protobuf_roundtrip",
+    "decontaminate_ngram",
+    "dedup_semantic_capped",
+    "events_interpolate_linear",
+    "events_resample_ohlc",
+    "join_bloom_runtime_filter",
+    "join_range_binned",
+    "join_skew_aqe",
+    "layout_zorder",
+    "map_hof",
+    "multimodal_decode_bmp",
+    "stream_codec_protobuf",
+    "text_bm25_search",
+    "join_full",
+    "join_left",
+    "join_right",
+    "scan_orc",
+    "scan_python_datasource",
+    "sql_group_by_all",
+    "stream_python_datasource",
+    "stream_sink_python_datasource",
+    "udaf_applyInArrow",
+    "write_python_datasource",
+    "agg_linear_regression",
     "agg_mode",
-    "sql_tpch_q4like",
-    "sql_tpch_q12like",
-    "sql_tpch_q14like",
-    "sql_tpch_q6like",
-    "sql_tpch_q8like",
-    "sql_tpch_q9like",
+    "agg_quantile_sketch",
+    "corpus_mix_temperature",
+    "dedup_passage",
+    "dq_profile",
+    "events_anomaly_zscore",
+    "events_autocorr_lag1",
+    "events_changepoint_meanshift",
+    "join_asof_tolerance",
+    "maintenance_compact_files",
+    "scan_csv_malformed",
+    "scan_json_corrupt",
+    "scan_parquet_merge_schema",
+    "sql_ctas_insert",
+    "sql_pivot_clause",
     "sql_tpch_q10like",
     "sql_tpch_q11like",
+    "sql_tpch_q12like",
     "sql_tpch_q13like",
+    "sql_tpch_q14like",
     "sql_tpch_q15like",
     "sql_tpch_q17like",
     "sql_tpch_q19like",
     "sql_tpch_q20like",
     "sql_tpch_q21like",
     "sql_tpch_q22like",
-    "dedup_passage",
-    "text_repetition_ngram",
+    "sql_tpch_q4like",
+    "sql_tpch_q6like",
+    "sql_tpch_q8like",
+    "sql_tpch_q9like",
+    "stat_approx_quantile",
+    "stat_crosstab",
+    "stat_freq_items",
+    "stat_sample_by",
     "text_gopher_quality",
-    "dq_profile",
-    "agg_linear_regression",
-    "events_autocorr_lag1",
-    "sql_group_by_all",
-    "join_left",
-    "join_right",
-    "join_full",
-    "stream_python_datasource",
-    "write_python_datasource",
-    "stream_sink_python_datasource",
-    "scan_orc",
-    "scan_python_datasource",
-    "udaf_applyInArrow",
-    "graph_triangle_count",
-    "dedup_containment",
-    "events_holt_linear",
-    "cluster_kmeans_fixed",
-    "multimodal_decode_wav",
-    "embed_pq_codes",
-    "sql_order_by_all_offset",
-    "multimodal_decode_jpeg",
-    "stream_holt_linear",
-    "events_downsample_lttb",
-    "set_union_by_name_missing",
-    "dq_expectations",
-    "stat_cov_corr",
-    "scan_recursive_glob",
-    "embed_pq_adc_topk",
-    "array_explode_outer",
-    "scalar_regexp",
-    "udtf_table_arg",
-    "embed_ann_recall",
-    "stream_merge_to_table",
-    "frame_transpose",
-    "scalar_interval",
+    "text_repetition_ngram",
+    "udtf_arrow",
+    "write_dynamic_partition_overwrite",
+    "seq_packing",
+    "text_edit_distance",
+    "agg_approx",
+    "stateful_sessionize_tws",
+    "stream_dedup_watermarked",
+    "stream_stream_join_left",
+    "stream_topk_per_window",
+    "stream_window_chained",
     "agg_bitmap_distinct",
-    "sql_lateral_alias",
-    "text_classifier_score",
-    "events_ewma_smooth",
-    "window_distinct_rolling",
-    "text_url_filter",
-    "sql_join_hints",
     "agg_grouping_id",
-    "json_construct",
-    "scalar_string_multi",
+    "array_edit_ops",
+    "array_explode_outer",
+    "cluster_kmeans_fixed",
+    "dedup_containment",
+    "dq_expectations",
+    "embed_ann_recall",
+    "embed_pq_adc_topk",
+    "embed_pq_codes",
+    "events_downsample_lttb",
+    "events_ewma_smooth",
+    "events_holt_linear",
+    "frame_transpose",
+    "graph_triangle_count",
     "join_null_safe",
+    "json_construct",
+    "multimodal_decode_jpeg",
+    "multimodal_decode_png",
+    "multimodal_decode_wav",
+    "scalar_interval",
+    "scalar_regexp",
+    "scalar_str_to_map",
+    "scalar_string_multi",
+    "scan_recursive_glob",
+    "set_union_by_name_missing",
+    "sql_join_hints",
+    "sql_lateral_alias",
+    "sql_order_by_all_offset",
     "sql_select_except",
     "sql_unpivot_clause",
-    "array_edit_ops",
-    "scalar_str_to_map",
-    "multimodal_decode_png",
-    "stream_stream_join_left",
-    "stream_dedup_watermarked",
-    "stream_window_chained",
-    "stream_topk_per_window",
-    "stateful_sessionize_tws",
-    "agg_approx",
-    "text_edit_distance",
-    "seq_packing",
-    # r14-evidence cohort (the previous round's 50-key window) —
-    # freshest driver hashes in the registry, so last in priority.
-    "generator_functions",
-    "sql_tablesample",
-    "sql_distribute_cluster",
-    "graph_shortest_path",
-    "pipeline_end_to_end",
+    "stat_cov_corr",
+    "stream_holt_linear",
+    "stream_merge_to_table",
+    "text_classifier_score",
+    "text_url_filter",
+    "udtf_table_arg",
+    "window_distinct_rolling",
+    "filter_basic",
+    "filter_conditional",
+    "join_broadcast",
+    "join_inner",
+    "project_compute",
+    "scalar_date",
+    "scalar_hash",
+    "scalar_string",
     "scan_parquet",
     "scan_projection_pushdown",
     "write_roundtrip",
-    "project_compute",
-    "filter_basic",
-    "filter_conditional",
-    "scalar_string",
-    "scalar_date",
-    "scalar_hash",
-    "unpivot_melt",
-    "join_inner",
-    "join_broadcast",
-    "dedup_minhash_lsh",
-    "multimodal_frame_sample",
-    "map_in_arrow",
-    "udf_arrow",
-    "udaf_pandas_window",
     "embed_pairwise_label",
-    "cdc_upsert_latest",
+    "pipeline_end_to_end",
     "cdc_diff_snapshots",
-    "scd2_intervals",
-    "events_sessionize_batch",
-    "events_funnel",
+    "cdc_upsert_latest",
+    "dedup_minhash_lsh",
     "events_cohort_retention",
+    "events_funnel",
+    "events_sessionize_batch",
+    "map_in_arrow",
+    "multimodal_frame_sample",
+    "scd2_intervals",
+    "udaf_pandas_window",
+    "udf_arrow",
+    "unpivot_melt",
+    "agg_listagg",
+    "json_variant",
+    "scalar_try_arithmetic",
+    "sql_pipe_syntax",
     "stream_stream_join_full",
     "stream_stream_join_right",
-    "json_variant",
-    "sql_pipe_syntax",
-    "agg_listagg",
     "udtf_analyze",
-    "scalar_try_arithmetic",
-    "stateful_running_agg_tws_bootstrap",
-    "scd2_point_in_time_join",
-    "stream_union_sources",
-    "scan_xml",
-    "sql_tpch_q16like",
-    "scalar_collation",
-    "sql_tpch_q2like",
-    "events_gap_fill",
-    "text_unigram_logprob",
     "embed_quantize_int8",
+    "events_gap_fill",
+    "scalar_collation",
+    "scan_xml",
+    "scd2_point_in_time_join",
+    "sql_tpch_q16like",
+    "sql_tpch_q2like",
     "stateful_profile_tws",
-    "stream_stream_join_semi",
-    "stream_sink_to_table",
+    "stateful_running_agg_tws_bootstrap",
     "stream_sink_foreach",
+    "stream_sink_to_table",
+    "stream_stream_join_semi",
+    "stream_union_sources",
+    "text_unigram_logprob",
+    "generator_functions",
+    "graph_shortest_path",
+    "sql_distribute_cluster",
+    "sql_tablesample",
+    "agg_conditional_pivot",
+    "agg_cube",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_rollup",
+    "agg_salted_skew",
+    "agg_stats",
+    "array_explode",
+    "distinct_rows",
+    "join_anti",
+    "join_cross",
+    "join_multikey",
+    "join_semi",
+    "join_theta_range",
+    "limit_topk",
+    "scalar_cast",
+    "scalar_math",
+    "set_except",
+    "set_except_all",
+    "set_intersect",
+    "set_intersect_all",
+    "set_union_all",
+    "set_union_distinct",
+    "sort_multi",
+    "topk_per_group",
+    "window_analytic",
+    "window_frame_range",
+    "window_frame_rows",
+    "window_ranking",
+    "agg_collect",
+    "array_ops",
+    "cte_query",
+    "dedup_near",
+    "dedup_ngram_jaccard",
+    "embed_centroids",
+    "dedup_cluster_cc",
+    "events_rollup_cascade",
+    "join_bucketed_colocated",
+    "scan_partition_pruning",
+    "window_time_range",
+    "multimodal_features",
+    "sql_tpch_q18like",
+    "sql_tpch_q7like",
+    "scan_state_store",
+    "sql_lateral_topk",
+    "sql_recursive_cte",
+    "events_trend_mann_kendall",
+    "text_bpe_encode",
+    "text_bpe_train",
 ]
 
 

@@ -1899,6 +1899,225 @@ def scan_state_join_side(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_state_metadata",
+    oracle=f"""
+    SELECT CAST(0 AS BIGINT) AS operator_id,
+           'dedupe' AS operator_name,
+           'default' AS state_store_name,
+           CAST(4 AS BIGINT) AS num_partitions,
+           CAST(0 AS BIGINT) AS min_batch_id,
+           CAST({_FEED_K - 1} AS BIGINT) AS max_batch_id
+    """,
+)
+def scan_state_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-METADATA source (S7e, VERDICT r15 item 4): ``spark.read.
+    format("state-metadata")`` over S7's cached dropDuplicates
+    checkpoint — the operator-DISCOVERY half of the statestore family.
+    S7–S7d read state CONTENTS, but the first thing an on-call reads
+    before picking S7 options is this: which stateful operators exist
+    in the checkpoint, under what ids/store names, across which batch
+    range, at what partition count. The H-check pins the full metadata
+    row as literals: operator 0 is the dedupe operator writing store
+    "default" across batches 0..{{K-1}} (one micro-batch per feeder
+    chunk — the bound interpolates feeder.DEFAULT_CHUNKS, same
+    re-derivation discipline as the S7b/S7c oracles) over the 4 state
+    partitions the setup stream pins. A replayed/missing batch, a
+    partition-count drift, or an operator-name change all shift the
+    row. ``operatorProperties`` (JSON state-variable inventory, NULL
+    for non-TWS operators) is S7f's concern and stays unprojected.
+    Scale: the source reads per-operator metadata FILES only — no
+    state store is instantiated, so cost is O(operators), independent
+    of state size."""
+    ckpt = _dedup_state_ckpt(spark, sf_dir)
+    md = spark.read.format("state-metadata").load(ckpt)
+    return md.select(
+        F.col("operatorId").cast("bigint").alias("operator_id"),
+        F.col("operatorName").alias("operator_name"),
+        F.col("stateStoreName").alias("state_store_name"),
+        F.col("numPartitions").cast("bigint").alias("num_partitions"),
+        F.col("minBatchId").cast("bigint").alias("min_batch_id"),
+        F.col("maxBatchId").cast("bigint").alias("max_batch_id"),
+    )
+
+
+def _sessionize_tws_ckpt(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse) a completed ``transformWithStateInPandas``
+    sessionization checkpoint for the TWS state-variable reader (S7f)
+    — the ST16 pipeline run against a FIXED checkpoint with the
+    ``_DONE`` discipline, cached per (provider, content tag) like
+    _dedup_state_ckpt. Changelog checkpointing is pinned OFF for this
+    checkpoint: the reader takes the snapshot path (a changelog-only
+    version forces coordinator-RPC replay a batch session lacks; see
+    scan_state_store). Requires the TWS runtime — the fallback
+    sessionizer's state layout (applyInPandasWithState tuple rows) is
+    a different physical surface, and S7f exists to pin the TWS one."""
+    import os
+    import shutil
+    import tempfile as _tf
+
+    from ..operators.scans import _dir_tag
+    from ..session import configure
+
+    configure(spark)
+    if not _tws_available(spark):
+        raise RuntimeError(
+            "scan_state_tws_variables needs the transformWithStateInPandas "
+            "runtime (protobuf); the applyInPandasWithState fallback has a "
+            "different state layout and cannot serve this reader"
+        )
+    prov = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    ptag = "rocksdb" if "RocksDB" in str(prov) else "hdfs"
+    ckpt = os.path.join(
+        _tf.gettempdir(),
+        f"sss_statestore_tws_{ptag}_{_dir_tag(sf_dir, 'events')}",
+    )
+    if not os.path.exists(os.path.join(ckpt, "_DONE")):
+        if os.path.isdir(ckpt):
+            shutil.rmtree(ckpt)
+        ev = _stream(spark, sf_dir)
+        sess = (
+            ev.withWatermark("ts", WATERMARK)
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                stateful.make_sessionize_processor(),
+                outputStructType=stateful.SESSION_TWS_OUTPUT,
+                outputMode="Append",
+                timeMode="EventTime",
+            )
+        )
+        cl_key = (
+            "spark.sql.streaming.stateStore.rocksdb"
+            ".changelogCheckpointing.enabled"
+        )
+        from .runner import require_no_data_batches
+
+        # sentinel-fed stream driving its own writeStream: owes the
+        # no-data-batch guard (final timer expiry rides the flush batch)
+        require_no_data_batches(spark)
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        prev_cl = spark.conf.get(cl_key, "false")
+        spark.conf.set("spark.sql.shuffle.partitions", str(_parts(sf_dir)))
+        spark.conf.set(cl_key, "false")
+        try:
+            q = (
+                sess.writeStream.format("noop")
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+            spark.conf.set(cl_key, prev_cl)
+        with open(os.path.join(ckpt, "_DONE"), "w") as f:
+            f.write("")
+    return ckpt
+
+
+@query(
+    "scan_state_tws_variables",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM flagged
+    ),
+    sess AS (
+        SELECT user_id, min(ts) AS sess_start
+        FROM numbered
+        GROUP BY user_id, sess_id
+    )
+    SELECT user_id, 'start' AS kind, CAST(epoch_us(sess_start) AS BIGINT) AS val
+    FROM sess
+    UNION ALL
+    SELECT user_id, 'n_closed' AS kind, CAST(count(*) AS BIGINT) AS val
+    FROM sess GROUP BY user_id
+    UNION ALL
+    SELECT user_id, 'list_len' AS kind, CAST(count(*) AS BIGINT) AS val
+    FROM sess GROUP BY user_id
+    """,
+)
+def scan_state_tws_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWS state-VARIABLE reader (S7f, VERDICT r15 item 5): the
+    statestore source's Spark-4 ``stateVarName`` /
+    ``flattenCollectionTypes`` options over a
+    ``transformWithStateInPandas`` checkpoint — the state LAYOUT a
+    production migration to TWS audits (S7 covers the dropDuplicates
+    operator only; a TWS operator holds NAMED typed variables per key
+    and the reader must address them individually). Reads ST16's
+    sessionization checkpoint (see _sessionize_tws_ckpt) three ways:
+
+    - ValueState ``sess``: after the sentinel-driven final expiry every
+      real user's open-session slot is retired to ``start_us = -1``
+      with ``n_closed`` = lifetime closed-session count — checked as
+      kind='n_closed' against the oracle's per-user session count.
+    - ListState ``closed_starts`` FLATTENED
+      (``flattenCollectionTypes=true``): one row per list ELEMENT —
+      every closed session's start_us, checked as kind='start' against
+      the oracle's per-session min(ts) in epoch microseconds.
+    - The same ListState UNFLATTENED (``flattenCollectionTypes=false``):
+      one row per KEY carrying the whole array — checked as
+      kind='list_len' via size(), pinning the array-shaped surface
+      against the element count.
+
+    Three variables of the same state cross-check each other: a broken
+    list append shifts 'start' AND 'list_len', a counter drift shifts
+    'n_closed' only — the mismatch shape names the bug. The sentinel
+    user's still-open session is state too; filtered from the
+    materialized batch result (user_id < 0), never inside a streaming
+    plan. Scale: each read is one partition-parallel scan of one state
+    version (state-sized, not corpus-sized); the flatten option moves
+    list explosion JVM-side, so no Python touches the rows."""
+    ckpt = _sessionize_tws_ckpt(spark, sf_dir)
+    n_closed = _statestore_read(
+        spark,
+        ckpt,
+        lambda st: st.select(
+            F.col("key.user_id").alias("user_id"),
+            F.lit("n_closed").alias("kind"),
+            F.col("value.n_closed").alias("val"),
+        ),
+        stateVarName="sess",
+    )
+    starts = _statestore_read(
+        spark,
+        ckpt,
+        lambda st: st.select(
+            F.col("key.user_id").alias("user_id"),
+            F.lit("start").alias("kind"),
+            F.col("list_element.start_us").alias("val"),
+        ),
+        stateVarName="closed_starts",
+        flattenCollectionTypes="true",
+    )
+    lens = _statestore_read(
+        spark,
+        ckpt,
+        lambda st: st.select(
+            F.col("key.user_id").alias("user_id"),
+            F.lit("list_len").alias("kind"),
+            F.size("list_value").cast("bigint").alias("val"),
+        ),
+        stateVarName="closed_starts",
+        flattenCollectionTypes="false",
+    )
+    return (
+        n_closed.unionByName(starts)
+        .unionByName(lens)
+        .filter(F.col("user_id") >= 0)
+    )
+
+
+@query(
     "stream_union_sources",
     oracle="""
     SELECT date_trunc('hour', ts) AS win_start, event_type,

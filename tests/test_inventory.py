@@ -73,6 +73,48 @@ def test_driver_window_all_hash_checked():
     assert not not_h, f"R keys inside the 50-key driver window: {not_h}"
 
 
+def test_recursive_oracles_materialize_plain_ctes():
+    # A plain CTE referenced from a RECURSIVE term is re-evaluated every
+    # iteration (r13: 66 s → 2 s on the PageRank oracle; r15 found two
+    # LATENT instances the sf0.01 gate never exposed — dedup_cluster_cc
+    # re-ran the whole LSH pipeline per pointer-jump round, 1,277 s per
+    # check at sf0.1). VERDICT r15 item 6: pin the rule structurally —
+    # in any WITH RECURSIVE oracle, a CTE that is neither MATERIALIZED
+    # nor self-referencing (i.e. the recursive term itself) must not be
+    # referenced from inside any self-referencing CTE's body.
+    import re
+
+    def cte_defs(sql: str):
+        # (name, materialized, body) for each CTE; bodies extracted by
+        # paren balancing from the header's opening '('
+        for m in re.finditer(r"(\w+)\s+AS\s+(MATERIALIZED\s+)?\(", sql, re.I):
+            depth, i = 1, m.end()
+            while depth and i < len(sql):
+                depth += {"(": 1, ")": -1}.get(sql[i], 0)
+                i += 1
+            yield m.group(1), bool(m.group(2)), sql[m.end() : i - 1]
+
+    bad = []
+    for key, sql in ORACLES.items():
+        if not re.search(r"WITH\s+RECURSIVE", sql, re.I):
+            continue
+        defs = list(cte_defs(sql))
+        plain = {
+            n
+            for n, mat, body in defs
+            if not mat and not re.search(rf"\b{n}\b", body)
+        }
+        for n, _, body in defs:
+            if re.search(rf"\b{n}\b", body):  # the recursive term
+                hit = [p for p in plain if re.search(rf"\b{p}\b", body)]
+                if hit:
+                    bad.append(f"{key}: recursive CTE {n} re-evaluates {hit}")
+    assert not bad, (
+        "plain CTEs referenced from a recursive term must be AS "
+        "MATERIALIZED (CLAUDE.md rule):\n  " + "\n  ".join(bad)
+    )
+
+
 def test_priority_names_registered_keys():
     # _ordered() silently skips unknown priority keys (so a missing module
     # degrades to a partial inventory instead of crashing the driver);

@@ -342,3 +342,29 @@ def test_rebalance_hint_plans_rebalance_node(spark):
     # and the runtime plan goes through an AQE-managed exchange
     physical = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" in physical
+
+
+def test_inverted_index_window_is_salted(spark):
+    """L25 (r16 tournament fix): the posting-list rank window must stay
+    partitioned by (term, salt) — a window partitioned by term alone
+    sorts a hot term's entire posting set in ONE task (window partitions
+    cannot be AQE-split; stopword df ~ corpus size at 100 TB). Pins:
+    exactly one Window node, its partition spec carries the crc32 salt,
+    and no Window in the plan partitions by term alone."""
+    import re
+
+    from sparkstreamingstateful_spark.operators.llm_text import (
+        text_inverted_index,
+    )
+
+    plan = (
+        text_inverted_index(spark, SF_UNIT)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    windows = re.findall(r"Window \[.*", plan)
+    assert len(windows) == 1, windows
+    # the salt is a materialized column (crc32 % 64 computed in the
+    # upstream Project), so the spec names the attribute
+    assert re.search(r"\[term#\d+, salt#\d+L\]", windows[0]), windows[0]
