@@ -1755,3 +1755,41 @@ def test_merge_epoch_replay_idempotent(spark, tmp_path):
         2: (102, "view", 1),
         3: (104, "error", 1),  # tombstone kept in TABLE, dropped at read
     }
+
+
+def test_state_metadata_lists_tws_variables(spark):
+    """S7e×S7f: the state-metadata source's operatorProperties JSON on a
+    transformWithStateInPandas checkpoint must inventory every named
+    state variable with its type — the discovery handshake an on-call
+    performs before picking stateVarName (the S7e KEY pins the dedupe
+    operator's metadata row; the TWS variable inventory is pinned here
+    because its JSON carries a nested array the driver canonicalizer
+    can't hash)."""
+    import json as _json
+
+    from sparkstreamingstateful_spark.streaming.queries import (
+        _sessionize_tws_ckpt,
+    )
+
+    ckpt = _sessionize_tws_ckpt(spark, SF_UNIT)
+    lag = "spark.sql.streaming.stateStore.coordinatorReportSnapshotUploadLag"
+    prev = spark.conf.get(lag, "true")
+    spark.conf.set(lag, "false")
+    try:
+        row = (
+            spark.read.format("state-metadata").load(ckpt)
+            .collect()[0]
+        )
+    finally:
+        spark.conf.set(lag, prev)
+    assert row.operatorName == "transformWithStateInPandasExec"
+    props = _json.loads(row.operatorProperties)
+    assert props["timeMode"] == "EventTime"
+    assert props["outputMode"] == "Append"
+    variables = {
+        v["stateName"]: v["stateVariableType"] for v in props["stateVariables"]
+    }
+    assert variables["sess"] == "ValueState"
+    assert variables["closed_starts"] == "ListState"
+    # the event-time timer register surfaces as its own TimerState slot
+    assert any(t == "TimerState" for t in variables.values())
