@@ -192,3 +192,22 @@ def test_entry_smoke(spark):
 
     df = e.entry(spark)
     assert df.count() > 0
+
+
+def test_frozen_baseline_keys_still_registered():
+    # bench.py's frozen96_s (the registry-size-independent BASELINE
+    # comparison, VERDICT r15 item 3) sums timings.get(k, 0) over
+    # scripts/baseline_r1_keys.json — a key rename would silently zero
+    # its contribution and flatter the subset total. Every frozen key
+    # must stay registered under its r1 name.
+    import json
+    from pathlib import Path
+
+    frozen = json.loads(
+        Path(__file__).resolve().parent.parent.joinpath(
+            "scripts", "baseline_r1_keys.json"
+        ).read_text()
+    )
+    assert len(frozen) == 96 and len(set(frozen)) == 96
+    missing = [k for k in frozen if k not in QUERIES]
+    assert not missing, f"frozen baseline keys missing from registry: {missing}"
