@@ -14,7 +14,9 @@ Flags (each needs human triage — a hit is a QUESTION, not a verdict):
    window partitions. r16 triage: every hit is bounded by construction —
    per-user / per-doc partitions (high cardinality, size = events-per-
    user / tokens-per-doc), spine-bounded per-type trend windows
-   (hours × types; sen_slope additionally guarded past 50M pairs),
+   (hours × types; sen_slope's former per-type full-pair rank window
+   became a bucketed exact distributed selection late in r16 — its
+   remaining per-type windows run on the 64-row bucket-count frame),
    probe-panel top-k windows (ALL carry map-side ``WindowGroupLimit``
    ×2 — measured: the rank<=k filter pushes a partial top-k below the
    shuffle, so the reduce window sees <= k × map-partitions rows, never

@@ -230,8 +230,8 @@ PROBES = [
     ("events_trend_mann_kendall", "events"),
     ("events_trend_mann_kendall_sig", "events"),
     # Sen's slope rides the same memoized spine: the pairwise slope
-    # join and the per-type sort are spine-bounded (hours x types,
-    # K-independent) -> ~flat past the shared xK agg.
+    # join and the r16 bucketed distributed selection are spine-bounded
+    # (hours x types, K-independent) -> ~flat past the shared xK agg.
     ("events_trend_sen_slope", "events"),
     # r15: describe/summary — one exact-moment pass + the native APIs'
     # own single-pass aggs + a broadcast 3-row rank probe: t ~K over xK

@@ -847,10 +847,15 @@ def events_trend_mann_kendall_sig(
     )
 
 
-# ~10k spine hours (~14 months) => ~50M pairs through one per-type rank
-# window task — the point where the Sen-slope plan needs its documented
-# two-level upgrade (ADVICE r15). Shipped spines are ~1 month (276k).
-_SEN_PAIRS_GUARD = 50_000_000
+# Rank-balanced value buckets for the Sen-slope distributed selection:
+# percentile_approx boundaries cap any per-bucket rank window at
+# ~distinct_slopes/64 (+ sketch error), so no task ever sorts a type's
+# whole pair set (ADVICE r15's single-reducer shape, fixed r16).
+_SEN_BUCKETS = 64
+# Pairs-per-type above which the selection path replaces the naive rank
+# window (~3.2k spine hours; a single task sorting 5M rows is still
+# comfortable, a year's 38M is not). Shipped spines: ~276k pairs/type.
+_SEN_SELECT_PAIRS = 5_000_000
 
 
 @query(
@@ -904,23 +909,36 @@ def events_trend_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines identically (every shipped SF has thousands of
     hours/type).
 
-    Plan: shares the session-memoized hourly spine (_mk_hourly_spine)
-    with E26/E26b — the pairwise slope join is the same time-bounded
-    spine self-join (hours x types, corpus-independent at 100 TB), then
-    one per-type sort window + a tiny agg. UNLIKE E26/E26b (which
-    reduce the pair join with an aggregate), the rank window funnels
-    every pair of a type through one task — fine for time-bounded
-    spines (a month of hours = 276k pairs/type, a year = 38M) but the
-    single-reducer skew shape beyond that, so a guard (ADVICE r15)
-    warns when pairs-per-type crosses _SEN_PAIRS_GUARD and names the
-    upgrade: the O(n log n) Theil-Sen interval-bisection refinement
-    (Matousek '91), or a value-bucketed two-level rank (per-bucket
-    histogram -> cumulative counts locate the median bucket -> sort
-    only that bucket). The guard count runs on the memoized
-    localCheckpoint'd spine — a types-bounded driver read, not a
-    corpus scan."""
-    import warnings
-
+    Plan (r16 rework, ADVICE r15): shares the session-memoized hourly
+    spine (_mk_hourly_spine) with E26/E26b — the pairwise slope join is
+    the same time-bounded spine self-join (hours x types,
+    corpus-independent at 100 TB) — and the median picker is
+    SIZE-ADAPTIVE, the same call this engine makes between broadcast
+    and shuffle joins: below _SEN_SELECT_PAIRS pairs/type the original
+    per-type rank window runs (cheapest at shipped spines — one sort,
+    no extra passes; measured 2 s vs 7 s in-suite at sf0.1), above it
+    the window's single-task sort (38M rows/type at a year of hours;
+    window partitions cannot be AQE-split) is replaced by an exact
+    DISTRIBUTED SELECTION (_sen_pick_selection): (1) collapse to
+    DISTINCT slope values with multiplicities (mass points — tied
+    slopes are common with integer numerators — become one row each),
+    (2) split each type's value axis into 64 rank-balanced buckets
+    (_SEN_BUCKETS) via percentile_approx boundaries — the boundaries
+    are engine-internal and run-dependent, which is FINE: they only
+    partition the search, every count and the selected values stay
+    exact — (3) per-bucket BIGINT count sums + a 64-row-per-type
+    cumulative window locate the bucket and in-bucket rank of global
+    ranks floor((n+1)/2) and floor((n+2)/2), (4) one bounded
+    per-bucket window (<= distinct/64 + sketch-error rows) picks each
+    value by cumulative multiplicity. Both pickers feed the SAME final
+    aggregate and are provably bit-identical (the selection picks the
+    exact rank values; odd n picks the same value twice and
+    (v+v)/2 == v; tie runs collapse to one distinct-value row, so 'any
+    rank inside a tie run reads the same value' holds by construction)
+    — pinned by tests/test_quality.py::test_sen_slope_pickers_agree —
+    so the oracle serves both paths unchanged. The path switch reads
+    hours-per-type off the memoized localCheckpoint'd spine: a
+    types-bounded driver read, not a corpus scan."""
     hourly = _mk_hourly_spine(spark, sf_dir)
     nmax = max(
         (
@@ -931,15 +949,20 @@ def events_trend_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         default=0,
     )
-    if nmax * (nmax - 1) // 2 > _SEN_PAIRS_GUARD:
-        warnings.warn(
-            f"events_trend_sen_slope: {nmax} spine hours in one type -> "
-            f"{nmax * (nmax - 1) // 2} pairwise slopes through a single "
-            "per-type rank window; switch to the interval-bisection "
-            "Theil-Sen refinement or a value-bucketed two-level rank "
-            "before spines grow further (see docstring)",
-            stacklevel=2,
-        )
+    slopes = _sen_slopes(hourly)
+    if nmax * (nmax - 1) // 2 <= _SEN_SELECT_PAIRS:
+        picked = _sen_pick_window(slopes)
+    else:
+        picked = _sen_pick_selection(slopes)
+    return picked.groupBy("event_type").agg(
+        F.max("np").cast("bigint").alias("n_pairs"),
+        F.round(F.avg("slope"), 6).alias("sen_slope"),
+    )
+
+
+def _sen_slopes(hourly: DataFrame) -> DataFrame:
+    """All C(n,2) pairwise slopes per type off the hourly spine —
+    (event_type, slope) with one double division per pair."""
     a = hourly.select(
         "event_type", F.col("h").alias("h1"), F.col("v").alias("v1")
     )
@@ -949,7 +972,7 @@ def events_trend_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     hd = (
         (F.col("h2").cast("long") - F.col("h1").cast("long")) / F.lit(3600)
     ).cast("bigint")
-    slopes = (
+    return (
         a.join(b, "event_type")
         .filter(F.col("h1") < F.col("h2"))
         .select(
@@ -959,6 +982,13 @@ def events_trend_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("slope"),
         )
     )
+
+
+def _sen_pick_window(slopes: DataFrame) -> DataFrame:
+    """Median-rank rows via the naive per-type rank window — one sort,
+    no extra passes; the cheap path while a type's whole pair set fits
+    one task (<= _SEN_SELECT_PAIRS). Emits (event_type, slope, np),
+    one-or-two rows per type."""
     w = Window.partitionBy("event_type").orderBy("slope")
     wc = Window.partitionBy("event_type")
     r = slopes.select(
@@ -967,11 +997,82 @@ def events_trend_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rk"),
         F.count(F.lit(1)).over(wc).alias("np"),
     )
-    mid = r.filter(
+    return r.filter(
         (F.col("rk") == F.expr("(np + 1) div 2"))
         | (F.col("rk") == F.expr("(np + 2) div 2"))
+    ).select("event_type", "slope", "np")
+
+
+def _sen_pick_selection(slopes: DataFrame) -> DataFrame:
+    """Median-rank rows via exact distributed selection (see the key's
+    docstring) — every window bounded at ~distinct/_SEN_BUCKETS rows;
+    the scale path past _SEN_SELECT_PAIRS. Emits (event_type, slope,
+    np), exactly two rows per type (duplicated value when np is odd —
+    the final avg is unchanged: (v+v)/2 == v)."""
+    dv = slopes.groupBy("event_type", "slope").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
     )
-    return mid.groupBy("event_type").agg(
-        F.max("np").cast("bigint").alias("n_pairs"),
-        F.round(F.avg("slope"), 6).alias("sen_slope"),
+    bounds = dv.groupBy("event_type").agg(
+        F.percentile_approx(
+            "slope",
+            F.array(*[F.lit(i / _SEN_BUCKETS) for i in range(1, _SEN_BUCKETS)]),
+            F.lit(10_000),
+        ).alias("bs")
+    )
+    bucketed = dv.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "slope",
+        "c",
+        F.aggregate(
+            "bs",
+            F.lit(0),
+            lambda acc, x: acc
+            + F.when(F.col("slope") > x, 1).otherwise(0),
+        ).alias("bkt"),
+    )
+    wb = Window.partitionBy("event_type").orderBy("bkt")
+    bcum = (
+        bucketed.groupBy("event_type", "bkt")
+        .agg(F.sum("c").alias("bc"))
+        .withColumn(
+            "cum",
+            F.sum("bc").over(
+                wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn(
+            "np", F.sum("bc").over(Window.partitionBy("event_type"))
+        )
+    )
+    targets = None
+    for which in (1, 2):
+        rk = F.floor((F.col("np") + which) / 2).cast("long")
+        t = (
+            bcum.withColumn("rk", rk)
+            .filter(
+                (F.col("cum") >= F.col("rk"))
+                & (F.col("cum") - F.col("bc") < F.col("rk"))
+            )
+            .select(
+                "event_type",
+                "bkt",
+                F.lit(which).alias("which"),
+                (F.col("rk") - (F.col("cum") - F.col("bc"))).alias("lr"),
+                "np",
+            )
+        )
+        targets = t if targets is None else targets.unionByName(t)
+    wv = (
+        Window.partitionBy("event_type", "which", "bkt")
+        .orderBy("slope")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        bucketed.join(F.broadcast(targets), ["event_type", "bkt"])
+        .withColumn("lcum", F.sum("c").over(wv))
+        .filter(
+            (F.col("lcum") >= F.col("lr"))
+            & (F.col("lcum") - F.col("c") < F.col("lr"))
+        )
+        .select("event_type", "slope", "np")
     )

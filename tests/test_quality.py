@@ -883,3 +883,34 @@ def test_sen_slope_replay(spark):
         r = got[et]
         assert r.n_pairs == n
         assert abs(r.sen_slope - mid) < 5e-7, (et, r.sen_slope, mid)
+
+
+def test_sen_slope_pickers_agree(spark):
+    """The size-adaptive Sen-slope median pickers (naive per-type rank
+    window below _SEN_SELECT_PAIRS, bucketed exact distributed selection
+    above — ADVICE r15) must produce the IDENTICAL final frame: the
+    selection picks the exact global-rank values, odd-n duplication is
+    absorbed by avg ((v+v)/2 == v), and tie runs collapse to one
+    distinct-value row. Compared through the key's own final aggregate
+    so the float path (avg + round 6) is the shipped one on both sides."""
+    from sparkstreamingstateful_spark.operators.statistics import (
+        _mk_hourly_spine,
+        _sen_pick_selection,
+        _sen_pick_window,
+        _sen_slopes,
+    )
+
+    slopes = _sen_slopes(_mk_hourly_spine(spark, SF_UNIT))
+
+    def final(picked):
+        return {
+            tuple(r)
+            for r in picked.groupBy("event_type")
+            .agg(
+                F.max("np").cast("bigint").alias("n_pairs"),
+                F.round(F.avg("slope"), 6).alias("sen_slope"),
+            )
+            .collect()
+        }
+
+    assert final(_sen_pick_window(slopes)) == final(_sen_pick_selection(slopes))
