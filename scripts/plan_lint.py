@@ -6,8 +6,9 @@ Flags (each needs human triage — a hit is a QUESTION, not a verdict):
 
 1. ``CartesianProduct`` / ``BroadcastNestedLoopJoin`` — unbounded unless
    one side is provably tiny. r16 triage: every hit is one of the four
-   audited-benign classes (broadcast 1-row count/total joins; fixed
-   broadcast probe panels in the embed family; bounded spines;
+   audited-benign classes (broadcast 1-row count/total joins —
+   including text_collocations_lift's two 1-row n_tok/n_bi totals;
+   fixed broadcast probe panels in the embed family; bounded spines;
    ``join_cross`` IS the J6 operator).
 2. Single-column ``Window`` partition specs — a window partitioned by a
    hot key sorts the whole partition in ONE task, and AQE cannot split
@@ -16,7 +17,9 @@ Flags (each needs human triage — a hit is a QUESTION, not a verdict):
    user / tokens-per-doc), spine-bounded per-type trend windows
    (hours × types; sen_slope's former per-type full-pair rank window
    became a bucketed exact distributed selection late in r16 — its
-   remaining per-type windows run on the 64-row bucket-count frame),
+   remaining per-type windows run on the 64-row bucket-count frame;
+   events_cusum_changepoint's per-type cumulative window is the same
+   spine-bounded shape, hours × types rows),
    probe-panel top-k windows (ALL carry map-side ``WindowGroupLimit``
    ×2 — measured: the rank<=k filter pushes a partial top-k below the
    shuffle, so the reduce window sees <= k × map-partitions rows, never

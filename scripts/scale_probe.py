@@ -256,6 +256,17 @@ PROBES = [
     # its read is O(operators) metadata files by construction and a
     # probe would time the dedup-ckpt setup stream instead.
     ("scan_state_tws_variables", "events(stream)"),
+    # r16 late trio: CUSUM changepoint + ACF ride the memoized hourly
+    # spine (hours x types, K-INDEPENDENT) — past the shared xK spine
+    # agg both must stay ~flat (one spine window + struct-min agg; one
+    # spine lag join + moment agg), output = types / types x 12 rows,
+    # constant. Collocation lift scans the corpus once (the one-pass
+    # unigram+bigram explode agg -> vocab checkpoint): t ~K; suffixed
+    # replicas make vocab xK so bigram/unigram count rows grow, but the
+    # output is the fixed top-20 — rows constant, only t moves.
+    ("events_cusum_changepoint", "events"),
+    ("events_acf", "events"),
+    ("text_collocations_lift", "documents"),
 ]
 
 # keys whose first run at a given dir includes a ONE-TIME source-layout

@@ -2436,3 +2436,128 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("postings"),
     )
+
+
+# --------------------------------------------------------------- L26
+@query(
+    "text_collocations_lift",
+    oracle="""
+    WITH tk AS (
+        SELECT string_split(lower(text), ' ') AS t FROM documents
+    ),
+    bg AS (
+        SELECT unnest(
+            list_transform(range(1, len(t)),
+                           i -> {'w1': t[i], 'w2': t[i + 1]}),
+            recursive := true)
+        FROM tk
+    ),
+    cxy AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+        FROM bg GROUP BY w1, w2
+    ),
+    uni AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+              FROM documents)
+        GROUP BY w
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM uni),
+    totb AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_bi FROM cxy)
+    SELECT w1, w2, c_xy,
+           round((CAST(c_xy AS DOUBLE) * n_tok * n_tok)
+                 / (CAST(n_bi AS DOUBLE) * u1.c * u2.c), 6) AS lift
+    FROM cxy
+    JOIN uni u1 ON u1.w = cxy.w1
+    JOIN uni u2 ON u2.w = cxy.w2
+    CROSS JOIN tot CROSS JOIN totb
+    WHERE c_xy >= 5
+    ORDER BY lift DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def text_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram collocation mining by LIFT (L26) — the association score
+    behind PMI keyphrase extraction (Church & Hanks '90): lift(x,y) =
+    p(x,y) / (p(x) p(y)) over adjacent-token bigrams; PMI is just
+    log2(lift), and the LOG is exactly what this key refuses to emit —
+    libm log differs across engines in the last ulp, while lift is a
+    pure rational of exact BIGINT counts evaluated in ONE identical
+    IEEE expression (two multiplies over one divide, same operand
+    order both sides; at 100 TB the c_xy*N product overflows BIGINT,
+    so every factor casts to DOUBLE first), round(.., 6) in SQL both
+    sides. Ranking sorts the ROUNDED lift then (w1, w2) — fully
+    deterministic cross-engine. min-count 5 (the standard collocation
+    support floor) applied AFTER the totals so probabilities are
+    corpus-true; the denominator cannot be zero on a surviving row
+    (c_x >= c_xy >= 5, n_bi >= c_xy), so no ANSI stand-in is needed.
+
+    Plan: ONE corpus scan — unigram and bigram occurrences ride a
+    single exploded stream (concat of per-token and zip_with(slice,
+    slice) per-bigram structs, the in-row form that avoids the
+    posexplode + self-join shuffle a position pairing would cost) into
+    one map-side-combinable (kind, w1, w2) count agg, localCheckpoint-
+    materialized at VOCAB size so the three downstream consumers
+    (bigram side, two unigram joins, both totals) do NOT each re-run
+    the corpus explode — the r16 ReusedExchange rule: branch + join
+    over a shared subplan re-scans per consumer once column pruning
+    specializes the branches. Downstream is vocab-sized: two
+    equi-joins on the word (AQE-broadcast at shipped SFs, hash at
+    scale), two 1-row totals broadcast, TakeOrdered(20) — no global
+    window, no driver loop."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    n = F.size(toks)
+    uni_s = F.transform(
+        toks,
+        lambda w: F.struct(
+            F.lit("u").alias("k"),
+            w.alias("w1"),
+            F.lit(None).cast("string").alias("w2"),
+        ),
+    )
+    bi_s = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, F.lit(1), n - 1),
+            F.slice(toks, F.lit(2), n - 1),
+            lambda x, y: F.struct(
+                F.lit("b").alias("k"), x.alias("w1"), y.alias("w2")
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<k:string,w1:string,w2:string>>")
+    )
+    counts = (
+        d.select(F.explode(F.concat(uni_s, bi_s)).alias("r"))
+        .select("r.*")
+        .groupBy("k", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
+    uni = counts.filter(F.col("k") == "u").select(
+        F.col("w1").alias("w"), "c"
+    )
+    cxy = counts.filter(F.col("k") == "b").select(
+        "w1", "w2", F.col("c").alias("c_xy")
+    )
+    tot = uni.agg(F.sum("c").cast("bigint").alias("n_tok"))
+    totb = cxy.agg(F.sum("c_xy").cast("bigint").alias("n_bi"))
+    lift = (
+        F.col("c_xy").cast("double") * F.col("n_tok") * F.col("n_tok")
+    ) / (F.col("n_bi").cast("double") * F.col("cx") * F.col("cy"))
+    return (
+        cxy.filter(F.col("c_xy") >= 5)
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("cx")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("cy")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(totb))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.round(lift, 6).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(20)
+    )

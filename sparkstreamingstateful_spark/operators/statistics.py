@@ -1076,3 +1076,255 @@ def _sen_pick_selection(slopes: DataFrame) -> DataFrame:
         )
         .select("event_type", "slope", "np")
     )
+
+
+@query(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+        FROM events
+        GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    c AS (
+        SELECT event_type, h,
+               CAST(row_number() OVER (PARTITION BY event_type
+                                       ORDER BY h) AS BIGINT) AS t,
+               sum(CAST(v AS HUGEINT)) OVER (
+                   PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS st
+        FROM hourly
+    ),
+    tot AS (
+        SELECT event_type, sum(CAST(v AS HUGEINT)) AS sn,
+               CAST(count(*) AS BIGINT) AS n_hours
+        FROM hourly GROUP BY event_type
+    ),
+    d AS (
+        SELECT c.event_type, c.h, c.t, c.st, tot.sn, tot.n_hours,
+               CAST(tot.n_hours AS HUGEINT) * c.st
+               - CAST(c.t AS HUGEINT) * tot.sn AS dd
+        FROM c JOIN tot USING (event_type)
+    ),
+    pick AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY abs(dd) DESC, h ASC) AS rk
+        FROM d
+    )
+    SELECT event_type, n_hours, h AS cp_h,
+           CASE WHEN dd > 0 THEN 'down'
+                WHEN dd < 0 THEN 'up' ELSE 'none' END AS direction,
+           CASE WHEN n_hours >= 2 THEN
+               round((CAST(sn - st AS DOUBLE) / (n_hours - t)
+                      - CAST(st AS DOUBLE) / t) / 100, 6)
+           END AS mean_shift
+    FROM pick WHERE rk = 1
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint per event type (E27) — the level-shift LOCATOR
+    completing the monitoring toolkit next to the Mann-Kendall family
+    (E26 direction / E26b significance / E26c magnitude answer "is
+    there a trend"; this answers "WHEN did the level change"): the
+    classic cumulative-sum statistic (Page '54; the offline single-
+    changepoint form is Pettitt-adjacent), cp = argmax_t |S_t - (t/n)
+    S_n| over the hourly series — the hour where the prefix diverges
+    most from the global mean line. The rational mean is cross-
+    multiplied away: D_t = n*S_t - t*S_n is an EXACT integer
+    (DECIMAL(38,0) here, HUGEINT in the oracle — n*S ~ 1e20 at a year
+    of 100 TB hours, past BIGINT, the r13 second-moment rule), so the
+    argmax compares exact integers; ties break to the EARLIEST hour via
+    min(struct(-|D|, h)) vs the oracle's row_number ORDER BY abs DESC,
+    h ASC — the same total order. direction reads sign(D) at the pick
+    (prefix mean above the global line means the level dropped after
+    cp). mean_shift = (mean_after - mean_before)/100 back in original
+    value units: exact integer subtractions, two double divisions and
+    one subtraction in the IDENTICAL operand order both engines,
+    round(.., 6) in SQL both sides; n_hours < 2 emits NULL (the
+    denominator n - t CAN be 0 only there: a nonzero |D| max never
+    sits at t = n since D_n == 0, and the all-zero tie case picks
+    t = 1 — but ANSI evaluates the projection regardless, so the
+    stand-in denominator guards it, the r9 rule).
+
+    Plan: shares the session-memoized hourly spine (_mk_hourly_spine)
+    with E26/E26b/E26c — no corpus scan beyond the shared agg. One
+    per-type cumulative window over the spine (hours x types rows,
+    bounded by the TIME RANGE, not the corpus — the accepted spine
+    shape), a types-sized broadcast join of the totals, and a 5-row
+    struct-min agg. Output is one row per type at any scale."""
+    hourly = _mk_hourly_spine(spark, sf_dir)
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    vdec = F.col("v").cast("decimal(38,0)")
+    c = hourly.select(
+        "event_type",
+        "h",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("h"))
+        .cast("bigint")
+        .alias("t"),
+        F.sum(vdec).over(wcum).alias("st"),
+    )
+    tot = hourly.groupBy("event_type").agg(
+        F.sum(vdec).alias("sn"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+    )
+    dd = F.col("n_hours").cast("decimal(19,0)") * F.col("st") - F.col(
+        "t"
+    ).cast("decimal(19,0)") * F.col("sn")
+    d = c.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "n_hours",
+        F.struct(
+            (-F.abs(dd)).alias("na"),
+            F.col("h").alias("cp_h"),
+            dd.alias("dd"),
+            F.col("t").alias("t"),
+            F.col("st").alias("st"),
+            F.col("sn").alias("sn"),
+        ).alias("s"),
+    )
+    p = d.groupBy("event_type", "n_hours").agg(F.min("s").alias("s"))
+    nt = F.col("n_hours") - F.col("s.t")
+    den = F.when(nt == 0, F.lit(1)).otherwise(nt)
+    shift = (
+        (F.col("s.sn") - F.col("s.st")).cast("double") / den
+        - F.col("s.st").cast("double") / F.col("s.t")
+    ) / 100
+    return p.select(
+        "event_type",
+        "n_hours",
+        F.col("s.cp_h").alias("cp_h"),
+        F.when(F.col("s.dd") > 0, "down")
+        .when(F.col("s.dd") < 0, "up")
+        .otherwise("none")
+        .alias("direction"),
+        F.when(F.col("n_hours") >= 2, F.round(shift, 6)).alias(
+            "mean_shift"
+        ),
+    )
+
+
+@query(
+    "events_acf",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+        FROM events
+        GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    lagged AS (
+        SELECT a.event_type, CAST(l.lag AS INTEGER) AS lag,
+               a.v AS x, b.v AS y
+        FROM hourly a
+        CROSS JOIN (SELECT unnest(range(1, 13)) AS lag) l
+        JOIN hourly b
+          ON b.event_type = a.event_type
+         AND epoch(b.h) = epoch(a.h) + l.lag * 3600
+    ),
+    m AS (
+        SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               sum(CAST(x AS HUGEINT) * x) AS sxx,
+               sum(CAST(x AS HUGEINT) * y) AS sxy,
+               sum(CAST(y AS HUGEINT) * y) AS syy
+        FROM lagged GROUP BY event_type, lag
+    )
+    SELECT event_type, lag, n_pairs,
+           CASE WHEN n_pairs >= 2
+                 AND n_pairs * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * sx > 0
+                 AND n_pairs * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * sy > 0
+           THEN round(
+               (n_pairs * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+               / (sqrt(n_pairs * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * sx)
+                  * sqrt(n_pairs * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * sy)), 6)
+           END AS acf
+    FROM m
+    """,
+)
+def events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation function per event type at hour-lags
+    1..12 (E28) — the CORRELOGRAM, the first diagnostic a forecaster
+    reads before fitting anything (Box-Jenkins model identification:
+    AR signatures decay, MA signatures cut off; it also calibrates
+    E21's EWMA alpha and E26's trend persistence). Gap-honest
+    semantics: lag k pairs are hours EXACTLY k*3600 s apart on the
+    hourly spine — missing hours contribute no pair on either engine —
+    so r_k is the Pearson correlation over the matched (x_t, x_{t+k})
+    pairs (the cross-engine-exact analogue of the textbook ACF, which
+    assumes a gapless series). Exactness is the ST-E/A13 moment
+    discipline: five EXACT sums per (type, lag) — BIGINT sx/sy,
+    DECIMAL(38,0)/HUGEINT second moments (x*y ~ 1e17 at sf0.1, past
+    the r13 BIGINT line at scale) — then ONE closed-form double tree in
+    the IDENTICAL operand order both engines, round(.., 6) in SQL both
+    sides (the HUGEINT-to-DOUBLE last-ulp rule); zero-variance lags
+    (constant series) and n_pairs < 2 emit NULL through the same CASE
+    both sides, with Spark's stand-in denominator for the r9 ANSI
+    divide-by-zero rule.
+
+    Plan: shares the session-memoized hourly spine. The lag join is
+    spine x 12 against spine — hours x types x 12 rows, bounded by the
+    TIME RANGE, not the corpus (identical size at 100 TB) — one
+    equi-shuffle on (event_type, epoch), then one map-side-combinable
+    moment agg to types x 12 rows. No window, no driver loop."""
+    hourly = _mk_hourly_spine(spark, sf_dir)
+    hsec = F.col("h").cast("long")
+    a = hourly.select(
+        "event_type",
+        hsec.alias("hs"),
+        F.col("v").alias("x"),
+    ).select(
+        "event_type",
+        "hs",
+        "x",
+        F.explode(F.sequence(F.lit(1), F.lit(12))).alias("lag"),
+    )
+    a = a.select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        "x",
+        (F.col("hs") + F.col("lag").cast("long") * 3600).alias("hs2"),
+    )
+    b = hourly.select(
+        "event_type", hsec.alias("hs2"), F.col("v").alias("y")
+    )
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    m = (
+        a.join(b, ["event_type", "hs2"])
+        .groupBy("event_type", "lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum((xd * xd).cast("decimal(38,0)")).alias("sxx"),
+            F.sum((xd * yd).cast("decimal(38,0)")).alias("sxy"),
+            F.sum((yd * yd).cast("decimal(38,0)")).alias("syy"),
+        )
+    )
+    n = F.col("n_pairs")
+    sx_d = F.col("sx").cast("double")
+    sy_d = F.col("sy").cast("double")
+    num = n * F.col("sxy").cast("double") - sx_d * F.col("sy")
+    dx = n * F.col("sxx").cast("double") - sx_d * F.col("sx")
+    dy = n * F.col("syy").cast("double") - sy_d * F.col("sy")
+    den = F.sqrt(dx) * F.sqrt(dy)
+    safe_den = F.when(den == 0, F.lit(1.0)).otherwise(den)
+    return m.select(
+        "event_type",
+        "lag",
+        "n_pairs",
+        F.when(
+            (n >= 2) & (dx > 0) & (dy > 0),
+            F.round(num / safe_den, 6),
+        ).alias("acf"),
+    )

@@ -129,15 +129,20 @@ _KEY_PRIORITY = [
     "window_ignore_nulls",
     # (d) The oldest r11-evidence key (first seen r1) — slot 50.
     "agg_hash_q1",
-    # --- 50-key boundary. First below the line: the 2 keys NEW in r16
-    # (state-metadata discovery + TWS state-variable reader; driver-sim
-    # verified at sf0.001/0.01/0.1 in-session) — they lead the r17
-    # window per the r14/r15 staging precedent. Then every remaining
-    # key, stalest evidence first ((latest driver round, first-seen
-    # round, name) ascending; sample_seeded rides with the r9-era
-    # cohort — rows-only by design).
+    # --- 50-key boundary. First below the line: the 5 keys NEW in r16
+    # (state-metadata discovery + TWS state-variable reader, then the
+    # late-round trio: CUSUM changepoint + ACF over the shared hourly
+    # spine, bigram collocation lift; each driver-sim verified at
+    # sf0.001/0.01/0.1 in-session) — they lead the r17 window per the
+    # r14/r15 staging precedent. Then every remaining key, stalest
+    # evidence first ((latest driver round, first-seen round, name)
+    # ascending; sample_seeded rides with the r9-era cohort —
+    # rows-only by design).
     "scan_state_metadata",
     "scan_state_tws_variables",
+    "events_cusum_changepoint",
+    "events_acf",
+    "text_collocations_lift",
     "sample_seeded",
     "join_asof",
     "corpus_sample_stratified",

@@ -914,3 +914,133 @@ def test_sen_slope_pickers_agree(spark):
         }
 
     assert final(_sen_pick_window(slopes)) == final(_sen_pick_selection(slopes))
+
+
+def test_cusum_changepoint_replay(spark):
+    """events_cusum_changepoint replayed in pure Python: brute-force
+    D_t = n*S_t - t*S_n per type (exact ints), argmax |D| with the
+    earliest-hour tie break, sign -> direction, and the mean-shift
+    closed form to 6 decimals."""
+    from sparkstreamingstateful_spark.operators.statistics import (
+        _mk_hourly_spine,
+    )
+
+    spine = {}
+    for r in _mk_hourly_spine(spark, SF_UNIT).collect():
+        spine.setdefault(r.event_type, []).append((r.h, r.v))
+    got = {
+        r.event_type: r
+        for r in QUERIES["events_cusum_changepoint"](spark, SF_UNIT).collect()
+    }
+    assert set(got) == set(spine)
+    for et, series in spine.items():
+        series.sort()
+        n = len(series)
+        sn = sum(v for _, v in series)
+        st = 0
+        best = None  # (abs_d, h) with earliest-h tie break via min on (-abs, h)
+        for t, (h, v) in enumerate(series, start=1):
+            st += v
+            d = n * st - t * sn
+            key = (-abs(d), h)
+            if best is None or key < best[0]:
+                best = (key, h, d, t, st)
+        _, cp_h, d, t, st_cp = best
+        r = got[et]
+        assert r.n_hours == n and r.cp_h == cp_h, (et, r.cp_h, cp_h)
+        assert r.direction == ("down" if d > 0 else "up" if d < 0 else "none")
+        if n >= 2:
+            shift = ((sn - st_cp) / (n - t) - st_cp / t) / 100
+            assert abs(r.mean_shift - shift) < 5e-7, (et, r.mean_shift, shift)
+
+
+def test_acf_replay(spark):
+    """events_acf replayed in pure Python: gap-honest lag pairing on
+    the hourly spine (pairs exactly k*3600 s apart), exact moment sums,
+    the ST-E Pearson closed form to 6 decimals."""
+    import math
+
+    from sparkstreamingstateful_spark.operators.statistics import (
+        _mk_hourly_spine,
+    )
+
+    spine = {}
+    for r in _mk_hourly_spine(spark, SF_UNIT).collect():
+        spine.setdefault(r.event_type, {})[
+            int(r.h.timestamp())
+        ] = r.v
+    got = {
+        (r.event_type, r.lag): r
+        for r in QUERIES["events_acf"](spark, SF_UNIT).collect()
+    }
+    expected_keys = set()
+    for et, by_h in spine.items():
+        for lag in range(1, 13):
+            pairs = [
+                (v, by_h[hs + lag * 3600])
+                for hs, v in by_h.items()
+                if hs + lag * 3600 in by_h
+            ]
+            if not pairs:
+                continue
+            expected_keys.add((et, lag))
+            n = len(pairs)
+            sx = sum(x for x, _ in pairs)
+            sy = sum(y for _, y in pairs)
+            sxx = sum(x * x for x, _ in pairs)
+            sxy = sum(x * y for x, y in pairs)
+            syy = sum(y * y for _, y in pairs)
+            r = got[(et, lag)]
+            assert r.n_pairs == n
+            dx = n * float(sxx) - float(sx) * sx
+            dy = n * float(syy) - float(sy) * sy
+            if n >= 2 and dx > 0 and dy > 0:
+                acf = (n * float(sxy) - float(sx) * sy) / (
+                    math.sqrt(dx) * math.sqrt(dy)
+                )
+                assert abs(r.acf - acf) < 5e-7, ((et, lag), r.acf, acf)
+            else:
+                assert r.acf is None
+    assert set(got) == expected_keys
+
+
+def test_collocations_lift_replay(spark):
+    """text_collocations_lift replayed in pure Python: adjacent-bigram
+    and unigram counts over the space-split lowered corpus, the exact
+    lift rational, top-20 by (rounded lift desc, w1, w2)."""
+    from collections import Counter
+
+    texts = [
+        r.text.lower()
+        for r in load_table(spark, SF_UNIT, "documents")
+        .select("text")
+        .collect()
+    ]
+    uni, bi = Counter(), Counter()
+    for t in texts:
+        toks = t.split(" ")
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    n_tok = sum(uni.values())
+    n_bi = sum(bi.values())
+    scored = sorted(
+        (
+            (
+                -round(
+                    (c * float(n_tok) * n_tok)
+                    / (float(n_bi) * uni[w1] * uni[w2]),
+                    6,
+                ),
+                w1,
+                w2,
+                c,
+            )
+            for (w1, w2), c in bi.items()
+            if c >= 5
+        ),
+    )[:20]
+    got = QUERIES["text_collocations_lift"](spark, SF_UNIT).collect()
+    assert len(got) == len(scored)
+    for r, (neg_lift, w1, w2, c) in zip(got, scored):
+        assert (r.w1, r.w2, r.c_xy) == (w1, w2, c), (r, w1, w2, c)
+        assert abs(r.lift - (-neg_lift)) < 5e-7
