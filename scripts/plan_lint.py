@@ -17,6 +17,8 @@ Flags (each needs human triage — a hit is a QUESTION, not a verdict):
    user / tokens-per-doc), spine-bounded per-type trend windows
    (hours × types; sen_slope's former per-type full-pair rank window
    became a bucketed exact distributed selection late in r16 — its
+   slope-sorting windows are pinned bucket-partitioned by
+   tests/test_plans.py::test_sen_selection_windows_are_bucketed and its
    remaining per-type windows run on the 64-row bucket-count frame;
    events_cusum_changepoint's per-type cumulative window is the same
    spine-bounded shape, hours × types rows),

@@ -368,3 +368,70 @@ def test_inverted_index_window_is_salted(spark):
     # the salt is a materialized column (crc32 % 64 computed in the
     # upstream Project), so the spec names the attribute
     assert re.search(r"\[term#\d+, salt#\d+L\]", windows[0]), windows[0]
+
+
+def test_collocations_single_scan_checkpoint(spark):
+    """L26: the lift key's five downstream consumers (bigram side, two
+    unigram joins, both totals) must all read the vocab-sized
+    localCheckpoint, never re-run the corpus explode — the r16
+    ReusedExchange rule (branch + join over a shared subplan re-scans
+    per consumer once column pruning specializes the branches). Pins:
+    the executed plan contains NO file scan (every leaf is the
+    checkpointed RDD) and ends in TakeOrderedAndProject, not a global
+    window/sort."""
+    from sparkstreamingstateful_spark.operators.llm_text import (
+        text_collocations_lift,
+    )
+
+    plan = (
+        text_collocations_lift(spark, SF_UNIT)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Scan parquet" not in plan, plan[:2000]
+    assert "FileScan" not in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_sen_selection_windows_are_bucketed(spark):
+    """E26c (r16 distributed selection): every VALUE-LEVEL window in
+    the scale path's plan — any window SORTING slopes — must be
+    bucket-partitioned (carry bkt in its spec), never per-type alone
+    (the ADVICE r15 single-reducer shape: one task sorting a type's
+    whole pair set; window partitions cannot be AQE-split). Windows
+    WITHOUT a slope sort run on the bucket-count frame (<= _SEN_BUCKETS
+    rows per type by construction) and are exempt."""
+    import re
+
+    from sparkstreamingstateful_spark.operators.statistics import (
+        _mk_hourly_spine,
+        _sen_pick_selection,
+        _sen_slopes,
+    )
+
+    plan = (
+        _sen_pick_selection(_sen_slopes(_mk_hourly_spine(spark, SF_UNIT)))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    windows = re.findall(r"Window \[[^\n]*", plan)
+    assert windows, "selection plan lost its windows — rewrite the pin"
+    slope_sorted = [
+        w
+        for w in windows
+        if re.search(r"windowspecdefinition\([^)]*slope#", w)
+    ]
+    assert slope_sorted, (
+        "selection plan lost its slope-ordered pick window — rewrite"
+    )
+    for w in slope_sorted:
+        spec = re.search(r"windowspecdefinition\(([^)]*)\)", w)
+        # bkt must be a PARTITION column (bare attribute, no ASC/DESC
+        # direction suffix) — bkt as a mere ORDER column would leave the
+        # partition per-type and the single-reducer shape intact
+        assert spec is not None and re.search(
+            r"bkt#\d+L?(?! (ASC|DESC))", spec.group(1)
+        ), "slope-sorting window not bucket-partitioned: " + w[:200]
