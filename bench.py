@@ -129,7 +129,16 @@ def main() -> None:
     try:
         with open(os.path.join(_REPO, "scripts", "baseline_r1_keys.json")) as f:
             frozen = json.load(f)
-        frozen96 = round(sum(max(timings.get(k, 0.0), 0.0) for k in frozen), 3)
+        # An errored frozen key times as -1; clamping it to 0 would
+        # silently DEFLATE the subset total and read as a speedup in
+        # the exact contract comparison this field exists for (ADVICE
+        # r16) — emit null instead so the comparison visibly breaks.
+        if any(timings.get(k, 0.0) < 0 for k in frozen):
+            print("# frozen96 subset has errored keys; emitting null",
+                  file=sys.stderr)
+            frozen96 = None
+        else:
+            frozen96 = round(sum(timings.get(k, 0.0) for k in frozen), 3)
     except Exception as exc:
         print(f"# frozen96 subset not computed: {exc}", file=sys.stderr)
         frozen96 = None

@@ -2368,9 +2368,13 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort a hot term's ENTIRE posting set (df ~ corpus size for
     stopwords at 100 TB) in ONE task, and window partitions cannot be
     split (AQE skew handling applies to joins/rebalance, NOT windows),
-    so the salt bounds any task at 1/64th of the hot term (plus Spark's
-    WindowGroupLimit pre-filters rank <= cap map-side before the
-    shuffle). Stage 2 merges per (term, salt) partials in ONE stream —
+    so the salt bounds any task at 1/64th of the hot term. Note the
+    stage-1 window SORTS its full 1/64th bucket — WindowGroupLimit
+    cannot (and must not) engage because the cap predicate lives inside
+    collect_list's F.when rather than a Filter on rn1: df_p/cf_p need
+    EVERY row of the bucket, so the salt is the real bound, not a
+    group-limit pushdown. Stage 2 merges per (term, salt) partials in
+    ONE stream —
     df/cf as associative BIGINT sums of bucket counts, candidates as
     collect_list arrays of the <= cap bucket winners (agg state
     O(cap), then O(64*cap)) — and settles the tournament with a bounded

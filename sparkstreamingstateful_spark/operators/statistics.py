@@ -1019,16 +1019,29 @@ def _sen_pick_selection(slopes: DataFrame) -> DataFrame:
             F.lit(10_000),
         ).alias("bs")
     )
-    bucketed = dv.join(F.broadcast(bounds), "event_type").select(
-        "event_type",
-        "slope",
-        "c",
-        F.aggregate(
-            "bs",
-            F.lit(0),
-            lambda acc, x: acc
-            + F.when(F.col("slope") > x, 1).otherwise(0),
-        ).alias("bkt"),
+    bucketed = (
+        dv.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_type",
+            "slope",
+            "c",
+            F.aggregate(
+                "bs",
+                F.lit(0),
+                lambda acc, x: acc
+                + F.when(F.col("slope") > x, 1).otherwise(0),
+            ).alias("bkt"),
+        )
+        # PIN the bucket assignment before fanning out to the counting
+        # (bcum/targets) and in-bucket-pick branches (ADVICE r16):
+        # percentile_approx's partial-sketch merge order is
+        # non-deterministic across evaluations, so without this the two
+        # branches could compute DIFFERENT boundary sets and the ranks
+        # would disagree with the pick. localCheckpoint (the
+        # text_collocations_lift device) materializes ONE boundary
+        # assignment — distinct-slope-sized, not pair-sized — and stops
+        # the pairwise-slope subplan re-evaluating per branch.
+        .localCheckpoint()
     )
     wb = Window.partitionBy("event_type").orderBy("bkt")
     bcum = (

@@ -64,134 +64,85 @@ def query(name: str, oracle: str | None = None):
 # Evidence-priority ordering. The correctness driver checks exactly the
 # FIRST 50 registered keys each round (count cap, measured r1/r2), so
 # iteration order is the lever that decides which keys get hard oracle
-# signal. Round-16 window (VERDICT r15 item 1, followed to the letter):
-# (a) the 5 keys staged in r15 with zero driver evidence, then (b) the
-# 5 keys whose code/oracle changed without a fresh driver hash, then
-# (c) the FULL 39-key cohort whose newest driver evidence is r9, then
-# (d) the oldest r11-evidence key (agg_hash_q1, first seen r1).
+# signal. Round-17 window (VERDICT r16 item 1, followed to the letter):
+# (a) the 5 keys staged in r16 with zero driver evidence, then (b) 45
+# of the 49-key cohort whose newest driver evidence is r11, stalest
+# first by (first-seen round, name); the 4 that don't fit
+# (map_hof, multimodal_decode_bmp, stream_codec_protobuf,
+# text_bm25_search) lead the r18 window with the r12 cohort.
 # Exactly 50.
 _KEY_PRIORITY = [
-    # (a) The 5 keys staged in r15 with ZERO driver evidence
-    # (VERDICT r15 item 1; sim+replica green at sf0.001/0.01/0.1).
-    "stat_describe",
-    "text_inverted_index",
-    "maintenance_rebalance",
-    "events_trend_mann_kendall_sig",
-    "events_trend_sen_slope",
-    # (b) The 5 keys whose code/oracle changed without a fresh driver
-    # hash (asof tie-break fix + CMS widening + memoized LSH edges in
-    # r14; subword oracle CTEs materialized in r15; text_inverted_index
-    # above additionally carries the r16 tournament fix).
-    "join_asof_nearest",
-    "agg_count_min_sketch",
-    "graph_bfs_distance",
-    "graph_pagerank_lsh",
-    "text_tokenize_subword",
-    # (c) The FULL 39-key cohort whose newest driver evidence is r9.
-    "agg_hll_sketch",
-    "array_hof_predicates",
-    "dedup_semantic",
-    "embed_similarity_topk",
-    "events_sessionize_dynamic_gap",
-    "map_ops",
-    "observe_metrics",
-    "scalar_bitwise",
-    "scalar_mask",
-    "scan_dynamic_partition_pruning",
-    "scan_state_changefeed",
-    "scan_state_join_side",
-    "scan_state_time_travel",
-    "sql_agg_filter",
-    "sql_identifier_clause",
-    "sql_not_in_null",
-    "sql_try_cast",
-    "stateful_dedup_keyed",
-    "stateful_running_agg",
-    "stateful_running_agg_tws",
-    "stateful_sessionize",
-    "stream_cdc_upsert",
-    "stream_dedup",
-    "stream_static_join",
-    "stream_static_join_anti",
-    "stream_static_join_left",
-    "stream_stream_join",
-    "stream_text_analysis",
-    "stream_window_late_drop",
-    "stream_window_session",
-    "stream_window_session_dynamic",
-    "stream_window_sliding",
-    "stream_window_tumbling",
-    "subquery_correlated_exists",
-    "subquery_in",
-    "subquery_scalar",
-    "udf_pandas_iter",
-    "vector_ops",
-    "window_ignore_nulls",
-    # (d) The oldest r11-evidence key (first seen r1) — slot 50.
-    "agg_hash_q1",
-    # --- 50-key boundary. First below the line: the 5 keys NEW in r16
-    # (state-metadata discovery + TWS state-variable reader, then the
-    # late-round trio: CUSUM changepoint + ACF over the shared hourly
-    # spine, bigram collocation lift; each driver-sim verified at
-    # sf0.001/0.01/0.1 in-session) — they lead the r17 window per the
-    # r14/r15 staging precedent. Then every remaining key, stalest
-    # evidence first ((latest driver round, first-seen round, name)
-    # ascending; sample_seeded rides with the r9-era cohort —
-    # rows-only by design).
+    # (a) The 5 keys staged in r16 with ZERO driver evidence
+    # (VERDICT r16 item 1; sim+replica green at sf0.001/0.01/0.1).
     "scan_state_metadata",
     "scan_state_tws_variables",
     "events_cusum_changepoint",
     "events_acf",
     "text_collocations_lift",
-    "sample_seeded",
-    "join_asof",
-    "corpus_sample_stratified",
-    "dedup_cross_source",
-    "dedup_exact",
-    "dedup_simhash",
-    "doc_chunking",
-    "doc_fingerprint",
-    "embed_ann_ivf",
-    "embed_near_dup",
-    "json_extract",
-    "map_in_pandas",
-    "multimodal_binary",
-    "pii_scrub",
-    "sql_tpch_q3like",
-    "sql_tpch_q5like",
-    "text_language_id",
-    "text_quality_score",
-    "text_stats",
-    "text_tokenize_wordcount",
-    "udaf_applyInPandas",
-    "udf_pandas",
-    "udf_python",
-    "udtf_python",
-    "agg_percentiles",
-    "events_resample_1h",
-    "sql_parameterized",
-    "struct_ops",
-    "text_token_count",
-    "values_inline",
-    "window_distribution",
-    "scan_csv",
-    "scan_json",
-    "scan_text",
-    "agg_histogram",
-    "codec_avro_container",
-    "codec_protobuf_roundtrip",
-    "decontaminate_ngram",
-    "dedup_semantic_capped",
-    "events_interpolate_linear",
-    "events_resample_ohlc",
-    "join_bloom_runtime_filter",
-    "join_range_binned",
-    "join_skew_aqe",
-    "layout_zorder",
+    # (b) 45 of the 49-key r11-evidence cohort, stalest first by
+    # (first-seen round, name). sample_seeded is rows-only by design
+    # (SURVEY O5) but takes its prescribed slot in the ordering.
+    "join_asof",  # r11, first r1
+    "sample_seeded",  # r11, first r1
+    "corpus_sample_stratified",  # r11, first r2
+    "dedup_cross_source",  # r11, first r2
+    "dedup_exact",  # r11, first r2
+    "dedup_simhash",  # r11, first r2
+    "doc_chunking",  # r11, first r2
+    "doc_fingerprint",  # r11, first r2
+    "embed_ann_ivf",  # r11, first r2
+    "embed_near_dup",  # r11, first r2
+    "json_extract",  # r11, first r2
+    "map_in_pandas",  # r11, first r2
+    "multimodal_binary",  # r11, first r2
+    "pii_scrub",  # r11, first r2
+    "sql_tpch_q3like",  # r11, first r2
+    "sql_tpch_q5like",  # r11, first r2
+    "text_language_id",  # r11, first r2
+    "text_quality_score",  # r11, first r2
+    "text_stats",  # r11, first r2
+    "text_tokenize_wordcount",  # r11, first r2
+    "udaf_applyInPandas",  # r11, first r2
+    "udf_pandas",  # r11, first r2
+    "udf_python",  # r11, first r2
+    "udtf_python",  # r11, first r2
+    "agg_percentiles",  # r11, first r3
+    "events_resample_1h",  # r11, first r3
+    "sql_parameterized",  # r11, first r3
+    "struct_ops",  # r11, first r3
+    "text_token_count",  # r11, first r3
+    "values_inline",  # r11, first r3
+    "window_distribution",  # r11, first r3
+    "scan_csv",  # r11, first r5
+    "scan_json",  # r11, first r5
+    "scan_text",  # r11, first r5
+    "agg_histogram",  # r11, first r10
+    "codec_avro_container",  # r11, first r10
+    "codec_protobuf_roundtrip",  # r11, first r10
+    "decontaminate_ngram",  # r11, first r10
+    "dedup_semantic_capped",  # r11, first r10
+    "events_interpolate_linear",  # r11, first r10
+    "events_resample_ohlc",  # r11, first r10
+    "join_bloom_runtime_filter",  # r11, first r10
+    "join_range_binned",  # r11, first r10
+    "join_skew_aqe",  # r11, first r10
+    "layout_zorder",  # r11, first r10
+    # --- 50-key boundary. First below the line: the 2 keys NEW in r17
+    # (TWS MapState reader + registered-timer reader over the
+    # never-snapshot profile checkpoint; driver-sim verified at
+    # sf0.001/0.01/0.1 in-session) — staged to lead the r18 window per
+    # the r16 precedent. Then every remaining key, stalest evidence
+    # first ((latest driver round, first-seen round, name) ascending) —
+    # the 4 leftover r11 keys, then the r12 cohort: 2+4+44 = the r18
+    # window, already staged in order.
+    "scan_state_tws_map",
+    "scan_state_tws_timers",
+    # -- latest evidence r11 --
     "map_hof",
     "multimodal_decode_bmp",
     "stream_codec_protobuf",
     "text_bm25_search",
+    # -- latest evidence r12 --
     "join_full",
     "join_left",
     "join_right",
@@ -241,9 +192,10 @@ _KEY_PRIORITY = [
     "text_repetition_ngram",
     "udtf_arrow",
     "write_dynamic_partition_overwrite",
+    # -- latest evidence r13 --
+    "agg_approx",
     "seq_packing",
     "text_edit_distance",
-    "agg_approx",
     "stateful_sessionize_tws",
     "stream_dedup_watermarked",
     "stream_stream_join_left",
@@ -287,6 +239,7 @@ _KEY_PRIORITY = [
     "text_url_filter",
     "udtf_table_arg",
     "window_distinct_rolling",
+    # -- latest evidence r14 --
     "filter_basic",
     "filter_conditional",
     "join_broadcast",
@@ -337,6 +290,8 @@ _KEY_PRIORITY = [
     "graph_shortest_path",
     "sql_distribute_cluster",
     "sql_tablesample",
+    # -- latest evidence r15 --
+    "agg_collect",
     "agg_conditional_pivot",
     "agg_cube",
     "agg_distinct",
@@ -346,6 +301,7 @@ _KEY_PRIORITY = [
     "agg_salted_skew",
     "agg_stats",
     "array_explode",
+    "array_ops",
     "distinct_rows",
     "join_anti",
     "join_cross",
@@ -367,8 +323,6 @@ _KEY_PRIORITY = [
     "window_frame_range",
     "window_frame_rows",
     "window_ranking",
-    "agg_collect",
-    "array_ops",
     "cte_query",
     "dedup_near",
     "dedup_ngram_jaccard",
@@ -376,9 +330,9 @@ _KEY_PRIORITY = [
     "dedup_cluster_cc",
     "events_rollup_cascade",
     "join_bucketed_colocated",
+    "multimodal_features",
     "scan_partition_pruning",
     "window_time_range",
-    "multimodal_features",
     "sql_tpch_q18like",
     "sql_tpch_q7like",
     "scan_state_store",
@@ -387,6 +341,57 @@ _KEY_PRIORITY = [
     "events_trend_mann_kendall",
     "text_bpe_encode",
     "text_bpe_train",
+    # -- latest evidence r16 --
+    "agg_hash_q1",
+    "embed_similarity_topk",
+    "map_ops",
+    "stateful_dedup_keyed",
+    "stateful_running_agg",
+    "stateful_sessionize",
+    "stream_dedup",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_text_analysis",
+    "stream_window_late_drop",
+    "stream_window_session",
+    "stream_window_sliding",
+    "stream_window_tumbling",
+    "subquery_correlated_exists",
+    "subquery_in",
+    "subquery_scalar",
+    "vector_ops",
+    "stateful_running_agg_tws",
+    "stream_cdc_upsert",
+    "agg_hll_sketch",
+    "array_hof_predicates",
+    "dedup_semantic",
+    "events_sessionize_dynamic_gap",
+    "observe_metrics",
+    "scalar_bitwise",
+    "scalar_mask",
+    "scan_dynamic_partition_pruning",
+    "scan_state_changefeed",
+    "scan_state_join_side",
+    "scan_state_time_travel",
+    "sql_agg_filter",
+    "sql_identifier_clause",
+    "sql_not_in_null",
+    "sql_try_cast",
+    "stream_static_join_anti",
+    "stream_static_join_left",
+    "stream_window_session_dynamic",
+    "udf_pandas_iter",
+    "window_ignore_nulls",
+    "text_tokenize_subword",
+    "agg_count_min_sketch",
+    "graph_bfs_distance",
+    "graph_pagerank_lsh",
+    "join_asof_nearest",
+    "events_trend_mann_kendall_sig",
+    "events_trend_sen_slope",
+    "maintenance_rebalance",
+    "stat_describe",
+    "text_inverted_index",
 ]
 
 

@@ -2117,6 +2117,223 @@ def scan_state_tws_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One YEAR past the last real event — far beyond the sentinel's +30
+# days, so the profile fixture's finalize timer can never expire and
+# the MapState survives to the final batch intact (the snapshotting
+# ST19 run CLEARS the map on expiry, which would leave nothing to
+# read). Interpolated into the timer oracle, so both sides re-derive
+# the deadline together.
+_NEVER_FINALIZE_OFFSET_MS = 365 * 86_400_000
+
+
+def _profile_never_ms(sf_dir: str) -> int:
+    """The never-reachable profile deadline as EXACT integer epoch ms:
+    feeder.events_max_ts is µs-truncated, and µs→ms must floor the same
+    way DuckDB's ``epoch_ms(max(ts))`` does for the timer oracle to
+    hash-match — so integer floor-div, never ``total_seconds()*1000``
+    (float multiplication can mis-round the last ms)."""
+    import datetime
+
+    td = feeder.events_max_ts(sf_dir) - datetime.datetime(1970, 1, 1)
+    ms = td.days * 86_400_000 + td.seconds * 1_000 + td.microseconds // 1_000
+    return ms + _NEVER_FINALIZE_OFFSET_MS
+
+
+def _profile_tws_ckpt(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse) a completed profile-TWS checkpoint whose
+    MapState is NEVER exported: ST19's exact processor
+    (stateful.make_profile_processor — MapState ``profile`` +
+    one event-time finalize timer per key) run with the deadline pushed
+    a year past the sentinel, so at the final batch every key still
+    holds (a) its complete ``event_type → (n, sum)`` map and (b) one
+    live registered timer at the fixed deadline — BOTH read-back
+    surfaces (S7g map variables, S7h timers) deterministic by
+    construction. Cached per (provider, content tag) with the ``_DONE``
+    discipline; changelog checkpointing pinned OFF (the batch reader
+    takes the snapshot path — see scan_state_store). Requires the TWS
+    runtime: the fallback twin keeps the map as JSON in ONE value row —
+    a different physical surface that cannot serve this reader."""
+    import os
+    import shutil
+    import tempfile as _tf
+
+    from ..operators.scans import _dir_tag
+    from ..session import configure
+
+    configure(spark)
+    if not _tws_available(spark):
+        raise RuntimeError(
+            "scan_state_tws_map/_timers need the transformWithStateInPandas "
+            "runtime (protobuf); the applyInPandasWithState fallback keeps "
+            "the profile map as JSON in a single value row and cannot serve "
+            "the MapState/timer readers"
+        )
+    prov = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    ptag = "rocksdb" if "RocksDB" in str(prov) else "hdfs"
+    ckpt = os.path.join(
+        _tf.gettempdir(),
+        f"sss_statestore_twsmap_{ptag}_{_dir_tag(sf_dir, 'events')}",
+    )
+    if not os.path.exists(os.path.join(ckpt, "_DONE")):
+        if os.path.isdir(ckpt):
+            shutil.rmtree(ckpt)
+        ev = _stream(spark, sf_dir)
+        prof = (
+            ev.withWatermark("ts", WATERMARK)
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                stateful.make_profile_processor(_profile_never_ms(sf_dir)),
+                outputStructType=stateful.PROFILE_TWS_OUTPUT,
+                outputMode="Append",
+                timeMode="EventTime",
+            )
+        )
+        cl_key = (
+            "spark.sql.streaming.stateStore.rocksdb"
+            ".changelogCheckpointing.enabled"
+        )
+        from .runner import require_no_data_batches
+
+        require_no_data_batches(spark)
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        prev_cl = spark.conf.get(cl_key, "false")
+        spark.conf.set("spark.sql.shuffle.partitions", str(_parts(sf_dir)))
+        spark.conf.set(cl_key, "false")
+        try:
+            q = (
+                prof.writeStream.format("noop")
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+            spark.conf.set(cl_key, prev_cl)
+        with open(os.path.join(ckpt, "_DONE"), "w") as f:
+            f.write("")
+    return ckpt
+
+
+@query(
+    "scan_state_tws_map",
+    oracle="""
+    SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY user_id, event_type
+    UNION ALL
+    SELECT user_id, '*' AS event_type,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
+def scan_state_tws_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWS MAP-STATE reader (S7g, VERDICT r16 item 3): the statestore
+    source addressing a MapState variable — the one TWS state primitive
+    S7f doesn't cover (it reads ValueState + ListState off ST16's
+    checkpoint; ST19 keeps its profile in a MapState that the snapshot
+    timer CLEARS, so this key reads a dedicated never-snapshotted twin
+    checkpoint, see _profile_tws_ckpt). Two physical surfaces
+    cross-check each other:
+
+    - FLATTENED (``flattenCollectionTypes=true``): one row per map
+      ENTRY — columns ``key.user_id`` / ``user_map_key.event_type`` /
+      ``user_map_value.{n, sum_value}`` — checked against the oracle's
+      per-(user, type) count and rounded sum: the complete profile,
+      byte-for-byte what ST19 would have exported had its timer fired.
+    - UNFLATTENED (``flattenCollectionTypes=false``): one row per KEY
+      carrying the whole ``map_value`` — pinned as event_type='*' rows
+      via size() (distinct-type count) and an in-row F.aggregate over
+      map_values (the per-user total), so a flatten bug that loses or
+      duplicates entries breaks '*' and real rows DIFFERENTLY.
+
+    The sentinel user's map is state too — filtered from the
+    materialized batch result (user_id < 0), never inside a streaming
+    plan. Rounding lives in SQL on both sides (repo rule); the raw map
+    values are order-of-accumulation doubles, the same contract ST19's
+    oracle already pins. Scale: one partition-parallel scan of one
+    state version per read — state-sized, not corpus-sized; the
+    flatten explodes map entries JVM-side."""
+    ckpt = _profile_tws_ckpt(spark, sf_dir)
+    flat = _statestore_read(
+        spark,
+        ckpt,
+        lambda st: st.select(
+            F.col("key.user_id").alias("user_id"),
+            F.col("user_map_key.event_type").alias("event_type"),
+            F.col("user_map_value.n").cast("bigint").alias("n"),
+            F.round(F.col("user_map_value.sum_value"), 2).alias("sum_value"),
+        ),
+        stateVarName="profile",
+        flattenCollectionTypes="true",
+    )
+    whole = _statestore_read(
+        spark,
+        ckpt,
+        lambda st: st.select(
+            F.col("key.user_id").alias("user_id"),
+            F.lit("*").alias("event_type"),
+            F.size("map_value").cast("bigint").alias("n"),
+            F.round(
+                F.aggregate(
+                    F.map_values("map_value"),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v["sum_value"],
+                ),
+                2,
+            ).alias("sum_value"),
+        ),
+        stateVarName="profile",
+        flattenCollectionTypes="false",
+    )
+    return flat.unionByName(whole).filter(F.col("user_id") >= 0)
+
+
+@query(
+    "scan_state_tws_timers",
+    oracle=f"""
+    SELECT user_id,
+           (SELECT CAST(epoch_ms(max(ts)) AS BIGINT)
+                   + {_NEVER_FINALIZE_OFFSET_MS} FROM events) AS expires_ms
+    FROM events GROUP BY user_id
+    """,
+)
+def scan_state_tws_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWS registered-TIMER reader (S7h, VERDICT r16 item 4): the
+    statestore source's ``readRegisteredTimers`` option — the third TWS
+    audit surface after variables (S7f/S7g) and metadata (S7e): WHICH
+    keys hold live timers, expiring WHEN. The option conflicts with
+    ``stateVarName`` (STDS_CONFLICT_OPTIONS, measured) — timers are
+    their own store, surfaced as ``key`` + ``expiration_timestamp_ms``.
+
+    Determinism, the verdict's precondition for H-checking this
+    surface: on ST16/ST19's own checkpoints the sentinel flush EXPIRES
+    most timers, leaving a degenerate set — but on the never-snapshot
+    profile checkpoint (_profile_tws_ckpt) every user that appeared
+    registers exactly ONE timer at the fixed deadline
+    (events_max_ts + 365 days) and none can expire, so the H-check pins
+    the full timer set: one row per distinct user at exactly that
+    epoch-ms. The oracle re-derives the deadline from the same
+    max-ts + offset arithmetic (_profile_never_ms floors µs→ms the way
+    ``epoch_ms`` does). A dropped key, double registration, or
+    deadline drift all shift the set. The sentinel's timer is filtered
+    from the materialized result (user_id < 0). Scale: the timer store
+    is O(live keys) — one partition-parallel scan, corpus-independent."""
+    ckpt = _profile_tws_ckpt(spark, sf_dir)
+    tm = _statestore_read(
+        spark,
+        ckpt,
+        lambda st: st.select(
+            F.col("key.user_id").alias("user_id"),
+            F.col("expiration_timestamp_ms").cast("bigint").alias("expires_ms"),
+        ),
+        readRegisteredTimers="true",
+    )
+    return tm.filter(F.col("user_id") >= 0)
+
+
 @query(
     "stream_union_sources",
     oracle="""

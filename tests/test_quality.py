@@ -1007,8 +1007,20 @@ def test_acf_replay(spark):
 def test_collocations_lift_replay(spark):
     """text_collocations_lift replayed in pure Python: adjacent-bigram
     and unigram counts over the space-split lowered corpus, the exact
-    lift rational, top-20 by (rounded lift desc, w1, w2)."""
+    lift rational, top-20 by (rounded lift desc, w1, w2). The expected
+    sort key rounds HALF-AWAY-FROM-ZERO (Decimal ROUND_HALF_UP over the
+    shortest-repr decimal, which is what Spark's round-on-double and
+    DuckDB use) — Python's builtin round() is banker's and a lift
+    landing on a 1e-6 midpoint would order differently (ADVICE r16)."""
     from collections import Counter
+    from decimal import Decimal, ROUND_HALF_UP
+
+    def _round6_half_up(x):
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
 
     texts = [
         r.text.lower()
@@ -1026,10 +1038,9 @@ def test_collocations_lift_replay(spark):
     scored = sorted(
         (
             (
-                -round(
+                -_round6_half_up(
                     (c * float(n_tok) * n_tok)
-                    / (float(n_bi) * uni[w1] * uni[w2]),
-                    6,
+                    / (float(n_bi) * uni[w1] * uni[w2])
                 ),
                 w1,
                 w2,

@@ -1797,3 +1797,77 @@ def test_state_metadata_lists_tws_variables(spark):
     assert variables["closed_starts"] == "ListState"
     # the event-time timer register surfaces as its own TimerState slot
     assert any(t == "TimerState" for t in variables.values())
+
+
+def test_tws_map_and_timer_readers(spark):
+    """S7g×S7h over the never-snapshot profile checkpoint: the flattened
+    MapState read equals the batch per-(user, type) GROUP BY, the
+    unflattened '*' rows cross-check size/total, and the registered-timer
+    set is fully deterministic — exactly one timer per user (sentinel
+    included pre-filter) at the fixed never-expire deadline."""
+    from sparkstreamingstateful_spark.streaming.queries import (
+        _profile_never_ms,
+        _profile_tws_ckpt,
+    )
+
+    got = QUERIES["scan_state_tws_map"](spark, SF_UNIT).collect()
+    exp = {
+        (r.user_id, r.event_type): (r.n, r.sum_value)
+        for r in load_table(spark, SF_UNIT, "events")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .collect()
+    }
+    flat = {(r.user_id, r.event_type): (r.n, r.sum_value)
+            for r in got if r.event_type != "*"}
+    assert flat == exp
+    star = {r.user_id: (r.n, r.sum_value) for r in got if r.event_type == "*"}
+    users = {u for u, _ in exp}
+    assert set(star) == users
+    for u, (n_types, total) in star.items():
+        assert n_types == sum(1 for (uu, _) in exp if uu == u)
+        assert abs(total - sum(s for (uu, _), (_, s) in exp.items() if uu == u)) < 0.05
+
+    timers = QUERIES["scan_state_tws_timers"](spark, SF_UNIT).collect()
+    assert {r.user_id for r in timers} == users  # one per real user
+    assert len(timers) == len(users)  # ...and exactly one each
+    deadline = _profile_never_ms(SF_UNIT)
+    assert {r.expires_ms for r in timers} == {deadline}
+
+    # the sentinel's map/timer ARE state — present pre-filter
+    ckpt = _profile_tws_ckpt(spark, SF_UNIT)
+    lag = "spark.sql.streaming.stateStore.coordinatorReportSnapshotUploadLag"
+    prev = spark.conf.get(lag, "true")
+    spark.conf.set(lag, "false")
+    try:
+        raw = (
+            spark.read.format("statestore").option("path", ckpt)
+            .option("readRegisteredTimers", "true").load()
+            .select("key.user_id").collect()
+        )
+    finally:
+        spark.conf.set(lag, prev)
+    assert {r.user_id for r in raw} == users | {-1}
+
+
+def test_profile_never_ms_matches_duckdb_epoch_ms():
+    """The S7h oracle's deadline arithmetic: Python's integer µs→ms
+    floor (_profile_never_ms) must equal DuckDB's epoch_ms(max(ts)) +
+    offset — the exact pairing the H-check's hash depends on (a
+    total_seconds()*1000 float path can mis-round the last ms)."""
+    import duckdb
+
+    from sparkstreamingstateful_spark.streaming.queries import (
+        _NEVER_FINALIZE_OFFSET_MS,
+        _profile_never_ms,
+    )
+
+    con = duckdb.connect()
+    (oracle_ms,) = con.execute(
+        f"SELECT CAST(epoch_ms(max(ts)) AS BIGINT) + {_NEVER_FINALIZE_OFFSET_MS} "
+        f"FROM read_parquet('{SF_UNIT}/events.parquet')"
+    ).fetchone()
+    assert _profile_never_ms(SF_UNIT) == oracle_ms
