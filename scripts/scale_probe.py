@@ -267,6 +267,17 @@ PROBES = [
     ("events_cusum_changepoint", "events"),
     ("events_acf", "events"),
     ("text_collocations_lift", "documents"),
+    # r17: TWS MapState + registered-timer readers — setup (the
+    # never-snapshot profile stream, content-cached per dir) pays the
+    # xK feed once on the FIRST key (map); the MAP read is state-sized
+    # (users x types xK entry rows + users xK '*' rows), the TIMER read
+    # O(live keys) = users xK — both partition-parallel scans of one
+    # state version, corpus-free. Probe order matters: map runs first
+    # and absorbs the one-time checkpoint build (the r16
+    # scan_state_tws_variables narrative); timers then times the read
+    # alone.
+    ("scan_state_tws_map", "events(stream)"),
+    ("scan_state_tws_timers", "events(stream)"),
 ]
 
 # keys whose first run at a given dir includes a ONE-TIME source-layout
