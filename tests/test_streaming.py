@@ -1871,3 +1871,37 @@ def test_profile_never_ms_matches_duckdb_epoch_ms():
         f"FROM read_parquet('{SF_UNIT}/events.parquet')"
     ).fetchone()
     assert _profile_never_ms(SF_UNIT) == oracle_ms
+
+
+def test_state_metadata_lists_profile_map_and_timers(spark):
+    """S7e×S7g/S7h: the never-snapshot profile checkpoint's
+    state-metadata must inventory the MapState variable and the timer
+    slot the two readers address — the discovery handshake for
+    stateVarName='profile' / readRegisteredTimers, same pin as the
+    sessionize-checkpoint twin above."""
+    import json as _json
+
+    from sparkstreamingstateful_spark.streaming.queries import (
+        _profile_tws_ckpt,
+    )
+
+    ckpt = _profile_tws_ckpt(spark, SF_UNIT)
+    lag = "spark.sql.streaming.stateStore.coordinatorReportSnapshotUploadLag"
+    prev = spark.conf.get(lag, "true")
+    spark.conf.set(lag, "false")
+    try:
+        row = (
+            spark.read.format("state-metadata").load(ckpt)
+            .collect()[0]
+        )
+    finally:
+        spark.conf.set(lag, prev)
+    assert row.operatorName == "transformWithStateInPandasExec"
+    props = _json.loads(row.operatorProperties)
+    assert props["timeMode"] == "EventTime"
+    variables = {
+        v["stateName"]: v["stateVariableType"] for v in props["stateVariables"]
+    }
+    assert variables["profile"] == "MapState"
+    assert not any(v.get("ttlEnabled") for v in props["stateVariables"])
+    assert any(t == "TimerState" for t in variables.values())
