@@ -80,6 +80,19 @@ def main() -> None:
         for pat in ("collect_list", "collect_set"):
             if plan.count(pat):
                 flags[pat] = plan.count(pat)
+        # Row-at-a-time Python evaluation (BatchEvalPython /
+        # BatchEvalPythonUDTF) — the slow path the repo bans outside the
+        # §2.10 operator keys that exist to EXERCISE it. Arrow/pandas
+        # evaluation (ArrowEvalPython, FlatMapGroupsInPandas, MapInPandas
+        # etc.) is the blessed path and not flagged. r17 triage (measured
+        # over all 301 plans): exactly four hits, all §2.10 operators —
+        # U1 udf_python (the row-UDF key itself) and the three
+        # non-arrow UDTF keys U4/U9/U13 (udtf_python, udtf_analyze,
+        # udtf_table_arg — plain UDTFs can only plan as
+        # BatchEvalPythonUDTF; the arrow variant is its own key U12).
+        n_row_py = plan.count("BatchEvalPython")
+        if n_row_py:
+            flags["row_python_eval"] = n_row_py
         if flags:
             report[key] = flags
     print(json.dumps(report, indent=1, sort_keys=True))
