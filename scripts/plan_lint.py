@@ -36,9 +36,23 @@ Flags (each needs human triage — a hit is a QUESTION, not a verdict):
    slices, per-doc token lists bounded by doc length) or
    collect-to-driver probe panels of fixed size.
 
-Run:  python scripts/plan_lint.py [sf_dir]   (default sf0.001; builds
-every plan — streaming keys EXECUTE their pipelines to materialize, so
-expect a few minutes). Prints a JSON report to stdout.
+Beyond the flag detectors, the sweep records a per-key PLAN-NODE-COUNT
+fingerprint (VERDICT r17 item 4): counts of the scale-relevant physical
+nodes (Exchange / BroadcastExchange / ReusedExchange / Window /
+WindowGroupLimit / the join strategies / CartesianProduct) per key.
+The four flag detectors catch anti-pattern SHAPES; the fingerprint diff
+catches REGRESSIONS that add a node to an existing key — the r16
+pruning-vs-ReusedExchange class, where column pruning specialized two
+branch scans and a shared exchange silently stopped matching — which is
+invisible to shape detectors until someone re-reads the plan. Pass
+``--prev PLANLINT_rN.json`` to emit ``counts_changed_vs_prev``: every
+(key, node) whose count moved vs the prior round's fingerprint, for
+triage at round close.
+
+Run:  python scripts/plan_lint.py [sf_dir] [--prev PLANLINT_rN.json]
+(default sf0.001; builds every plan — streaming keys EXECUTE their
+pipelines to materialize, so expect a few minutes). Prints a JSON
+report to stdout.
 """
 
 from __future__ import annotations
@@ -54,12 +68,46 @@ from sparkstreamingstateful_spark import registry
 from sparkstreamingstateful_spark.session import get_spark
 
 
+# Scale-relevant physical nodes fingerprinted per key. Longest-first
+# alternation so BroadcastExchange/ReusedExchange never double-count as
+# plain Exchange, and WindowGroupLimit never counts as Window.
+_COUNT_NODES = (
+    "BroadcastExchange",
+    "ReusedExchange",
+    "Exchange",
+    "WindowGroupLimit",
+    "WindowInPandas",
+    "Window",
+    "SortMergeJoin",
+    "BroadcastHashJoin",
+    "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin",
+    "CartesianProduct",
+)
+_COUNT_RE = re.compile(r"\b(" + "|".join(_COUNT_NODES) + r")\b")
+
+
+def plan_counts(plan: str) -> dict[str, int]:
+    counts: dict[str, int] = {}
+    for node in _COUNT_RE.findall(plan):
+        counts[node] = counts.get(node, 0) + 1
+    return counts
+
+
 def main() -> None:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    argv = list(sys.argv[1:])
+    prev_counts: dict[str, dict] = {}
+    if "--prev" in argv:
+        i = argv.index("--prev")
+        with open(argv[i + 1]) as f:
+            prev_counts = json.load(f).get("plan_counts", {})
+        del argv[i : i + 2]
+    sf = argv[0] if argv else "/root/testdata/sf0.001"
     queries, _ = registry.collect()
     spark = get_spark(app_name="sss-plan-lint")
     spark.sparkContext.setLogLevel("ERROR")
     report: dict[str, dict] = {}
+    counts_by_key: dict[str, dict] = {}
     for key in sorted(queries):
         try:
             df = queries[key](spark, sf)
@@ -67,6 +115,7 @@ def main() -> None:
         except Exception as exc:  # a key that cannot even plan is a finding
             report[key] = {"err": str(exc)[:200]}
             continue
+        counts_by_key[key] = plan_counts(plan)
         flags: dict = {}
         for pat in ("CartesianProduct", "BroadcastNestedLoopJoin"):
             if plan.count(pat):
@@ -95,9 +144,30 @@ def main() -> None:
             flags["row_python_eval"] = n_row_py
         if flags:
             report[key] = flags
-    print(json.dumps(report, indent=1, sort_keys=True))
+    changed: dict[str, dict] = {}
+    if prev_counts:
+        for key in sorted(set(counts_by_key) | set(prev_counts)):
+            old, new = prev_counts.get(key, {}), counts_by_key.get(key, {})
+            delta = {
+                n: [old.get(n, 0), new.get(n, 0)]
+                for n in sorted(set(old) | set(new))
+                if old.get(n, 0) != new.get(n, 0)
+            }
+            if delta:
+                changed[key] = delta
+    out = {
+        "flags": report,
+        "plan_counts": counts_by_key,
+        "counts_changed_vs_prev": changed if prev_counts else None,
+    }
+    print(json.dumps(out, indent=1, sort_keys=True))
+    drift = (
+        f"{len(changed)} keys with node-count drift vs prev"
+        if prev_counts
+        else "no --prev fingerprint given"
+    )
     print(f"# {len(report)} of {len(queries)} keys flagged (see docstring "
-          "for the r16 triage of every class)", file=sys.stderr)
+          f"for the r16 triage of every class); {drift}", file=sys.stderr)
     spark.stop()
 
 

@@ -64,85 +64,24 @@ def query(name: str, oracle: str | None = None):
 # Evidence-priority ordering. The correctness driver checks exactly the
 # FIRST 50 registered keys each round (count cap, measured r1/r2), so
 # iteration order is the lever that decides which keys get hard oracle
-# signal. Round-17 window (VERDICT r16 item 1, followed to the letter):
-# (a) the 5 keys staged in r16 with zero driver evidence, then (b) 45
-# of the 49-key cohort whose newest driver evidence is r11, stalest
-# first by (first-seen round, name); the 4 that don't fit
-# (map_hof, multimodal_decode_bmp, stream_codec_protobuf,
-# text_bm25_search) lead the r18 window with the r12 cohort.
-# Exactly 50.
+# signal. Round-18 window (VERDICT r17 item 1, followed to the letter):
+# (a) the 2 keys NEW in r17 with zero driver evidence (TWS MapState +
+# registered-timer readers; builder sim green at sf0.001/0.01/0.1 and
+# judge-replica green in r17), then (b) the 4 leftover keys whose
+# newest driver evidence is r11, then (c) 44 of the 49-key r12-evidence
+# cohort, stalest first by (first-seen round, name). Exactly 50; all H.
 _KEY_PRIORITY = [
-    # (a) The 5 keys staged in r16 with ZERO driver evidence
-    # (VERDICT r16 item 1; sim+replica green at sf0.001/0.01/0.1).
-    "scan_state_metadata",
-    "scan_state_tws_variables",
-    "events_cusum_changepoint",
-    "events_acf",
-    "text_collocations_lift",
-    # (b) 45 of the 49-key r11-evidence cohort, stalest first by
-    # (first-seen round, name). sample_seeded is rows-only by design
-    # (SURVEY O5) but takes its prescribed slot in the ordering.
-    "join_asof",  # r11, first r1
-    "sample_seeded",  # r11, first r1
-    "corpus_sample_stratified",  # r11, first r2
-    "dedup_cross_source",  # r11, first r2
-    "dedup_exact",  # r11, first r2
-    "dedup_simhash",  # r11, first r2
-    "doc_chunking",  # r11, first r2
-    "doc_fingerprint",  # r11, first r2
-    "embed_ann_ivf",  # r11, first r2
-    "embed_near_dup",  # r11, first r2
-    "json_extract",  # r11, first r2
-    "map_in_pandas",  # r11, first r2
-    "multimodal_binary",  # r11, first r2
-    "pii_scrub",  # r11, first r2
-    "sql_tpch_q3like",  # r11, first r2
-    "sql_tpch_q5like",  # r11, first r2
-    "text_language_id",  # r11, first r2
-    "text_quality_score",  # r11, first r2
-    "text_stats",  # r11, first r2
-    "text_tokenize_wordcount",  # r11, first r2
-    "udaf_applyInPandas",  # r11, first r2
-    "udf_pandas",  # r11, first r2
-    "udf_python",  # r11, first r2
-    "udtf_python",  # r11, first r2
-    "agg_percentiles",  # r11, first r3
-    "events_resample_1h",  # r11, first r3
-    "sql_parameterized",  # r11, first r3
-    "struct_ops",  # r11, first r3
-    "text_token_count",  # r11, first r3
-    "values_inline",  # r11, first r3
-    "window_distribution",  # r11, first r3
-    "scan_csv",  # r11, first r5
-    "scan_json",  # r11, first r5
-    "scan_text",  # r11, first r5
-    "agg_histogram",  # r11, first r10
-    "codec_avro_container",  # r11, first r10
-    "codec_protobuf_roundtrip",  # r11, first r10
-    "decontaminate_ngram",  # r11, first r10
-    "dedup_semantic_capped",  # r11, first r10
-    "events_interpolate_linear",  # r11, first r10
-    "events_resample_ohlc",  # r11, first r10
-    "join_bloom_runtime_filter",  # r11, first r10
-    "join_range_binned",  # r11, first r10
-    "join_skew_aqe",  # r11, first r10
-    "layout_zorder",  # r11, first r10
-    # --- 50-key boundary. First below the line: the 2 keys NEW in r17
-    # (TWS MapState reader + registered-timer reader over the
-    # never-snapshot profile checkpoint; driver-sim verified at
-    # sf0.001/0.01/0.1 in-session) — staged to lead the r18 window per
-    # the r16 precedent. Then every remaining key, stalest evidence
-    # first ((latest driver round, first-seen round, name) ascending) —
-    # the 4 leftover r11 keys, then the r12 cohort: 2+4+44 = the r18
-    # window, already staged in order.
+    # (a) The 2 keys staged in r17 with ZERO driver evidence.
     "scan_state_tws_map",
     "scan_state_tws_timers",
-    # -- latest evidence r11 --
+    # (b) The 4 r11-evidence leftovers (the rest of that cohort was
+    # re-hashed in the r17 window).
     "map_hof",
     "multimodal_decode_bmp",
     "stream_codec_protobuf",
     "text_bm25_search",
-    # -- latest evidence r12 --
+    # (c) 44 of the 49-key r12-evidence cohort, stalest first by
+    # (first-seen round, name).
     "join_full",
     "join_left",
     "join_right",
@@ -187,6 +126,12 @@ _KEY_PRIORITY = [
     "stat_approx_quantile",
     "stat_crosstab",
     "stat_freq_items",
+    # --- 50-key boundary. Below: every remaining key, stalest evidence
+    # first ((latest driver round, first-seen round, name) ascending) —
+    # the 5 r12-cohort keys that didn't fit lead the r19 window with the
+    # r13 cohort (5 + 46 = 51 candidates for 50 slots); the keys checked
+    # in the r17 window sit at the bottom as the freshest evidence.
+    # -- latest evidence r12 --
     "stat_sample_by",
     "text_gopher_quality",
     "text_repetition_ngram",
@@ -392,6 +337,57 @@ _KEY_PRIORITY = [
     "maintenance_rebalance",
     "stat_describe",
     "text_inverted_index",
+    # -- latest evidence r17 (the r17 driver window, CORRECTNESS_r17) --
+    "scan_state_metadata",
+    "scan_state_tws_variables",
+    "events_cusum_changepoint",
+    "events_acf",
+    "text_collocations_lift",
+    "join_asof",
+    "sample_seeded",
+    "corpus_sample_stratified",
+    "dedup_cross_source",
+    "dedup_exact",
+    "dedup_simhash",
+    "doc_chunking",
+    "doc_fingerprint",
+    "embed_ann_ivf",
+    "embed_near_dup",
+    "json_extract",
+    "map_in_pandas",
+    "multimodal_binary",
+    "pii_scrub",
+    "sql_tpch_q3like",
+    "sql_tpch_q5like",
+    "text_language_id",
+    "text_quality_score",
+    "text_stats",
+    "text_tokenize_wordcount",
+    "udaf_applyInPandas",
+    "udf_pandas",
+    "udf_python",
+    "udtf_python",
+    "agg_percentiles",
+    "events_resample_1h",
+    "sql_parameterized",
+    "struct_ops",
+    "text_token_count",
+    "values_inline",
+    "window_distribution",
+    "scan_csv",
+    "scan_json",
+    "scan_text",
+    "agg_histogram",
+    "codec_avro_container",
+    "codec_protobuf_roundtrip",
+    "decontaminate_ngram",
+    "dedup_semantic_capped",
+    "events_interpolate_linear",
+    "events_resample_ohlc",
+    "join_bloom_runtime_filter",
+    "join_range_binned",
+    "join_skew_aqe",
+    "layout_zorder",
 ]
 
 

@@ -1905,3 +1905,52 @@ def test_state_metadata_lists_profile_map_and_timers(spark):
     assert variables["profile"] == "MapState"
     assert not any(v.get("ttlEnabled") for v in props["stateVariables"])
     assert any(t == "TimerState" for t in variables.values())
+
+
+def test_tws_map_rounding_margins_have_ulp_headroom():
+    """VERDICT r17 item 3: scan_state_tws_map's hash contract is
+    round(sum, 2) over ORDER-OF-ACCUMULATION doubles — the TWS state
+    accumulates per-batch pandas partials while DuckDB sums in scan
+    order, so the two raw sums can differ by ~1 ulp. The contract is
+    safe iff no per-(user, type) and no per-user raw sum sits within
+    fp-accumulation error of a round-to-2dp DECISION boundary (the odd
+    multiples of 0.005; even multiples are interior — 2dp-generated
+    data lands ~1e-13 from multiples of 0.01 by construction, which is
+    fine). This computes the correctly-rounded true sum (math.fsum)
+    for every group at all three shipped SFs and asserts its exact
+    distance (Fraction arithmetic) from the nearest odd multiple of
+    0.005 exceeds 1e-9 — above the worst-case reordering error bound
+    (n · Σ|v| · 2⁻⁵² ≈ 5e-10 for the largest per-user group at sf0.1),
+    so any accumulation order rounds identically. Same discipline as
+    test_profile_never_ms_matches_duckdb_epoch_ms pins the µs→ms floor.
+    If a margin ever comes back tight on regenerated data, re-spell the
+    key in 1e-2 fixed point at its next evidence-window slot."""
+    from fractions import Fraction
+    from math import fsum
+
+    import pyarrow.parquet as pq
+
+    def margin(total: float) -> Fraction:
+        # exact distance of `total` to the nearest odd multiple of 1/200
+        q = Fraction(total) * 200
+        n = round(q)
+        cands = [n] if n % 2 else [n - 1, n + 1]
+        return min(abs(q - c) for c in cands) / 200
+
+    eps = Fraction(1, 10**9)
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        df = pq.read_table(
+            f"/root/testdata/{sf}/events.parquet",
+            columns=["user_id", "event_type", "value"],
+        ).to_pandas()
+        sums = [
+            fsum(g)
+            for _, g in df.groupby(["user_id", "event_type"])["value"]
+        ] + [fsum(g) for _, g in df.groupby("user_id")["value"]]
+        tight = [s for s in sums if margin(s) <= eps]
+        assert not tight, (
+            f"{sf}: {len(tight)} raw state sums within 1e-9 of a 0.005 "
+            f"rounding boundary (e.g. {tight[:3]}) — the round(…,2) hash "
+            "contract has no ulp headroom; re-spell scan_state_tws_map in "
+            "fixed point"
+        )
