@@ -435,3 +435,46 @@ def test_sen_selection_windows_are_bucketed(spark):
         assert spec is not None and re.search(
             r"bkt#\d+L?(?! (ASC|DESC))", spec.group(1)
         ), "slope-sorting window not bucket-partitioned: " + w[:200]
+
+
+def test_plan_lint_fingerprint_extraction():
+    """scripts/plan_lint.py's node-count fingerprint (VERDICT r17 item
+    4) must tokenize plan text without double-counting: Broadcast/
+    ReusedExchange are not plain Exchange, WindowGroupLimit/
+    WindowInPandas are not Window — a drift here would silently corrupt
+    every counts_changed_vs_prev diff from the round it lands."""
+    import importlib.util
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parent.parent / "scripts" / "plan_lint.py"
+    spec = importlib.util.spec_from_file_location("plan_lint", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    plan = (
+        "AdaptiveSparkPlan\n"
+        "+- Exchange hashpartitioning(user_id#1, 32)\n"
+        "   +- BroadcastExchange HashedRelationBroadcastMode\n"
+        "      +- ReusedExchange [a#2], Exchange rangepartitioning(x ASC)\n"
+        "         +- WindowGroupLimit [rank#3], Final\n"
+        "            +- Window [row_number()], [user_id#1], [ts#4 ASC]\n"
+        "               +- WindowInPandas [udf(v#5)], [doc#6]\n"
+        "                  +- SortMergeJoin [k#7], [k#8], Inner\n"
+        "                     +- BroadcastHashJoin LeftOuter, BuildRight\n"
+        "                        +- BroadcastNestedLoopJoin BuildLeft\n"
+        "                           +- CartesianProduct\n"
+        "                              +- ShuffledHashJoin [j#9]\n"
+    )
+    assert mod.plan_counts(plan) == {
+        "Exchange": 2,
+        "BroadcastExchange": 1,
+        "ReusedExchange": 1,
+        "WindowGroupLimit": 1,
+        "Window": 1,
+        "WindowInPandas": 1,
+        "SortMergeJoin": 1,
+        "BroadcastHashJoin": 1,
+        "BroadcastNestedLoopJoin": 1,
+        "CartesianProduct": 1,
+        "ShuffledHashJoin": 1,
+    }
