@@ -211,3 +211,66 @@ def test_frozen_baseline_keys_still_registered():
     assert len(frozen) == 96 and len(set(frozen)) == 96
     missing = [k for k in frozen if k not in QUERIES]
     assert not missing, f"frozen baseline keys missing from registry: {missing}"
+
+
+def test_driver_window_is_r18_rotation():
+    # The r18 evidence window, key-for-key (VERDICT r17 item 1): the 2
+    # zero-evidence r17 keys, the 4 r11-evidence leftovers, then the 44
+    # stalest r12-cohort keys by (first-seen round, name). Pinned as a
+    # literal so an accidental registry reorder (or a module import
+    # dropping a key) can't silently burn driver slots before the
+    # round's CORRECTNESS artifact lands. Update alongside _KEY_PRIORITY
+    # each rotation.
+    expected = [
+        "scan_state_tws_map",
+        "scan_state_tws_timers",
+        "map_hof",
+        "multimodal_decode_bmp",
+        "stream_codec_protobuf",
+        "text_bm25_search",
+        "join_full",
+        "join_left",
+        "join_right",
+        "scan_orc",
+        "scan_python_datasource",
+        "sql_group_by_all",
+        "stream_python_datasource",
+        "stream_sink_python_datasource",
+        "udaf_applyInArrow",
+        "write_python_datasource",
+        "agg_linear_regression",
+        "agg_mode",
+        "agg_quantile_sketch",
+        "corpus_mix_temperature",
+        "dedup_passage",
+        "dq_profile",
+        "events_anomaly_zscore",
+        "events_autocorr_lag1",
+        "events_changepoint_meanshift",
+        "join_asof_tolerance",
+        "maintenance_compact_files",
+        "scan_csv_malformed",
+        "scan_json_corrupt",
+        "scan_parquet_merge_schema",
+        "sql_ctas_insert",
+        "sql_pivot_clause",
+        "sql_tpch_q10like",
+        "sql_tpch_q11like",
+        "sql_tpch_q12like",
+        "sql_tpch_q13like",
+        "sql_tpch_q14like",
+        "sql_tpch_q15like",
+        "sql_tpch_q17like",
+        "sql_tpch_q19like",
+        "sql_tpch_q20like",
+        "sql_tpch_q21like",
+        "sql_tpch_q22like",
+        "sql_tpch_q4like",
+        "sql_tpch_q6like",
+        "sql_tpch_q8like",
+        "sql_tpch_q9like",
+        "stat_approx_quantile",
+        "stat_crosstab",
+        "stat_freq_items",
+    ]
+    assert list(QUERIES)[:50] == expected
