@@ -388,7 +388,13 @@ def _threshold_pairs_prefix(
     # scale this is the standard persisted intermediate of a multi-
     # consumer DAG (checkpoint/cache the tokenized corpus, not the text).
     items = d.select("lang", "doc_id", item_col.alias("items")).localCheckpoint()
-    tok = items.select("lang", "doc_id", F.explode("items").alias("tok"))
+    # n = |item set| rides the explode as size(items) (r18): the items
+    # are distinct by construction, so the set size IS the per-doc token
+    # count — the previous count()-over-(doc_id) window recomputed it
+    # with a second Window pass over the token stream for nothing.
+    tok = items.select(
+        "lang", "doc_id", F.size("items").alias("n"), F.explode("items").alias("tok")
+    )
     # global document frequency — rare items first makes prefixes selective
     df_ = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     w_doc = Window.partitionBy("doc_id").orderBy("df", "tok")
@@ -399,7 +405,6 @@ def _threshold_pairs_prefix(
     prefix = (
         tok.join(df_, "tok")
         .withColumn("rnk", F.row_number().over(w_doc))
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
         .filter(F.col("rnk") <= F.col("n") - min_overlap + 1)
         .select("lang", "doc_id", "tok", "n")
     )
@@ -582,18 +587,15 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = d.select(
         "lang", "doc_id", shingles.alias("items")
     ).localCheckpoint()  # three consumers: prefix explode + both join-backs
+    # n = |item set| rides the explode (r18) — see _threshold_pairs_prefix
     tok = items.select(
-        "lang", "doc_id", F.explode("items").alias("tok")
+        "lang", "doc_id", F.size("items").alias("n"), F.explode("items").alias("tok")
     )
     df_ = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     w_doc = Window.partitionBy("doc_id").orderBy("df", "tok")
     # ⌈0.8·n⌉ in exact integers (the _threshold_pairs_prefix discipline)
     min_overlap = F.expr("(8L * n + 9) div 10")
-    ranked = (
-        tok.join(df_, "tok")
-        .withColumn("rnk", F.row_number().over(w_doc))
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
-    )
+    ranked = tok.join(df_, "tok").withColumn("rnk", F.row_number().over(w_doc))
     prefix = ranked.filter(F.col("rnk") <= F.col("n") - min_overlap + 1).select(
         "lang", F.col("doc_id").alias("a_id"), "tok"
     )
@@ -738,7 +740,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]),
         )
     )
-    sh = d.select("lang", "doc_id", F.explode(shingles).alias("token"))
+    # materialize the shingle sets ONCE (r18): three consumers read them —
+    # the minhash explode and both verify join-backs — and the shingle
+    # build is an interpreted higher-order fold over every document, the
+    # dominant per-row cost (the _threshold_pairs_prefix lesson applied
+    # here; the un-checkpointed plan recomputed it 3× from raw text).
+    items = d.select("lang", "doc_id", shingles.alias("items")).localCheckpoint()
+    sh = items.select("lang", "doc_id", F.explode("items").alias("token"))
     K, BANDS = 12, 4
     per_band = K // BANDS
     # NOTE (r4, measured): explode + groupBy-min is the FAST formulation
@@ -778,7 +786,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
         .distinct()
     )
-    items = d.select("doc_id", shingles.alias("items"))
     verified = (
         cand.join(items.select(F.col("doc_id").alias("a_id"), F.col("items").alias("a_items")), "a_id")
         .join(items.select(F.col("doc_id").alias("b_id"), F.col("items").alias("b_items")), "b_id")
@@ -1337,7 +1344,14 @@ def connected_components(sym: DataFrame, max_iters: int = 20) -> DataFrame:
     stable under neighbor-min — equal across every edge, hence constant
     per component. ``localCheckpoint`` truncates lineage each iteration
     so plans don't grow; the driver only ever sees a changed counter,
-    never the data."""
+    never the data.
+
+    r18 optimization audit: a one-checkpoint-per-iteration variant (the
+    jump self-join recomputing the neighbor step inside one job instead
+    of paying the second barrier, plus the pagerank partitions=2 conf
+    guard) was built and A/B'd alternating in a single session at sf0.1
+    — measured WASH (old 6.75 s / new 7.36 s medians, spreads
+    overlapping), so this shape is kept as-is."""
     labels = (
         sym.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
@@ -1709,6 +1723,12 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     is_eval = F.col("source").isin(*_DECON_EVAL_SRC)
+    # NOT checkpointed (r18, measured): the two consumers are DISJOINT
+    # slices — the eval branch's source filter pushes below the 5-gram
+    # fold to the scan, so each document is shingled exactly once across
+    # both branches already; a materialization here only adds a barrier
+    # (probed: wash at sf0.1, and strictly worse at scale because the
+    # train side would pay a full write+read of its shingle stream).
     exploded = d.select("doc_id", "source", F.explode(shingles).alias("g"))
     ev = exploded.filter(is_eval).select("g").distinct()
     hits = (

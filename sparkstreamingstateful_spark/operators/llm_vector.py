@@ -73,16 +73,30 @@ def embed_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     window (rank materialized; ranking deterministic — see module
     docstring)."""
     e = load_table(spark, sf_dir, "embeddings")
-    probes = e.filter(F.col("vec_id").isin(*PROBE_IDS)).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p_emb")
+    # Cast + norm staged ONCE per row on each side (r18): _cosine's naive
+    # form recasts both vectors and refolds dot(a,a)/dot(b,b) for EVERY
+    # pair — 2 casts + 3 interpreted folds per pair where 1 fold suffices
+    # (the embed_pairwise_label discipline). sqrt(dot(x,x)) is the
+    # identical IEEE fold either way and the final expression multiplies
+    # the same values in the same order, so cos_sim is bit-unchanged.
+    corpus = e.select("vec_id", _dvec("embedding").alias("v")).withColumn(
+        "nv", F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
+    probes = corpus.filter(F.col("vec_id").isin(*PROBE_IDS)).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("p_v"),
+        F.col("nv").alias("p_nv"),
     )
     sims = (
-        e.crossJoin(F.broadcast(probes))
+        corpus.crossJoin(F.broadcast(probes))
         .filter(F.col("vec_id") != F.col("probe_id"))
         .select(
             "probe_id",
             F.col("vec_id").alias("neighbor_id"),
-            _cosine(_dvec("p_emb"), _dvec("embedding")).alias("cos_sim"),
+            (
+                _dot(F.col("p_v"), F.col("v"))
+                / (F.col("p_nv") * F.col("nv"))
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
@@ -295,7 +309,18 @@ def embed_near_dup(
     bucketing pipeline; the oracle replays signatures, banding, and
     scoring from the shared md5 codebook."""
     e = load_table(spark, sf_dir, "embeddings")
-    dv = e.select("vec_id", _dvec("embedding").alias("v"))
+    # Cast once, norm once, materialize once (r18): three consumers read
+    # dv (the signature pass and both scoring join-backs), and without
+    # the checkpoint Catalyst's projection collapse inlined the element-
+    # wise double-cast into every one of the 32 interpreted plane folds.
+    # nv = sqrt(dot(v,v)) is _cosine's own fold staged per row, so the
+    # candidate scoring below is 1 fold/pair instead of 3 with cos_sim
+    # bit-unchanged (the embed_pairwise_label discipline).
+    dv = (
+        e.select("vec_id", _dvec("embedding").alias("v"))
+        .withColumn("nv", F.sqrt(_dot(F.col("v"), F.col("v"))))
+        .localCheckpoint()
+    )
     # default config reuses the module-level codebook (2048 md5 calls
     # otherwise recomputed per invocation)
     planes = (
@@ -339,9 +364,30 @@ def embed_near_dup(
         .distinct()
     )
     scored = (
-        cand.join(dv.select(F.col("vec_id").alias("a_id"), F.col("v").alias("a_v")), "a_id")
-        .join(dv.select(F.col("vec_id").alias("b_id"), F.col("v").alias("b_v")), "b_id")
-        .select("a_id", "b_id", _cosine(F.col("a_v"), F.col("b_v")).alias("cos_sim"))
+        cand.join(
+            dv.select(
+                F.col("vec_id").alias("a_id"),
+                F.col("v").alias("a_v"),
+                F.col("nv").alias("a_nv"),
+            ),
+            "a_id",
+        )
+        .join(
+            dv.select(
+                F.col("vec_id").alias("b_id"),
+                F.col("v").alias("b_v"),
+                F.col("nv").alias("b_nv"),
+            ),
+            "b_id",
+        )
+        .select(
+            "a_id",
+            "b_id",
+            (
+                _dot(F.col("a_v"), F.col("b_v"))
+                / (F.col("a_nv") * F.col("b_nv"))
+            ).alias("cos_sim"),
+        )
     )
     return scored.select(
         "a_id",
@@ -397,15 +443,21 @@ _IVF_ORACLE = f"""
 """
 
 
-def _ivf_shortlist(e: DataFrame, k: int, nprobe: int = 1) -> DataFrame:
-    """The IVF approximate top-k plan over an (vec_id, label, embedding)
-    corpus: per-label centroids as the trained codebook, broadcast cell
-    assignment for the probe panel, search restricted to the probe's
-    ``nprobe`` nearest cells, per-probe top-k. Returns (probe_id,
-    neighbor_id, cos_sim, rank) with ``rank <= k`` — shared by
-    embed_ann_ivf (k=5, nprobe=1) and the recall contract
-    embed_ann_recall (k=10 at nprobe 1 and 3 vs exact top-10)."""
-    centroids = (
+def _ivf_corpus(e: DataFrame) -> DataFrame:
+    """(vec_id, label, v, nv) — embeddings double-cast + norm staged once
+    per row (r18): the shortlist's candidate scoring refolded dot(e,e)
+    and recast both vectors per pair; same IEEE folds, 1/3 the work."""
+    return e.select("vec_id", "label", _dvec("embedding").alias("v")).withColumn(
+        "nv", F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
+
+
+def _ivf_centroids(e: DataFrame) -> DataFrame:
+    """Per-label centroid codebook (cell, centroid) — split out of
+    `_ivf_shortlist` so embed_ann_recall's two shortlist calls share ONE
+    computed codebook instead of re-aggregating the corpus per nprobe
+    setting."""
+    return (
         e.select("label", F.posexplode(_dvec("embedding")).alias("pos", "x"))
         .groupBy("label", "pos")
         .agg(F.avg("x").alias("c"))
@@ -417,30 +469,61 @@ def _ivf_shortlist(e: DataFrame, k: int, nprobe: int = 1) -> DataFrame:
         )
         .select(F.col("label").alias("cell"), "centroid")
     )
-    # assign probes to their nearest cell (broadcast codebook)
-    probes = e.filter(F.col("vec_id").isin(*PROBE_IDS)).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p_emb")
+
+
+def _ivf_shortlist(
+    e: DataFrame,
+    k: int,
+    nprobe: int = 1,
+    centroids: DataFrame | None = None,
+    corpus: DataFrame | None = None,
+) -> DataFrame:
+    """The IVF approximate top-k plan over an (vec_id, label, embedding)
+    corpus: per-label centroids as the trained codebook, broadcast cell
+    assignment for the probe panel, search restricted to the probe's
+    ``nprobe`` nearest cells, per-probe top-k. Returns (probe_id,
+    neighbor_id, cos_sim, rank) with ``rank <= k`` — shared by
+    embed_ann_ivf (k=5, nprobe=1) and the recall contract
+    embed_ann_recall (k=10 at nprobe 1 and 3 vs exact top-10), which
+    passes precomputed ``centroids``/``corpus`` so its two calls share
+    one codebook aggregation and one staged-norm corpus."""
+    if centroids is None:
+        centroids = _ivf_centroids(e)
+    if corpus is None:
+        corpus = _ivf_corpus(e)
+    # assign probes to their nearest cell (broadcast codebook); the probe
+    # panel rides the staged cast+norm too (p_nv = sqrt(dot(p,p)), the
+    # identical fold _cosine ran inline)
+    probes = corpus.filter(F.col("vec_id").isin(*PROBE_IDS)).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("p_v"),
+        F.col("nv").alias("p_nv"),
     )
     w_cell = Window.partitionBy("probe_id").orderBy(F.col("cell_sim").desc(), "cell")
+    cn = F.sqrt(_dot(F.col("centroid"), F.col("centroid")))
     probe_cells = (
         probes.crossJoin(F.broadcast(centroids))
         .select(
-            "probe_id", "p_emb", "cell",
-            _cosine(_dvec("p_emb"), F.col("centroid")).alias("cell_sim"),
+            "probe_id", "p_v", "p_nv", "cell",
+            (_dot(F.col("p_v"), F.col("centroid")) / (F.col("p_nv") * cn)).alias(
+                "cell_sim"
+            ),
         )
         .withColumn("rn", F.row_number().over(w_cell))
         .filter(F.col("rn") <= nprobe)
-        .select("probe_id", "p_emb", "cell")
+        .select("probe_id", "p_v", "p_nv", "cell")
     )
     # search only the probe's nprobe cells (corpus pre-bucketed by label =
     # cell id; a vector belongs to exactly one cell, so no dedup needed)
-    cand = probe_cells.join(e, probe_cells.cell == e.label).filter(
+    cand = probe_cells.join(corpus, probe_cells.cell == corpus.label).filter(
         F.col("vec_id") != F.col("probe_id")
     )
     sims = cand.select(
         "probe_id",
         F.col("vec_id").alias("neighbor_id"),
-        _cosine(_dvec("p_emb"), _dvec("embedding")).alias("cos_sim"),
+        (_dot(F.col("p_v"), F.col("v")) / (F.col("p_nv") * F.col("nv"))).alias(
+            "cos_sim"
+        ),
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
     return (
@@ -589,26 +672,40 @@ def embed_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan — the measurement harness, run on a sample at 100 TB); IVF side
     is the production equi-join path ×nprobe. Recall join per-probe tiny."""
     e = load_table(spark, sf_dir, "embeddings")
-    probes = e.filter(F.col("vec_id").isin(*PROBE_IDS)).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p_emb")
+    # Three pipelines (exact, ivf@1, ivf@3) share ONE staged corpus
+    # (cast + norm per row) and ONE computed codebook (r18): the naive
+    # composition re-aggregated the centroids per nprobe setting and
+    # recast/refolded vectors per pair — 2 codebook aggregations and
+    # 3 folds/pair collapse to 1 and 1 (same IEEE expressions, values
+    # bit-unchanged; multi-consumer intermediates are checkpointed per
+    # the _threshold_pairs_prefix discipline).
+    corpus = _ivf_corpus(e).localCheckpoint()
+    centroids = _ivf_centroids(e).localCheckpoint()
+    probes = corpus.filter(F.col("vec_id").isin(*PROBE_IDS)).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("p_v"),
+        F.col("nv").alias("p_nv"),
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
     exact = (
-        e.crossJoin(F.broadcast(probes))
+        corpus.crossJoin(F.broadcast(probes))
         .filter(F.col("vec_id") != F.col("probe_id"))
         .select(
             "probe_id",
             F.col("vec_id").alias("neighbor_id"),
-            _cosine(_dvec("p_emb"), _dvec("embedding")).alias("cos_sim"),
+            (
+                _dot(F.col("p_v"), F.col("v"))
+                / (F.col("p_nv") * F.col("nv"))
+            ).alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 10)
         .select("probe_id", "neighbor_id")
     )
-    ivf1 = _ivf_shortlist(e, 10, nprobe=1).select(
+    ivf1 = _ivf_shortlist(e, 10, nprobe=1, centroids=centroids, corpus=corpus).select(
         "probe_id", "neighbor_id", F.lit(1).alias("hit1")
     )
-    ivf3 = _ivf_shortlist(e, 10, nprobe=3).select(
+    ivf3 = _ivf_shortlist(e, 10, nprobe=3, centroids=centroids, corpus=corpus).select(
         "probe_id", "neighbor_id", F.lit(1).alias("hit3")
     )
     hits = (
@@ -832,7 +929,13 @@ def semdedup_plan(e: DataFrame) -> DataFrame:
     """The dedup_semantic plan over any (vec_id, label, embedding) frame —
     split out so tests can drive edge-case vectors (all-zero) the corpus
     lacks (same discipline as quantize_int8_plan)."""
-    assigned = _semdedup_assign(e)
+    # materialize the assignment ONCE (r18): three consumers read it
+    # (both sides of the intra-cell pair join and the final keep join) —
+    # un-checkpointed, the vec_id-keyed final join could not reuse the
+    # cell-keyed pair exchanges and re-ran the whole assign pipeline,
+    # broadcast-codebook aggregation included (the
+    # _threshold_pairs_prefix multi-consumer discipline).
+    assigned = _semdedup_assign(e).localCheckpoint()
     a, b = assigned.alias("a"), assigned.alias("b")
     dropped = (
         a.join(
@@ -990,15 +1093,21 @@ def semdedup_capped_plan(e: DataFrame) -> DataFrame:
     """The dedup_semantic_capped plan over any (vec_id, label, embedding)
     frame — split out so tests can drive a pathological single-cell
     corpus and verify the cap binds (sub-cell pair isolation)."""
-    assigned = _semdedup_assign(e)
+    # assign pipeline materialized once (r18): counts' broadcast build
+    # and sub's probe side both read it (same rationale as semdedup_plan)
+    assigned = _semdedup_assign(e).localCheckpoint()
     counts = assigned.groupBy("cell").agg(
         F.expr(
             f"CAST((count(*) + {_SEMDEDUP_CELL_CAP - 1})"
             f" DIV {_SEMDEDUP_CELL_CAP} AS BIGINT)"
         ).alias("m")
     )
-    sub = assigned.join(F.broadcast(counts), "cell").withColumn(
-        "subcell", F.col("vec_id") % F.col("m")
+    sub = (
+        assigned.join(F.broadcast(counts), "cell")
+        .withColumn("subcell", F.col("vec_id") % F.col("m"))
+        # three consumers (both pair-join sides + the final keep join) —
+        # same materialize-once rationale as semdedup_plan
+        .localCheckpoint()
     )
     a, b = sub.alias("a"), sub.alias("b")
     dropped = (
@@ -1284,8 +1393,19 @@ def _pq_train_cached(spark: SparkSession, sf_dir: str, e: DataFrame):
     tag = _dir_tag(sf_dir, "embeddings")
     per_session = _PQ_MODEL_CACHE.setdefault(spark, {})
     if tag not in per_session:
-        trained = []
-        for s in range(_PQ_M):
+        # The 4 subspace trainings are mutually independent Lloyd loops
+        # whose per-round jobs are tiny (k×subdim update aggregates), so
+        # the wall-clock cost is driver round-trips, not compute. Run
+        # them from a small thread pool so each training's next job
+        # back-fills executors idled by the others' stragglers — the
+        # guide's overlap-independent-jobs pattern. Each training is
+        # internally sequential and deterministic, so results are
+        # byte-identical to the serial loop.
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        def train(s: int):
             sub = e.select(
                 "vec_id",
                 F.slice(
@@ -1295,8 +1415,12 @@ def _pq_train_cached(spark: SparkSession, sf_dir: str, e: DataFrame):
             res, cents = kmeans_fixed_train(
                 sub, k=_PQ_K, iters=_PQ_ITERS, dim=_PQ_SUBDIM
             )
-            trained.append((res.localCheckpoint(), cents))
-        per_session[tag] = trained
+            return res.localCheckpoint(), cents
+
+        with ThreadPoolExecutor(max_workers=_PQ_M) as pool:
+            per_session[tag] = list(
+                pool.map(inheritable_thread_target(train), range(_PQ_M))
+            )
     return per_session[tag]
 
 
