@@ -34,7 +34,14 @@ Flags (each needs human triage — a hit is a QUESTION, not a verdict):
 3. ``collect_list`` / ``collect_set`` — unbounded agg state unless
    capped. r16 triage: all hits are cap-bounded (posting cap, top-k
    slices, per-doc token lists bounded by doc length) or
-   collect-to-driver probe panels of fixed size.
+   collect-to-driver probe panels of fixed size. r18 adds ONE hit:
+   graph_triangle_count's out-neighborhood arrays (the wedge-free
+   intersection plan) — bounded at O(sqrt m) elements per node by the
+   degree orientation (max out-degree 97 at sf0.1 on a 1.2M-edge
+   graph), never a hub-sized blob; r18 also REMOVES the
+   dedup_semantic/dedup_semantic_capped and embed_ann_recall codebook
+   hits (their collect_list codebooks now build once behind a
+   localCheckpoint instead of once per consumer).
 
 Beyond the flag detectors, the sweep records a per-key PLAN-NODE-COUNT
 fingerprint (VERDICT r17 item 4): counts of the scale-relevant physical
