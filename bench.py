@@ -1,13 +1,18 @@
 """Benchmark runner — per-query wall-clock at $SPARK_GRAFT_SF_DIR.
 
-Prints TWO JSON lines (VERDICT r14 item 2):
+Prints THREE JSON lines (VERDICT r14 item 2; r18 item 2 added the middle
+one — additions only, the summary line stays LAST):
     {"queries": {key: sec, ...}, ..., "metric": "suite_wall_clock",
      "value": <total sec>, "unit": "sec", "sf": <dir>}        # full
+    {"top_movers": true, "n_common": N,
+     "movers": {key: [prev_s, now_s], ...}}                    # <1 KB
     {"metric": "suite_wall_clock", "value": <total sec>, "unit": "sec",
      "n_keys": N, "n_errors": E, "sf": <dir>}                  # short
 The short line is last so it survives the driver's 2000-char stdout
 tail capture intact and machine-parses even when the full line (~10 KB)
-is truncated at the front.
+is truncated at the front; top_movers sits immediately above it so the
+10 largest per-key deltas vs the previous committed bench_full.json
+also land inside the tail.
 
 Protocol (BASELINE.md): local[$SPARK_GRAFT_CPUS], AQE on, one warm-up of the
 flagship, then one timed run per registered query (action = noop-format
@@ -37,6 +42,26 @@ os.environ["PYTHONPATH"] = (
 
 from sparkstreamingstateful_spark import registry
 from sparkstreamingstateful_spark.session import get_spark
+
+
+def top_movers(prev: dict, now: dict, k: int = 10) -> dict | None:
+    """The <1 KB movers payload (VERDICT r18 item 2): the k largest
+    absolute per-key deltas between two per-key timing tables, errored
+    keys (negative timings) excluded on either side. None when no keys
+    are comparable (first run / previous table missing)."""
+    common = [
+        key for key, t in now.items() if t >= 0 and prev.get(key, -1.0) >= 0
+    ]
+    movers = sorted(
+        common, key=lambda key: abs(now[key] - prev[key]), reverse=True
+    )[:k]
+    if not movers:
+        return None
+    return {
+        "top_movers": True,
+        "n_common": len(common),
+        "movers": {key: [prev[key], now[key]] for key in movers},
+    }
 
 
 def main() -> None:
@@ -72,6 +97,18 @@ def main() -> None:
         # it adds up to 15× run-to-run noise on large outputs (measured:
         # join_multikey 5.9 s solo vs 98 s in a suite run, identical plan).
         df.write.format("noop").mode("overwrite").save()
+
+    # Previous run's per-key table (for the top_movers line below): read
+    # BEFORE this run overwrites bench_full.json. In the driver's flow the
+    # on-disk file is the committed previous round's median run, so the
+    # deltas are exactly the round-over-round per-query comparison PERF
+    # kept reporting as empty (VERDICT r18 item 2).
+    prev_timings: dict[str, float] = {}
+    try:
+        with open(os.path.join(_REPO, "bench_full.json")) as f:
+            prev_timings = json.load(f).get("queries", {}) or {}
+    except Exception:
+        pass
 
     timings: dict[str, float] = {}
     for key in sorted(queries):
@@ -142,6 +179,17 @@ def main() -> None:
     except Exception as exc:
         print(f"# frozen96 subset not computed: {exc}", file=sys.stderr)
         frozen96 = None
+    # Compact per-query movers line (VERDICT r18 item 2): the 10 largest
+    # absolute per-key deltas vs the previous bench_full.json, <1 KB, so
+    # the driver's 2000-char stdout tail regains per-query visibility.
+    # Additions-only — printed ABOVE the summary line, which stays LAST
+    # (the machine-parse contract).
+    try:
+        movers_line = top_movers(prev_timings, timings)
+        if movers_line is not None:
+            print(json.dumps(movers_line))
+    except Exception as exc:
+        print(f"# top_movers not computed: {exc}", file=sys.stderr)
     n_ok = sum(1 for t in timings.values() if t >= 0)
     print(json.dumps({
         "summary": True,

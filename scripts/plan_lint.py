@@ -38,7 +38,10 @@ Flags (each needs human triage — a hit is a QUESTION, not a verdict):
    graph_triangle_count's out-neighborhood arrays (the wedge-free
    intersection plan) — bounded at O(sqrt m) elements per node by the
    degree orientation (max out-degree 97 at sf0.1 on a 1.2M-edge
-   graph), never a hub-sized blob; r18 also REMOVES the
+   graph), never a hub-sized blob; since r19 the lint MEASURES that
+   bound at its own SF and emits it next to the flag
+   (``collect_list_max_outdegree`` vs ``collect_list_sqrt_2m_bound`` —
+   VERDICT r18 item 6); r18 also REMOVES the
    dedup_semantic/dedup_semantic_capped and embed_ann_recall codebook
    hits (their collect_list codebooks now build once behind a
    localCheckpoint instead of once per consumer).
@@ -149,6 +152,26 @@ def main() -> None:
         n_row_py = plan.count("BatchEvalPython")
         if n_row_py:
             flags["row_python_eval"] = n_row_py
+        if key == "graph_triangle_count" and "collect_list" in flags:
+            # VERDICT r18 item 6: the adjacency collect_list's O(sqrt m)
+            # bound is a MEASURED number in the lint output, not a
+            # docstring claim — max out-degree under the (degree, id)
+            # orientation at the lint SF.
+            try:
+                from sparkstreamingstateful_spark.operators.graphs import (
+                    copurchase_edges,
+                    max_oriented_outdegree,
+                )
+
+                edges = copurchase_edges(spark, sf)
+                flags["collect_list_max_outdegree"] = max_oriented_outdegree(
+                    edges
+                )
+                flags["collect_list_sqrt_2m_bound"] = int(
+                    (2 * edges.count()) ** 0.5
+                )
+            except Exception as exc:
+                flags["collect_list_max_outdegree_err"] = str(exc)[:120]
         if flags:
             report[key] = flags
     changed: dict[str, dict] = {}

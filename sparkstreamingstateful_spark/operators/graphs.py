@@ -44,8 +44,8 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
     Algorithm: DEGREE-ORIENTED wedge enumeration (Suri & Vassilvitskii,
     WWW'11 "Counting Triangles and the Curse of the Last Reducer" —
     public paper): orient every edge from the (degree, id)-smaller
-    endpoint to the larger, enumerate wedges at each node's out-
-    neighborhood, close them against the canonical edge list. Out-degree
+    endpoint to the larger, then close each oriented edge's wedges via
+    out-neighborhood intersection (the r18 shape below). Out-degree
     is bounded by O(sqrt(m)) under this orientation, so wedge volume is
     O(m^1.5) even with skewed hubs — a canonical-id orientation (what a
     straight SQL triple-join does) instead puts every hub wedge on
@@ -74,7 +74,7 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
     exchange outright" move. Identical triangle set by the apex
     argument above (unit-pinned on clique/path/hub graphs; H-check
     hash unchanged at sf0.001/0.01/0.1)."""
-    pairs = pairs.localCheckpoint()  # orientation + wedge + closing all read it
+    pairs = pairs.localCheckpoint()  # two consumers: sym union + orientation join
     sym = pairs.union(
         pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
     ).select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
@@ -191,17 +191,56 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     `triangle_counts`. The oracle is the straight canonical triple-join
     (exact, fine at oracle SF); both enumerate the identical triangle
     set exactly once."""
+    return triangle_counts(copurchase_edges(spark, sf_dir))
+
+
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical part co-purchase edge list ``(a_id, b_id)``, a_id < b_id
+    (the graph_triangle_count substrate; also used by plan_lint's
+    max-out-degree triage measurement)."""
     li = load_table(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct()
     a = op.select("l_orderkey", F.col("l_partkey").alias("a_id"))
     b = op.select("l_orderkey", F.col("l_partkey").alias("b_id"))
-    edges = (
+    return (
         a.join(b, "l_orderkey")
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
         .distinct()
     )
-    return triangle_counts(edges)
+
+
+def max_oriented_outdegree(pairs: DataFrame) -> int:
+    """Measured max out-degree of a canonical edge list under the
+    (degree, id) orientation — the O(sqrt m) bound `triangle_counts`'
+    adjacency ``collect_list`` relies on. plan_lint emits this next to
+    the collect_list flag (VERDICT r18 item 6) so the bound is a checked
+    number at the lint SF, not a docstring claim. Same orientation
+    expression as `triangle_counts` (kept in lockstep)."""
+    sym = pairs.union(
+        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    ).select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    deg = (
+        sym.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(F.col("src").alias("node"), "degree")
+    )
+    da = deg.select(F.col("node").alias("a_id"), F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b_id"), F.col("degree").alias("deg_b"))
+    ranked = pairs.join(da, "a_id").join(db, "b_id")
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a_id") < F.col("b_id"))
+    )
+    oriented = ranked.select(
+        F.when(a_first, F.col("a_id")).otherwise(F.col("b_id")).alias("u")
+    )
+    row = (
+        oriented.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.max("d").alias("m"))
+        .collect()[0]
+    )
+    return int(row["m"] or 0)
 
 
 _BFS_MAX_HOPS = 8

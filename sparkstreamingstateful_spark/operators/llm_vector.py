@@ -1417,9 +1417,13 @@ def _pq_train_cached(spark: SparkSession, sf_dir: str, e: DataFrame):
             )
             return res.localCheckpoint(), cents
 
+        # Pass the SESSION to inheritable_thread_target (ADVICE r18):
+        # the callable-only form emits "Spark session is not provided.
+        # Tags will not be inherited" and drops job tags/descriptions in
+        # the training threads; the session form inherits both.
         with ThreadPoolExecutor(max_workers=_PQ_M) as pool:
             per_session[tag] = list(
-                pool.map(inheritable_thread_target(train), range(_PQ_M))
+                pool.map(inheritable_thread_target(spark)(train), range(_PQ_M))
             )
     return per_session[tag]
 

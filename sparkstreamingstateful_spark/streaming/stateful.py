@@ -477,10 +477,13 @@ def make_sessionize_processor():
         batch — the r6 bench measured the original 9-call shape at
         3.6 ms/key-batch (27 s at sf0.1) vs 1.2 ms for the
         applyInPandasWithState twin. This version holds the hot path at
-        get + update + (deleteTimer? + registerTimer): the registered
-        timer and the closed-session count ride in the value state, so
-        listTimers scans and per-close ListState length reads are gone.
-        The ListState write stays on every close, and the EXPIRY path
+        get + update + (deleteTimer? + registerTimer) + (appendList?):
+        the registered timer and the closed-session count ride in the
+        value state, so listTimers scans and per-close ListState length
+        reads are gone, and all of a batch's closed-session starts go to
+        the ListState in ONE appendList call (r19 — per-close
+        appendValue was 95k calls / ~2 ms each at sf0.1, two thirds of
+        the operator's in-worker time). The EXPIRY path
         derives sess_seq from the list's length instead of the counter —
         the two bookkeeping sources must agree or the oracle hash
         mismatches, so the list stays load-bearing on the H-checked
@@ -512,7 +515,8 @@ def make_sessionize_processor():
                 if start_us is None:
                     start_us, last_us, n, s = ts_us, ts_us, 1, float(r.value)
                 elif ts_us - last_us >= GAP_US:
-                    closed.append(self._close(key, start_us, n, s, n_closed))
+                    closed.append((key[0], int(start_us), int(n), float(s),
+                                   int(n_closed)))
                     n_closed += 1
                     start_us, last_us, n, s = ts_us, ts_us, 1, float(r.value)
                 else:
@@ -526,7 +530,8 @@ def make_sessionize_processor():
                 # sessionize_fn's late-group branch). The stale timer (if
                 # any) may fire later; handleExpiredTimer sees start_us=-1
                 # and ignores it, so no deleteTimer round-trip is owed.
-                closed.append(self._close(key, start_us, n, s, n_closed))
+                closed.append((key[0], int(start_us), int(n), float(s),
+                               int(n_closed)))
                 n_closed += 1
                 self._sess.update((-1, -1, 0, 0.0, -1, int(n_closed)))
             else:
@@ -544,6 +549,17 @@ def make_sessionize_processor():
                         int(n_closed),
                     )
                 )
+            if closed:
+                # ONE appendList round-trip for the whole batch's closes
+                # instead of one appendValue per close (r19, measured:
+                # this corpus closes ~a session per event, so per-close
+                # appendValue was 95,465 state-server calls ≈ 160 s of
+                # 236 s total in-worker time at sf0.1; appendList is one
+                # call per key-batch). List contents and order unchanged:
+                # closes are appended in event order, and nothing reads
+                # the list between closes inside a batch — the expiry
+                # path still derives sess_seq from the list's length.
+                self._starts.appendList([(c[1],) for c in closed])
             yield pd.DataFrame(
                 closed,
                 columns=["user_id", "sess_start_us", "n_events", "sum_value", "sess_seq"],
