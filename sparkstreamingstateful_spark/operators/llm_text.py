@@ -402,11 +402,19 @@ def _threshold_pairs_prefix(
     # (double division is exact for small denominators but fragile if this
     # helper is ever reused with large ones; `div` keeps it exact always)
     min_overlap = F.expr(f"({tau_num}L * n + {tau_den - 1}) div {tau_den}")
+    # materialize the PREFIX rows once (r19): both sides of the candidate
+    # self-join read this frame, and without a checkpoint each side
+    # re-ran the df aggregation AND the per-doc rank window over the full
+    # token stream (plan-verified: 2 Window+Sort passes, 2 df aggs —
+    # column pruning renames the sides so ReusedExchange never matches,
+    # the r16 class). The frame is SMALL by construction — only the
+    # n − ⌈τ·n⌉ + 1 rarest tokens per doc survive the rank filter.
     prefix = (
         tok.join(df_, "tok")
         .withColumn("rnk", F.row_number().over(w_doc))
         .filter(F.col("rnk") <= F.col("n") - min_overlap + 1)
         .select("lang", "doc_id", "tok", "n")
+        .localCheckpoint()
     )
     # size-ratio prune (provable necessary condition, carried on the
     # prefix rows): J ≥ τ ⇒ overlap ≥ τ·max(|A|,|B|) and overlap ≤

@@ -256,3 +256,44 @@ def test_nested_repeated_parse_marks_parent_presence():
     # unpacked element appends; pre-fix code overwrote the container
     p.c.MergeFromString(bytes([0x08, 5]))
     assert list(p.c.xs) == [1, 300, 5]
+
+
+def test_copyfrom_matches_wire_roundtrip(sm):
+    """r19: CopyFrom became a direct field-level copy (the serialize+
+    parse hop was 61% of message-construction time on the TWS hot
+    path). Pin that the direct copy is byte-equivalent to the old
+    wire round-trip on a message exercising every branch: nested
+    submessage kwargs, oneof members, repeated fields, and presence."""
+    # nested oneof chain (the state client's exact construction shape)
+    get_call = sm.Get()
+    vsc = sm.ValueStateCall(stateName="sess", get=get_call)
+    svr = sm.StateVariableRequest(valueStateCall=vsc)
+    msg = sm.StateRequest(stateVariableRequest=svr)
+
+    via_wire = sm.StateRequest()
+    via_wire.MergeFromString(msg.SerializeToString())
+    via_copy = sm.StateRequest()
+    via_copy.CopyFrom(msg)
+    assert via_copy.SerializeToString() == via_wire.SerializeToString()
+    assert via_copy == msg
+    # presence propagated: the copied oneof member is active
+    assert via_copy.WhichOneof("method") == msg.WhichOneof("method")
+
+    # mutating the copy must not leak into the source (deep copy)
+    via_copy.stateVariableRequest.valueStateCall.stateName = "other"
+    assert msg.stateVariableRequest.valueStateCall.stateName == "sess"
+
+    # repeated bytes (AppendList carries repeated value payloads)
+    ap = sm.AppendList(value=[b"a", b"bb"], fetchWithArrow=False)
+    cp = sm.AppendList()
+    cp.CopyFrom(ap)
+    assert cp.SerializeToString() == ap.SerializeToString()
+    assert list(cp.value) == [b"a", b"bb"]
+
+    # copied-into message with a LISTENER still propagates presence up
+    outer = sm.ListStateCall(stateName="closed_starts")
+    outer.appendList.CopyFrom(ap)  # vivified child + CopyFrom
+    assert outer.HasField("appendList")
+    rt = sm.ListStateCall()
+    rt.MergeFromString(outer.SerializeToString())
+    assert rt.SerializeToString() == outer.SerializeToString()
