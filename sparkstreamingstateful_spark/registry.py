@@ -71,73 +71,21 @@ def query(name: str, oracle: str | None = None):
 # newest driver evidence is r11, then (c) 44 of the 49-key r12-evidence
 # cohort, stalest first by (first-seen round, name). Exactly 50; all H.
 _KEY_PRIORITY = [
-    # (a) The 2 keys staged in r17 with ZERO driver evidence.
-    "scan_state_tws_map",
-    "scan_state_tws_timers",
-    # (b) The 4 r11-evidence leftovers (the rest of that cohort was
-    # re-hashed in the r17 window).
-    "map_hof",
-    "multimodal_decode_bmp",
-    "stream_codec_protobuf",
-    "text_bm25_search",
-    # (c) 44 of the 49-key r12-evidence cohort, stalest first by
-    # (first-seen round, name).
-    "join_full",
-    "join_left",
-    "join_right",
-    "scan_orc",
-    "scan_python_datasource",
-    "sql_group_by_all",
-    "stream_python_datasource",
-    "stream_sink_python_datasource",
-    "udaf_applyInArrow",
-    "write_python_datasource",
-    "agg_linear_regression",
-    "agg_mode",
-    "agg_quantile_sketch",
-    "corpus_mix_temperature",
-    "dedup_passage",
-    "dq_profile",
-    "events_anomaly_zscore",
-    "events_autocorr_lag1",
-    "events_changepoint_meanshift",
-    "join_asof_tolerance",
-    "maintenance_compact_files",
-    "scan_csv_malformed",
-    "scan_json_corrupt",
-    "scan_parquet_merge_schema",
-    "sql_ctas_insert",
-    "sql_pivot_clause",
-    "sql_tpch_q10like",
-    "sql_tpch_q11like",
-    "sql_tpch_q12like",
-    "sql_tpch_q13like",
-    "sql_tpch_q14like",
-    "sql_tpch_q15like",
-    "sql_tpch_q17like",
-    "sql_tpch_q19like",
-    "sql_tpch_q20like",
-    "sql_tpch_q21like",
-    "sql_tpch_q22like",
-    "sql_tpch_q4like",
-    "sql_tpch_q6like",
-    "sql_tpch_q8like",
-    "sql_tpch_q9like",
-    "stat_approx_quantile",
-    "stat_crosstab",
-    "stat_freq_items",
-    # --- 50-key boundary. Below: every remaining key, stalest evidence
-    # first ((latest driver round, first-seen round, name) ascending) —
-    # the 5 r12-cohort keys that didn't fit lead the r19 window with the
-    # r13 cohort (5 + 46 = 51 candidates for 50 slots); the keys checked
-    # in the r17 window sit at the bottom as the freshest evidence.
-    # -- latest evidence r12 --
+    # r19 window (VERDICT r17's staleness-rotation design, staged by the
+    # r18 build session and executed here): the 5 r12-evidence keys that
+    # did not fit the r18 window plus the r13 cohort lead; 51 candidates
+    # for 50 slots, so the last r13 key (plus the r14+ cohorts below)
+    # leads the r20 window. The 50 keys checked in the r18 window
+    # (CORRECTNESS_r18, 50/50 green) moved to the BOTTOM as the freshest
+    # evidence. r19's changed keys are output-identical at all SFs
+    # (OPTIMIZATION_r19.md), so per the CLAUDE.md rule they yield their
+    # slots; stateful_sessionize_tws sits in the window anyway via the
+    # r13 cohort.
     "stat_sample_by",
     "text_gopher_quality",
     "text_repetition_ngram",
     "udtf_arrow",
     "write_dynamic_partition_overwrite",
-    # -- latest evidence r13 --
     "agg_approx",
     "seq_packing",
     "text_edit_distance",
@@ -184,7 +132,6 @@ _KEY_PRIORITY = [
     "text_url_filter",
     "udtf_table_arg",
     "window_distinct_rolling",
-    # -- latest evidence r14 --
     "filter_basic",
     "filter_conditional",
     "join_broadcast",
@@ -235,7 +182,6 @@ _KEY_PRIORITY = [
     "graph_shortest_path",
     "sql_distribute_cluster",
     "sql_tablesample",
-    # -- latest evidence r15 --
     "agg_collect",
     "agg_conditional_pivot",
     "agg_cube",
@@ -286,7 +232,6 @@ _KEY_PRIORITY = [
     "events_trend_mann_kendall",
     "text_bpe_encode",
     "text_bpe_train",
-    # -- latest evidence r16 --
     "agg_hash_q1",
     "embed_similarity_topk",
     "map_ops",
@@ -337,7 +282,6 @@ _KEY_PRIORITY = [
     "maintenance_rebalance",
     "stat_describe",
     "text_inverted_index",
-    # -- latest evidence r17 (the r17 driver window, CORRECTNESS_r17) --
     "scan_state_metadata",
     "scan_state_tws_variables",
     "events_cusum_changepoint",
@@ -388,6 +332,57 @@ _KEY_PRIORITY = [
     "join_range_binned",
     "join_skew_aqe",
     "layout_zorder",
+    # -- latest evidence r18 (the r17-item-1 rotation window) --
+    "scan_state_tws_map",
+    "scan_state_tws_timers",
+    "map_hof",
+    "multimodal_decode_bmp",
+    "stream_codec_protobuf",
+    "text_bm25_search",
+    "join_full",
+    "join_left",
+    "join_right",
+    "scan_orc",
+    "scan_python_datasource",
+    "sql_group_by_all",
+    "stream_python_datasource",
+    "stream_sink_python_datasource",
+    "udaf_applyInArrow",
+    "write_python_datasource",
+    "agg_linear_regression",
+    "agg_mode",
+    "agg_quantile_sketch",
+    "corpus_mix_temperature",
+    "dedup_passage",
+    "dq_profile",
+    "events_anomaly_zscore",
+    "events_autocorr_lag1",
+    "events_changepoint_meanshift",
+    "join_asof_tolerance",
+    "maintenance_compact_files",
+    "scan_csv_malformed",
+    "scan_json_corrupt",
+    "scan_parquet_merge_schema",
+    "sql_ctas_insert",
+    "sql_pivot_clause",
+    "sql_tpch_q10like",
+    "sql_tpch_q11like",
+    "sql_tpch_q12like",
+    "sql_tpch_q13like",
+    "sql_tpch_q14like",
+    "sql_tpch_q15like",
+    "sql_tpch_q17like",
+    "sql_tpch_q19like",
+    "sql_tpch_q20like",
+    "sql_tpch_q21like",
+    "sql_tpch_q22like",
+    "sql_tpch_q4like",
+    "sql_tpch_q6like",
+    "sql_tpch_q8like",
+    "sql_tpch_q9like",
+    "stat_approx_quantile",
+    "stat_crosstab",
+    "stat_freq_items",
 ]
 
 

@@ -213,64 +213,64 @@ def test_frozen_baseline_keys_still_registered():
     assert not missing, f"frozen baseline keys missing from registry: {missing}"
 
 
-def test_driver_window_is_r18_rotation():
-    # The r18 evidence window, key-for-key (VERDICT r17 item 1): the 2
-    # zero-evidence r17 keys, the 4 r11-evidence leftovers, then the 44
-    # stalest r12-cohort keys by (first-seen round, name). Pinned as a
-    # literal so an accidental registry reorder (or a module import
-    # dropping a key) can't silently burn driver slots before the
-    # round's CORRECTNESS artifact lands. Update alongside _KEY_PRIORITY
-    # each rotation.
+def test_driver_window_is_r19_rotation():
+    # The r19 evidence window, key-for-key (the rotation the r18 build
+    # session staged in _KEY_PRIORITY and r19 executed): the 5
+    # r12-evidence keys that did not fit the r18 window, then 45 of the
+    # r13 cohort. Pinned as a literal so an accidental registry reorder
+    # (or a module import dropping a key) cannot silently burn driver
+    # slots before the round's CORRECTNESS artifact lands. Update
+    # alongside _KEY_PRIORITY each rotation.
     expected = [
-        "scan_state_tws_map",
-        "scan_state_tws_timers",
-        "map_hof",
-        "multimodal_decode_bmp",
-        "stream_codec_protobuf",
-        "text_bm25_search",
-        "join_full",
-        "join_left",
-        "join_right",
-        "scan_orc",
-        "scan_python_datasource",
-        "sql_group_by_all",
-        "stream_python_datasource",
-        "stream_sink_python_datasource",
-        "udaf_applyInArrow",
-        "write_python_datasource",
-        "agg_linear_regression",
-        "agg_mode",
-        "agg_quantile_sketch",
-        "corpus_mix_temperature",
-        "dedup_passage",
-        "dq_profile",
-        "events_anomaly_zscore",
-        "events_autocorr_lag1",
-        "events_changepoint_meanshift",
-        "join_asof_tolerance",
-        "maintenance_compact_files",
-        "scan_csv_malformed",
-        "scan_json_corrupt",
-        "scan_parquet_merge_schema",
-        "sql_ctas_insert",
-        "sql_pivot_clause",
-        "sql_tpch_q10like",
-        "sql_tpch_q11like",
-        "sql_tpch_q12like",
-        "sql_tpch_q13like",
-        "sql_tpch_q14like",
-        "sql_tpch_q15like",
-        "sql_tpch_q17like",
-        "sql_tpch_q19like",
-        "sql_tpch_q20like",
-        "sql_tpch_q21like",
-        "sql_tpch_q22like",
-        "sql_tpch_q4like",
-        "sql_tpch_q6like",
-        "sql_tpch_q8like",
-        "sql_tpch_q9like",
-        "stat_approx_quantile",
-        "stat_crosstab",
-        "stat_freq_items",
+        "stat_sample_by",
+        "text_gopher_quality",
+        "text_repetition_ngram",
+        "udtf_arrow",
+        "write_dynamic_partition_overwrite",
+        "agg_approx",
+        "seq_packing",
+        "text_edit_distance",
+        "stateful_sessionize_tws",
+        "stream_dedup_watermarked",
+        "stream_stream_join_left",
+        "stream_topk_per_window",
+        "stream_window_chained",
+        "agg_bitmap_distinct",
+        "agg_grouping_id",
+        "array_edit_ops",
+        "array_explode_outer",
+        "cluster_kmeans_fixed",
+        "dedup_containment",
+        "dq_expectations",
+        "embed_ann_recall",
+        "embed_pq_adc_topk",
+        "embed_pq_codes",
+        "events_downsample_lttb",
+        "events_ewma_smooth",
+        "events_holt_linear",
+        "frame_transpose",
+        "graph_triangle_count",
+        "join_null_safe",
+        "json_construct",
+        "multimodal_decode_jpeg",
+        "multimodal_decode_png",
+        "multimodal_decode_wav",
+        "scalar_interval",
+        "scalar_regexp",
+        "scalar_str_to_map",
+        "scalar_string_multi",
+        "scan_recursive_glob",
+        "set_union_by_name_missing",
+        "sql_join_hints",
+        "sql_lateral_alias",
+        "sql_order_by_all_offset",
+        "sql_select_except",
+        "sql_unpivot_clause",
+        "stat_cov_corr",
+        "stream_holt_linear",
+        "stream_merge_to_table",
+        "text_classifier_score",
+        "text_url_filter",
+        "udtf_table_arg",
     ]
     assert list(QUERIES)[:50] == expected
